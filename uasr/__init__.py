@@ -1,0 +1,24 @@
+"""tpu-uasr: TPU-native unsupervised / semi-supervised ASR framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+eastonYi/Unsupervised-ASR (a TF2 research codebase for supervised CTC,
+GAN-adversarial, and EODM unsupervised phoneme recognition):
+
+- Acoustic frontend (pre-emphasis, framing, STFT, mel, MFCC, deltas, CMVN,
+  SpecAugment) as on-device JAX + fused Pallas kernels
+  (ref: SURVEY.md L2b; reference computed features on host with numpy).
+- Conv / BiGRU CTC encoders, phone classifier (generator) and phone-sequence
+  discriminator as Flax modules (ref: SURVEY.md L3, `models/`).
+- CTC forward-backward loss as a log-semiring `lax.scan`
+  (ref: reference delegated to `tf.nn.ctc_loss`).
+- On-device greedy + beam CTC decode (ref: reference used host-side
+  `tf.nn.ctc_beam_search_decoder`).
+- GAN (WGAN-GP) and EODM training objectives in pure JAX.
+- Data parallelism via `jax.sharding.Mesh` + jit shardings over ICI
+  (reference was single-GPU, no distribution).
+
+See SURVEY.md for the full blueprint and provenance notes (the reference
+mount was empty; BASELINE.json is the binding spec).
+"""
+
+__version__ = "0.1.0"

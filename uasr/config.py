@@ -1,0 +1,247 @@
+"""Typed configuration tree, YAML-loadable.
+
+Replaces the reference's global AttrDict ``args`` singleton
+(SURVEY.md L1: ``utils/arguments.py`` loads YAML into a module-level
+``args`` that every module imports). Here configs are explicit, typed
+dataclasses plumbed through call signatures — no globals — but the YAML
+field names stay close to the reference recipes so they port by renaming
+paths only (BASELINE.json: "recipes run with a one-line backend switch").
+
+Derived quantities the reference computed at load time (``dim_input`` =
+feat dim x splice window, ``dim_output`` = vocab size incl. blank) are
+computed by properties here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+def _build(cls, data: dict[str, Any]):
+    """Recursively construct a dataclass from a plain dict, erroring on
+    unknown keys so recipe typos fail loudly."""
+    if data is None:
+        data = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for name, f in fields.items():
+        if name not in data:
+            continue
+        val = data[name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[name] = _build(f.type, val)
+        else:
+            kwargs[name] = val
+    return cls(**kwargs)
+
+
+@dataclass
+class FrontendConfig:
+    """Acoustic frontend parameters.
+
+    Defaults follow the python_speech_features / Kaldi-compatible
+    conventions the reference's feature prep used (SURVEY.md §2.2
+    "Acoustic frontend": pre-emphasis 0.97, 25 ms / 10 ms framing,
+    Hamming window, mel filterbank, log, optional DCT->MFCC,
+    delta + delta-delta, CMVN, then splice + downsample x3).
+    """
+
+    sample_rate: int = 16000
+    feature_type: str = "fbank"  # fbank | mfcc
+    preemph: float = 0.97
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    window: str = "hamming"  # hamming | hann | povey | rect
+    n_fft: int = 512
+    num_mel_bins: int = 80
+    low_freq: float = 0.0
+    high_freq: float | None = None  # None -> sample_rate / 2
+    num_ceps: int = 13  # MFCC only
+    cep_lifter: float = 22.0  # MFCC only
+    use_energy: bool = False  # MFCC: replace c0 with log energy
+    add_deltas: bool = False  # append delta + delta-delta
+    delta_window: int = 2
+    cmvn: str = "utterance"  # none | utterance | global | streaming
+    cmvn_stats_path: str | None = None  # for cmvn == "global"
+    splice_left: int = 0  # frames of left context to splice
+    splice_right: int = 0
+    downsample: int = 1  # keep every k-th frame after splicing
+    # SpecAugment (training-time only)
+    specaug_freq_mask: int = 0  # F: max width of each freq mask
+    specaug_freq_masks: int = 0
+    specaug_time_mask: int = 0  # T: max width of each time mask
+    specaug_time_masks: int = 0
+    # implementation selection
+    use_pallas: bool = True  # fused Pallas kernel on TPU, jnp elsewhere
+    # streaming (AISHELL streaming-CMVN config)
+    streaming_chunk_frames: int = 0  # >0 -> chunked streaming frontend
+
+    @property
+    def frame_length(self) -> int:
+        return int(round(self.sample_rate * self.frame_length_ms / 1000.0))
+
+    @property
+    def frame_shift(self) -> int:
+        return int(round(self.sample_rate * self.frame_shift_ms / 1000.0))
+
+    @property
+    def base_dim(self) -> int:
+        d = self.num_ceps if self.feature_type == "mfcc" else self.num_mel_bins
+        if self.add_deltas:
+            d *= 3
+        return d
+
+    @property
+    def dim_input(self) -> int:
+        """Model input dim after splicing (reference: `dim_input`)."""
+        return self.base_dim * (self.splice_left + 1 + self.splice_right)
+
+
+@dataclass
+class ModelConfig:
+    """Encoder / classifier / discriminator hyperparameters.
+
+    Mirrors the reference model zoo (SURVEY.md §2.2): conv front-end +
+    BiGRU CTC encoder, pure-CNN encoder variant, small PhoneClassifier
+    generator, and a conv PhoneDiscriminator critic.
+    """
+
+    encoder: str = "conv_bigru"  # conv_bigru | cnn | classifier
+    hidden_size: int = 256
+    num_gru_layers: int = 2
+    conv_channels: int = 64
+    num_conv_layers: int = 2
+    conv_kernel: int = 3
+    conv_time_stride: int = 2  # per conv layer; total downsample = stride**layers
+    dropout: float = 0.0
+    # PhoneClassifier (GAN generator / EODM model)
+    classifier_hidden: int = 512
+    classifier_layers: int = 2
+    classifier_context: int = 4  # conv receptive-field half-width
+    # PhoneDiscriminator (WGAN-GP critic)
+    disc_channels: int = 256
+    disc_layers: int = 3
+    disc_kernel: int = 5
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+
+
+@dataclass
+class CTCConfig:
+    blank_id: int = 0
+    beam_width: int = 8
+    use_beam: bool = False
+
+
+@dataclass
+class GANConfig:
+    """WGAN-GP adversarial objective (SURVEY.md §3.2)."""
+
+    lambda_gp: float = 10.0
+    disc_steps: int = 3  # D updates per G update
+    g_lr: float = 1e-4
+    d_lr: float = 4e-4
+    supervised_weight: float = 0.0  # semi-supervised CTC mix-in
+
+
+@dataclass
+class EODMConfig:
+    """Empirical output-distribution matching (SURVEY.md §3.3)."""
+
+    ngram_orders: tuple = (2, 3)
+    top_k: int = 1000  # top-K n-grams per order
+    weight: float = 1.0
+    ngram_path: str | None = None  # precomputed table; else built from text
+
+
+@dataclass
+class DataConfig:
+    train_list: str | None = None  # csv/scp of (utt_id, wav_path, transcript)
+    dev_list: str | None = None
+    test_list: str | None = None
+    text_path: str | None = None  # unpaired phone text (GAN / EODM)
+    vocab_path: str | None = None
+    batch_size: int = 16
+    max_audio_seconds: float = 16.0
+    max_label_len: int = 256
+    bucket_boundaries: tuple = ()  # seconds; empty -> single bucket
+    shuffle_buffer: int = 4096
+    synthetic: bool = False  # generate synthetic data (tests / benches)
+    synthetic_num_utts: int = 128
+    num_epochs: int = 1
+
+
+@dataclass
+class TrainConfig:
+    mode: str = "ctc"  # ctc | gan | eodm | gan+eodm
+    total_steps: int = 1000
+    lr: float = 1e-3
+    warmup_steps: int = 100
+    lr_schedule: str = "warmup_exp_decay"  # constant | warmup_exp_decay | warmup_rsqrt
+    decay_rate: float = 0.96
+    decay_steps: int = 1000
+    grad_clip: float = 5.0
+    eval_every: int = 200
+    save_every: int = 500
+    log_every: int = 50
+    keep_checkpoints: int = 5  # reference: CheckpointManager(max_to_keep)
+    seed: int = 0
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh axes. Reference had no distribution (SURVEY.md §2.3);
+    here DP over ICI is first-class and a model axis seam is kept for
+    the wav2vec-U stretch config."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1  # size of the model axis
+
+
+@dataclass
+class Config:
+    name: str = "default"
+    model_dir: str = "exp/default"
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    ctc: CTCConfig = field(default_factory=CTCConfig)
+    gan: GANConfig = field(default_factory=GANConfig)
+    eodm: EODMConfig = field(default_factory=EODMConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    vocab_size: int | None = None  # derived from vocab file if None
+
+    @property
+    def dim_output(self) -> int:
+        """Vocab size including blank (reference: `dim_output`)."""
+        if self.vocab_size is None:
+            raise ValueError("vocab_size not set; load a vocab first")
+        return self.vocab_size
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML recipe into a typed Config tree."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = _build(Config, raw)
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

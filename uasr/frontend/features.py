@@ -1,0 +1,243 @@
+"""On-device acoustic frontend in JAX.
+
+The reference computed features on the host in a one-time prep pass
+(SURVEY.md §3.5); here the full chain (pre-emphasis, framing, window,
+STFT power, mel, log, MFCC, deltas, CMVN, splice, downsample) runs on
+device per batch, inside jit, with static shapes.
+
+TPU-first design decisions:
+  - The STFT is a GEMM against precomputed cos/sin DFT bases
+    ([frame_len, n_fft//2+1]) instead of an FFT — at 400-sample frames
+    this maps straight onto the MXU (PAPERS.md: "MelT: GEMM-Native NDFT")
+    and fuses with the mel-filterbank GEMM.
+  - All length-dependent logic (CMVN statistics, delta / splice edge
+    replication) is masked or index-clipped per utterance so a padded
+    batch reproduces the numpy oracle exactly on the valid frames
+    (tolerance 1e-4, BASELINE.json).
+  - A fused Pallas kernel for the hot path lives in
+    `uasr.frontend.pallas_frontend`; this module is the XLA reference
+    path and the source of the precomputed constant bank.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uasr.config import FrontendConfig
+from uasr.frontend import oracle
+
+_LOG_FLOOR = float(np.finfo(np.float64).eps)  # oracle parity
+
+
+class FrontendState(NamedTuple):
+    """Precomputed constant bank (device arrays)."""
+
+    window: jax.Array  # [frame_len]
+    cos_basis: jax.Array  # [frame_len, n_bins]
+    sin_basis: jax.Array  # [frame_len, n_bins]
+    mel_fb: jax.Array  # [n_bins, num_mel]
+    dct: jax.Array | None  # [num_mel, num_ceps]
+    lifter: jax.Array | None  # [num_ceps]
+    global_mean: jax.Array | None
+    global_std: jax.Array | None
+
+
+def dft_matrices(frame_len: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT bases such that rfft(x, n_fft)[k] = x@cos[:,k] - i*(x@sin[:,k])
+    for len(x) = frame_len <= n_fft (implicit zero padding)."""
+    n = np.arange(frame_len, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang), np.sin(ang)
+
+
+def make_frontend_state(
+    cfg: FrontendConfig,
+    global_mean: np.ndarray | None = None,
+    global_std: np.ndarray | None = None,
+    dtype=jnp.float32,
+) -> FrontendState:
+    win = oracle.window_fn(cfg.window, cfg.frame_length)
+    cos_b, sin_b = dft_matrices(cfg.frame_length, cfg.n_fft)
+    fb = oracle.mel_filterbank(
+        cfg.num_mel_bins, cfg.n_fft, cfg.sample_rate, cfg.low_freq,
+        cfg.high_freq or cfg.sample_rate / 2.0,
+    )
+    dct = lift = None
+    if cfg.feature_type == "mfcc":
+        n = cfg.num_mel_bins
+        k = np.arange(cfg.num_ceps, dtype=np.float64)[:, None]
+        t = np.arange(n, dtype=np.float64)[None, :]
+        basis = np.cos(np.pi * k * (2 * t + 1) / (2 * n))
+        scale = np.full((cfg.num_ceps, 1), np.sqrt(2.0 / n))
+        scale[0, 0] = np.sqrt(1.0 / n)
+        dct = jnp.asarray((basis * scale).T, dtype)  # [num_mel, num_ceps]
+        if cfg.cep_lifter > 0:
+            idx = np.arange(cfg.num_ceps, dtype=np.float64)
+            lift = jnp.asarray(
+                1.0 + (cfg.cep_lifter / 2.0) * np.sin(np.pi * idx / cfg.cep_lifter),
+                dtype,
+            )
+        else:
+            lift = jnp.ones((cfg.num_ceps,), dtype)
+    return FrontendState(
+        window=jnp.asarray(win, dtype),
+        cos_basis=jnp.asarray(cos_b, dtype),
+        sin_basis=jnp.asarray(sin_b, dtype),
+        mel_fb=jnp.asarray(fb.T, dtype),  # [n_bins, num_mel]
+        dct=dct,
+        lifter=lift,
+        global_mean=None if global_mean is None else jnp.asarray(global_mean, dtype),
+        global_std=None if global_std is None else jnp.asarray(global_std, dtype),
+    )
+
+
+def num_frames(num_samples, frame_len: int, frame_shift: int):
+    """Oracle framing count: 1 + floor((L - frame_len)/shift), min 1."""
+    return jnp.maximum(1 + (num_samples - frame_len) // frame_shift, 1)
+
+
+def frame_audio(audio: jax.Array, frame_len: int, frame_shift: int) -> jax.Array:
+    """[B, L] -> [B, T, frame_len] overlapping frames (gather)."""
+    L = audio.shape[-1]
+    T = max(1 + (L - frame_len) // frame_shift, 1)
+    idx = np.arange(frame_len)[None, :] + frame_shift * np.arange(T)[:, None]
+    idx = np.minimum(idx, L - 1)  # only reachable when L < frame_len
+    return audio[..., idx]
+
+
+def preemphasize(audio: jax.Array, k: float) -> jax.Array:
+    return jnp.concatenate([audio[..., :1], audio[..., 1:] - k * audio[..., :-1]], -1)
+
+
+# Feature fidelity (1e-4 vs the float64 oracle) requires full-f32 GEMMs:
+# on TPU the default matmul precision is bfloat16 passes, which would cost
+# ~3 decimal digits. These GEMMs are tiny relative to the encoder, so
+# HIGHEST costs nothing measurable.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def power_frames(frames: jax.Array, state: FrontendState, n_fft: int) -> jax.Array:
+    """Windowed frames -> power spectrum via two MXU GEMMs."""
+    w = frames * state.window
+    re = jnp.matmul(w, state.cos_basis, precision=_HI)
+    im = jnp.matmul(w, state.sin_basis, precision=_HI)
+    return (re * re + im * im) * (1.0 / n_fft)
+
+
+def log_mel_frontend(
+    audio: jax.Array, state: FrontendState, cfg: FrontendConfig
+) -> jax.Array:
+    """[B, L] waveform -> [B, T, num_mel] log-mel (the kernel-bank hot path)."""
+    x = preemphasize(audio, cfg.preemph)
+    frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
+    pspec = power_frames(frames, state, cfg.n_fft)
+    return jnp.log(
+        jnp.maximum(jnp.matmul(pspec, state.mel_fb, precision=_HI), _LOG_FLOOR)
+    )
+
+
+def _mfcc_from_logmel(
+    logmel: jax.Array, pspec_energy: jax.Array, state: FrontendState, cfg: FrontendConfig
+) -> jax.Array:
+    ceps = jnp.matmul(logmel, state.dct, precision=_HI) * state.lifter
+    if cfg.use_energy:
+        loge = jnp.log(jnp.maximum(pspec_energy, _LOG_FLOOR))
+        ceps = ceps.at[..., 0].set(loge)
+    return ceps
+
+
+def _clip_gather(feat: jax.Array, offsets: list[int], lengths: jax.Array):
+    """For each offset, gather feat[t+off] with t+off clipped to
+    [0, length-1] per utterance (edge replication at true utterance end,
+    matching the oracle on padded batches). feat: [B, T, D]."""
+    B, T, D = feat.shape
+    t = jnp.arange(T)[None, :]
+    hi = (lengths - 1)[:, None]
+    outs = []
+    for off in offsets:
+        idx = jnp.clip(t + off, 0, hi)  # [B, T]
+        outs.append(jnp.take_along_axis(feat, idx[:, :, None], axis=1))
+    return outs
+
+
+def add_deltas(feat: jax.Array, lengths: jax.Array, N: int) -> jax.Array:
+    """Append delta + delta-delta (regression window N, edge-replicated)."""
+
+    def one_delta(f):
+        denom = 2.0 * sum(i * i for i in range(1, N + 1))
+        acc = jnp.zeros_like(f)
+        for n in range(1, N + 1):
+            plus, minus = _clip_gather(f, [n, -n], lengths)
+            acc = acc + n * (plus - minus)
+        return acc / denom
+
+    d1 = one_delta(feat)
+    d2 = one_delta(d1)
+    return jnp.concatenate([feat, d1, d2], axis=-1)
+
+
+def apply_cmvn(
+    feat: jax.Array, lengths: jax.Array, cfg: FrontendConfig, state: FrontendState,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Masked per-utterance or precomputed-global CMVN."""
+    if cfg.cmvn == "none":
+        return feat
+    if cfg.cmvn == "global":
+        return (feat - state.global_mean) / (state.global_std + eps)
+    # per-utterance, masked over valid frames
+    T = feat.shape[1]
+    mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+    n = jnp.maximum(lengths, 1).astype(feat.dtype)[:, None, None]
+    mu = jnp.sum(feat * mask, axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.square(feat - mu) * mask, axis=1, keepdims=True) / n
+    return jnp.where(mask, (feat - mu) / (jnp.sqrt(var) + eps), 0.0)
+
+
+def splice_and_downsample(
+    feat: jax.Array, lengths: jax.Array, cfg: FrontendConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Splice +-context then keep every k-th frame (reference `splice` +
+    `down_sample`, SURVEY.md §2.2)."""
+    if cfg.splice_left or cfg.splice_right:
+        offs = list(range(-cfg.splice_left, cfg.splice_right + 1))
+        feat = jnp.concatenate(_clip_gather(feat, offs, lengths), axis=-1)
+    if cfg.downsample > 1:
+        feat = feat[:, :: cfg.downsample]
+        lengths = (lengths + cfg.downsample - 1) // cfg.downsample
+    return feat, lengths
+
+
+def compute_features(
+    audio: jax.Array,
+    audio_lengths: jax.Array,
+    state: FrontendState,
+    cfg: FrontendConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Full frontend: [B, L] waveform (+ lengths) -> ([B, T, D], lengths).
+
+    Jit-compatible, static output shape; frames past an utterance's
+    length are zeroed.
+    """
+    x = preemphasize(audio, cfg.preemph)
+    frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
+    pspec = power_frames(frames, state, cfg.n_fft)
+    feat = jnp.log(
+        jnp.maximum(jnp.matmul(pspec, state.mel_fb, precision=_HI), _LOG_FLOOR)
+    )
+    if cfg.feature_type == "mfcc":
+        feat = _mfcc_from_logmel(feat, pspec.sum(-1), state, cfg)
+    lengths = num_frames(audio_lengths, cfg.frame_length, cfg.frame_shift)
+    lengths = jnp.minimum(lengths, feat.shape[1])
+    if cfg.add_deltas:
+        feat = add_deltas(feat, lengths, cfg.delta_window)
+    feat = apply_cmvn(feat, lengths, cfg, state)
+    feat, lengths = splice_and_downsample(feat, lengths, cfg)
+    # zero out padding frames
+    mask = (jnp.arange(feat.shape[1])[None, :] < lengths[:, None])[..., None]
+    return feat * mask, lengths
