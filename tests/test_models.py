@@ -1,0 +1,110 @@
+"""Model family tests: shapes, length handling, padding invariance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import ModelConfig
+from uasr.models import (
+    CNNEncoder,
+    ConvBiGRUEncoder,
+    PhoneClassifier,
+    PhoneDiscriminator,
+    build_model,
+)
+
+CFG = ModelConfig(hidden_size=32, num_gru_layers=1, conv_channels=8,
+                  classifier_hidden=32, disc_channels=16, disc_layers=2)
+V = 12
+
+
+@pytest.mark.parametrize("name", ["conv_bigru", "cnn", "classifier"])
+def test_encoder_shapes_and_lengths(name):
+    model = build_model(ModelConfig(**{**CFG.__dict__, "encoder": name}), V)
+    B, T, D = 2, 37, 40
+    feats = jnp.asarray(np.random.RandomState(0).randn(B, T, D), jnp.float32)
+    lengths = jnp.array([37, 20])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    logits, out_len = model.apply(params, feats, lengths)
+    assert logits.shape[0] == B and logits.shape[2] == V
+    assert int(out_len[0]) <= logits.shape[1]
+    assert int(out_len[1]) <= int(out_len[0])
+
+
+def test_bigru_padding_invariance():
+    """Extending batch padding must not change valid-frame outputs
+    (length-aware backward GRU)."""
+    model = ConvBiGRUEncoder(CFG, V)
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(1, 24, 40), jnp.float32)
+    lengths = jnp.array([24])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    logits_a, len_a = model.apply(params, feats, lengths)
+    padded = jnp.pad(feats, ((0, 0), (0, 16), (0, 0)))
+    logits_b, len_b = model.apply(params, padded, lengths)
+    assert int(len_a[0]) == int(len_b[0])
+    np.testing.assert_allclose(
+        np.asarray(logits_a[0, : int(len_a[0])]),
+        np.asarray(logits_b[0, : int(len_a[0])]),
+        atol=2e-5,
+    )
+
+
+def test_cnn_padding_invariance():
+    model = CNNEncoder(CFG, V)
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(1, 24, 40), jnp.float32)
+    lengths = jnp.array([24])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, la = model.apply(params, feats, lengths)
+    b, lb = model.apply(params, jnp.pad(feats, ((0, 0), (0, 16), (0, 0))), lengths)
+    assert int(la[0]) == int(lb[0])
+    np.testing.assert_allclose(
+        np.asarray(a[0, : int(la[0])]), np.asarray(b[0, : int(la[0])]), atol=2e-5
+    )
+
+
+def test_classifier_padding_invariance():
+    model = PhoneClassifier(CFG, V)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(1, 20, 40), jnp.float32)
+    lengths = jnp.array([20])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, _ = model.apply(params, feats, lengths)
+    b, _ = model.apply(
+        params, jnp.pad(feats, ((0, 0), (0, 13), (0, 0))), lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(a[0]), np.asarray(b[0, :20]), atol=2e-5
+    )
+
+
+def test_discriminator_scalar_and_padding_invariance():
+    model = PhoneDiscriminator(CFG)
+    rng = np.random.RandomState(3)
+    probs = jax.nn.softmax(jnp.asarray(rng.randn(2, 16, V), jnp.float32))
+    lengths = jnp.array([16, 16])
+    params = model.init(jax.random.PRNGKey(0), probs, lengths)
+    score = model.apply(params, probs, lengths)
+    assert score.shape == (2,)
+    padded = jnp.pad(probs, ((0, 0), (0, 16), (0, 0)))
+    score_b = model.apply(params, padded, lengths)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_b), atol=2e-5)
+
+
+def test_gradients_flow():
+    model = ConvBiGRUEncoder(CFG, V)
+    feats = jnp.ones((1, 16, 40))
+    lengths = jnp.array([16])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+
+    def loss(p):
+        logits, _ = model.apply(p, feats, lengths)
+        return jnp.sum(logits**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)

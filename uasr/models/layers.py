@@ -1,0 +1,136 @@
+"""Building blocks: scan-based (Bi)GRU and strided conv front-end.
+
+TPU-first GRU design (vs the reference's cuDNN-delegated Keras GRU,
+SURVEY.md §2.1): the three input projections for ALL timesteps are one
+large [B*T, D] x [D, 3H] GEMM hoisted out of the recurrence, so the
+`lax.scan` body contains only the [B, H] x [H, 3H] recurrent matmul and
+cheap VPU gate math. Gate formulas use the cuDNN/Keras "reset-after"
+convention so weights are semantically interchangeable with the
+reference's layers.
+
+Padding-aware: the backward direction of the BiGRU reverses each
+utterance within its own valid length, and hidden state stops updating
+past the end of each utterance, so results are independent of batch
+padding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GRULayer(nn.Module):
+    """Unidirectional GRU over time-major input via lax.scan.
+
+    Input [B, T, D] -> output [B, T, H]. `lengths` freezes the carried
+    state past each utterance's end (output frames there are zeroed by
+    callers if needed).
+    """
+
+    hidden: int
+    reverse: bool = False
+    unroll: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        B, T, D = x.shape
+        H = self.hidden
+        wx = self.param("wx", nn.initializers.lecun_normal(), (D, 3 * H))
+        wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
+        bx = self.param("bx", nn.initializers.zeros, (3 * H,))
+        bh = self.param("bh", nn.initializers.zeros, (3 * H,))
+
+        x = x.astype(self.dtype)
+        wx = wx.astype(self.dtype)
+        wh = wh.astype(self.dtype)
+
+        if self.reverse:
+            # reverse within each utterance's valid length
+            idx = lengths[:, None] - 1 - jnp.arange(T)[None, :]
+            idx = jnp.clip(idx, 0, T - 1)
+            x = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+        # hoisted input projections: one big MXU GEMM for all timesteps
+        xproj = (x.reshape(B * T, D) @ wx + bx.astype(self.dtype)).reshape(B, T, 3 * H)
+        xproj = jnp.moveaxis(xproj, 1, 0)  # [T, B, 3H]
+
+        tmask = jnp.arange(T)[:, None] < lengths[None, :]  # [T, B]
+
+        def step(h, inp):
+            xp, m = inp  # xp: [B, 3H], m: [B]
+            hproj = h @ wh + bh.astype(self.dtype)
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)  # reset-after (cuDNN convention)
+            h_new = (1.0 - z) * n + z * h
+            h_new = jnp.where(m[:, None], h_new, h)
+            return h_new, h_new
+
+        h0 = jnp.zeros((B, H), self.dtype)
+        _, ys = jax.lax.scan(step, h0, (xproj, tmask), unroll=self.unroll)
+        ys = jnp.moveaxis(ys, 0, 1)  # [B, T, H]
+
+        if self.reverse:
+            idx = lengths[:, None] - 1 - jnp.arange(T)[None, :]
+            idx = jnp.clip(idx, 0, T - 1)
+            ys = jnp.take_along_axis(ys, idx[:, :, None], axis=1)
+        # zero padding frames
+        valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        return jnp.where(valid, ys, 0.0).astype(jnp.float32)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU: concat of forward and length-aware backward."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        fwd = GRULayer(self.hidden, reverse=False, dtype=self.dtype, name="fwd")(
+            x, lengths
+        )
+        bwd = GRULayer(self.hidden, reverse=True, dtype=self.dtype, name="bwd")(
+            x, lengths
+        )
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class ConvBlock(nn.Module):
+    """Strided 2D conv over (time, freq) + LayerNorm + ReLU.
+
+    The reference used Conv2D+BatchNorm blocks (SURVEY.md §2.2 "CTC
+    encoder(s)"); LayerNorm is used here instead of BatchNorm — no
+    running statistics to synchronize across the data mesh axis, and it
+    fuses cleanly under jit.
+    """
+
+    channels: int
+    kernel: int = 3
+    time_stride: int = 2
+    freq_stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, T, F, C]
+        x = nn.Conv(
+            self.channels,
+            (self.kernel, self.kernel),
+            strides=(self.time_stride, self.freq_stride),
+            padding="SAME",
+            dtype=self.dtype,
+        )(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def conv_out_length(lengths: jax.Array, stride: int, num_layers: int) -> jax.Array:
+    for _ in range(num_layers):
+        lengths = (lengths + stride - 1) // stride
+    return lengths

@@ -1,0 +1,209 @@
+"""Model families (SURVEY.md §2.2):
+
+- ConvBiGRUEncoder: conv front-end (strided blocks) + N x BiGRU + dense
+  logits incl. blank — the reference's supervised CTC acoustic model.
+- CNNEncoder: pure-convolutional CTC encoder variant (reference had CNN
+  variants; also the fastest path on the MXU — no sequential scan).
+- PhoneClassifier: acoustic features -> per-frame phone posteriors; the
+  GAN "generator" G and the EODM model (small conv-context + MLP).
+- PhoneDiscriminator: phone-posterior / one-hot sequences -> scalar
+  critic score; stacked 1-D convs + pooling, WGAN-GP critic (no
+  normalization layers, per the GP requirement).
+
+All modules take (features [B, T, D], lengths [B]) and return logits
+plus the (possibly subsampled) lengths, so losses/decoders are uniform
+across families.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uasr.config import ModelConfig
+from uasr.models.layers import BiGRU, ConvBlock, conv_out_length
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def _length_mask(x: jax.Array, lengths: jax.Array) -> jax.Array:
+    T = x.shape[1]
+    return (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+
+
+class ConvBiGRUEncoder(nn.Module):
+    """conv x N (strided) -> BiGRU x M -> dense logits (V incl. blank)."""
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        B, T, D = feats.shape
+        x = feats[..., None].astype(dt)  # [B, T, D, 1]
+        for i in range(cfg.num_conv_layers):
+            x = ConvBlock(
+                cfg.conv_channels,
+                kernel=cfg.conv_kernel,
+                time_stride=cfg.conv_time_stride,
+                freq_stride=2,
+                dtype=dt,
+                name=f"conv{i}",
+            )(x)
+            lengths = jnp.minimum(
+                conv_out_length(lengths, cfg.conv_time_stride, 1), x.shape[1]
+            )
+            # re-mask each block: bias/LayerNorm make padding frames
+            # nonzero and the next strided conv would leak them inward
+            x = x * _length_mask(x, lengths)[..., None]
+        B, T2, F2, C = x.shape
+        x = x.reshape(B, T2, F2 * C)
+        for i in range(cfg.num_gru_layers):
+            x = BiGRU(cfg.hidden_size, dtype=dt, name=f"bigru{i}")(x, lengths)
+            if cfg.dropout > 0:
+                x = nn.Dropout(cfg.dropout, deterministic=not self.has_rng("dropout"))(x)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        return logits, lengths
+
+
+class CNNEncoder(nn.Module):
+    """Pure-CNN CTC encoder: stacked 1-D convs over time (dilated stack
+    for receptive field), one strided layer for subsampling. No
+    recurrence -> everything is MXU GEMMs; the throughput champion."""
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x = feats.astype(dt)
+        x = x * _length_mask(x, lengths)
+        stride_done = False
+        for i in range(max(cfg.num_conv_layers, 1)):
+            stride = cfg.conv_time_stride if not stride_done else 1
+            stride_done = True
+            x = nn.Conv(
+                cfg.hidden_size,
+                (cfg.conv_kernel,),
+                strides=(stride,),
+                padding="SAME",
+                dtype=dt,
+                name=f"conv{i}",
+            )(x)
+            x = nn.LayerNorm(dtype=dt)(x)
+            x = nn.relu(x)
+            if stride > 1:
+                lengths = jnp.minimum(
+                    conv_out_length(lengths, stride, 1), x.shape[1]
+                )
+            x = x * _length_mask(x, lengths)  # keep padding frames zero
+        for i in range(2):
+            y = nn.Conv(
+                cfg.hidden_size,
+                (cfg.conv_kernel,),
+                kernel_dilation=(2**(i + 1),),
+                padding="SAME",
+                dtype=dt,
+                name=f"dil{i}",
+            )(x)
+            y = nn.LayerNorm(dtype=dt)(y)
+            x = x + nn.relu(y)  # residual dilated stack
+            x = x * _length_mask(x, lengths)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        logits = logits * _length_mask(logits, lengths)
+        return logits, lengths
+
+
+class PhoneClassifier(nn.Module):
+    """Per-frame phone posterior model (GAN generator / EODM model).
+
+    A conv layer provides +-context (reference spliced frames and used
+    FC stacks / small convs), then an MLP head. Output: logits [B,T,V];
+    use jax.nn.softmax for the differentiable posteriors D consumes.
+    """
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x = feats.astype(dt)
+        x = x * _length_mask(x, lengths)
+        x = nn.Conv(
+            cfg.classifier_hidden,
+            (2 * cfg.classifier_context + 1,),
+            padding="SAME",
+            dtype=dt,
+            name="context_conv",
+        )(x)
+        x = nn.LayerNorm(dtype=dt)(x)
+        x = nn.relu(x)
+        for i in range(cfg.classifier_layers - 1):
+            x = nn.Dense(cfg.classifier_hidden, dtype=dt, name=f"fc{i}")(x)
+            x = nn.LayerNorm(dtype=dt)(x)
+            x = nn.relu(x)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        logits = logits * _length_mask(logits, lengths)
+        return logits, lengths
+
+
+class PhoneDiscriminator(nn.Module):
+    """WGAN-GP critic over phone-distribution sequences [B, T, V].
+
+    Stacked strided 1-D convs + masked mean/max pooling + dense scalar.
+    No normalization layers (the gradient penalty is defined on the
+    un-normalized critic). Consumes *distributions* (softmax posteriors
+    or one-hot text), keeping G differentiable (SURVEY.md §3.2).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, probs: jax.Array, lengths: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x = probs.astype(dt)
+        x = x * _length_mask(x, lengths)
+        for i in range(cfg.disc_layers):
+            x = nn.Conv(
+                cfg.disc_channels,
+                (cfg.disc_kernel,),
+                strides=(2,),
+                padding="SAME",
+                dtype=dt,
+                name=f"conv{i}",
+            )(x)
+            x = nn.leaky_relu(x, 0.2)
+            lengths = (lengths + 1) // 2
+            lengths = jnp.minimum(lengths, x.shape[1])
+            # re-mask: the conv bias makes frames past `lengths` nonzero,
+            # and the next strided conv would mix them into valid frames
+            x = x * _length_mask(x, lengths)
+        mask = _length_mask(x, lengths)
+        n = jnp.maximum(lengths, 1).astype(x.dtype)[:, None]
+        mean_pool = x.sum(axis=1) / n
+        max_pool = jnp.where(mask, x, -1e30).max(axis=1)
+        h = jnp.concatenate([mean_pool, max_pool], axis=-1)
+        h = nn.Dense(cfg.disc_channels, dtype=dt, name="fc")(h)
+        h = nn.leaky_relu(h, 0.2)
+        score = nn.Dense(1, dtype=jnp.float32, name="score")(h)
+        return score[:, 0]
+
+
+def build_model(cfg: ModelConfig, vocab_size: int) -> nn.Module:
+    if cfg.encoder == "conv_bigru":
+        return ConvBiGRUEncoder(cfg, vocab_size)
+    if cfg.encoder == "cnn":
+        return CNNEncoder(cfg, vocab_size)
+    if cfg.encoder == "classifier":
+        return PhoneClassifier(cfg, vocab_size)
+    raise ValueError(f"unknown encoder {cfg.encoder!r}")
