@@ -1,0 +1,133 @@
+"""Unsupervised objectives: EODM vs a numpy n-gram counter; WGAN-GP vs a
+hand-derived penalty on a linear critic (SURVEY.md §4)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import ModelConfig
+from uasr.models import PhoneDiscriminator
+from uasr.ops.eodm import build_ngram_table, eodm_loss, expected_ngram_logprobs
+from uasr.ops.wgan import d_loss_fn, g_loss_fn, gradient_penalty
+
+
+# ------------------------------------------------------------------ EODM
+
+
+def test_build_ngram_table():
+    seqs = [[1, 2, 3, 1, 2], [1, 2]]
+    tab = build_ngram_table(seqs, order=2, top_k=3)
+    # bigram (1,2) occurs 3x of 5 total bigrams
+    assert tuple(tab.ids[0]) == (1, 2)
+    np.testing.assert_allclose(tab.probs[0], 3 / 5 if len(tab.ids) == 3 else None)
+
+
+def _np_expected_ngram(probs, lengths, ngrams):
+    B, T, V = probs.shape
+    K, n = ngrams.shape
+    total = np.zeros(K)
+    denom = 0
+    for b in range(B):
+        for t in range(max(lengths[b] - n + 1, 0)):
+            denom += 1
+            for k, g in enumerate(ngrams):
+                p = 1.0
+                for i, c in enumerate(g):
+                    p *= probs[b, t + i, c]
+                total[k] += p
+    return np.log(np.maximum(total / max(denom, 1), 1e-10))
+
+
+def test_expected_ngram_matches_numpy():
+    rng = np.random.RandomState(0)
+    B, T, V = 3, 12, 6
+    logits = rng.randn(B, T, V).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    lengths = np.array([12, 7, 3])
+    ngrams = np.array([[1, 2], [2, 2], [0, 5]], np.int32)
+    ref = _np_expected_ngram(probs, lengths, ngrams)
+    got = expected_ngram_logprobs(
+        jnp.asarray(probs), jnp.asarray(lengths), jnp.asarray(ngrams)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4)
+
+
+def test_eodm_loss_minimized_by_matching_stats():
+    """A model whose output reproduces the text unigram/bigram stats has
+    lower EODM loss than a mismatched one."""
+    V = 5
+    seqs = [[1, 2, 3, 4] * 5 for _ in range(4)]
+    tab = build_ngram_table(seqs, order=2, top_k=8)
+    tables = [(jnp.asarray(tab.ids), jnp.asarray(tab.probs))]
+    T = 20
+    # matched: frames cycle 1,2,3,4 with near-one-hot posteriors
+    good = np.full((1, T, V), -8.0, np.float32)
+    for t in range(T):
+        good[0, t, 1 + t % 4] = 8.0
+    # mismatched: constant phone 1
+    bad = np.full((1, T, V), -8.0, np.float32)
+    bad[:, :, 1] = 8.0
+    lengths = jnp.array([T])
+    l_good = float(eodm_loss(jnp.asarray(good), lengths, tables))
+    l_bad = float(eodm_loss(jnp.asarray(bad), lengths, tables))
+    assert l_good < l_bad
+
+
+def test_eodm_gradients_finite():
+    V, T = 5, 10
+    tab = build_ngram_table([[1, 2, 3]] * 3, order=2, top_k=4)
+    tables = [(jnp.asarray(tab.ids), jnp.asarray(tab.probs))]
+    logits = jnp.asarray(np.random.RandomState(1).randn(2, T, V), jnp.float32)
+    g = jax.grad(lambda lg: eodm_loss(lg, jnp.array([T, T]), tables))(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+# --------------------------------------------------------------- WGAN-GP
+
+
+def test_gradient_penalty_linear_critic():
+    """For D(x) = <w, x>, grad_x D = w for every interpolate, so
+    GP = (||w|| - 1)^2 exactly."""
+    B, T, V = 4, 6, 5
+    rng = np.random.RandomState(0)
+    w = rng.randn(T, V).astype(np.float32)
+
+    def disc_apply(params, x, lengths):
+        return jnp.sum(x * params, axis=(1, 2))
+
+    real = jnp.asarray(rng.rand(B, T, V), jnp.float32)
+    fake = jnp.asarray(rng.rand(B, T, V), jnp.float32)
+    gp = gradient_penalty(
+        disc_apply, jnp.asarray(w), real, fake, jnp.full((B,), T),
+        jax.random.PRNGKey(0),
+    )
+    expected = (np.linalg.norm(w) - 1.0) ** 2
+    np.testing.assert_allclose(float(gp), expected, rtol=1e-4)
+
+
+def test_d_loss_and_double_backward():
+    cfg = ModelConfig(disc_channels=16, disc_layers=2)
+    V, T, B = 8, 16, 4
+    disc = PhoneDiscriminator(cfg)
+    rng = np.random.RandomState(1)
+    real = jax.nn.one_hot(
+        jnp.asarray(rng.randint(1, V, (B, T))), V
+    )
+    fake = jax.nn.softmax(jnp.asarray(rng.randn(B, T, V), jnp.float32))
+    lengths = jnp.full((B,), T)
+    params = disc.init(jax.random.PRNGKey(0), real, lengths)
+
+    def loss(p):
+        l, m = d_loss_fn(
+            disc.apply, p, real, lengths, fake, lengths, 10.0,
+            jax.random.PRNGKey(1),
+        )
+        return l
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(grads))
+    assert float(g_loss_fn(disc.apply(params, fake, lengths))) == -float(
+        jnp.mean(disc.apply(params, fake, lengths))
+    )
