@@ -1,0 +1,109 @@
+"""End-to-end integration (SURVEY.md §4 "Integration"): the TIMIT-mini
+analogue on CPU — synthetic tone-language corpus, full pipeline
+(on-device frontend -> encoder -> CTC -> decode -> PER -> Orbax ckpt)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import Config, DataConfig, FrontendConfig, ModelConfig, TrainConfig
+from uasr.data.dataset import Batch, batch_iterator, make_synthetic_dataset
+from uasr.train import CTCTrainer, TrainState
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    examples, vocab = make_synthetic_dataset(
+        num_utts=64, num_phones=8, min_len=3, max_len=6, seed=0
+    )
+    cfg = Config(
+        name="tiny",
+        frontend=FrontendConfig(num_mel_bins=40, cmvn="utterance"),
+        model=ModelConfig(
+            encoder="cnn", hidden_size=64, num_conv_layers=2,
+            conv_time_stride=2, conv_kernel=5,
+        ),
+        train=TrainConfig(total_steps=150, lr=2e-3, warmup_steps=20,
+                          grad_clip=5.0),
+        vocab_size=len(vocab),
+    )
+    return examples, vocab, cfg
+
+
+def _batches(examples, n=None, batch_size=8, seed=0):
+    it = batch_iterator(
+        examples, batch_size=batch_size,
+        max_audio_samples=16 * 16000 // 10,  # 1.6s cap
+        max_label_len=8, seed=seed, num_epochs=None,
+    )
+    return itertools.islice(it, n) if n else it
+
+
+def test_ctc_learns_synthetic(tiny_setup):
+    examples, vocab, cfg = tiny_setup
+    trainer = CTCTrainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    first = next(_batches(examples, 1))
+    state = trainer.init_state(rng, first)
+    step_fn = trainer.jitted_train_step()
+
+    losses = []
+    for i, b in enumerate(_batches(examples, 200)):
+        rng, sub = jax.random.split(rng)
+        state, aux = step_fn(state, Batch(*map(jnp.asarray, b)), sub)
+        losses.append(float(aux["ctc_loss"]))
+    assert np.isfinite(losses).all()
+    # loss must drop substantially
+    assert np.mean(losses[-20:]) < 0.5 * np.mean(losses[:10]), (
+        np.mean(losses[:10]), np.mean(losses[-20:]),
+    )
+    # PER on training data should be well below chance
+    per = trainer.evaluate(state.params, _batches(examples, 4, seed=9))
+    assert per < 0.5, per
+    # stash for the checkpoint test
+    tiny_setup_state["state"] = state
+    tiny_setup_state["trainer"] = trainer
+
+
+tiny_setup_state: dict = {}
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    examples, vocab, cfg = tiny_setup
+    from uasr.checkpoint import CheckpointManager
+
+    trainer = tiny_setup_state.get("trainer") or CTCTrainer(cfg)
+    state = tiny_setup_state.get("state")
+    if state is None:
+        state = trainer.init_state(jax.random.PRNGKey(0), next(_batches(examples, 1)))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    restored, step = mgr.restore_latest(state)
+    assert step == int(state.step)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restores bitwise too (resume semantics)
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_keep_n_checkpoints(tmp_path, tiny_setup):
+    examples, vocab, cfg = tiny_setup
+    from uasr.checkpoint import CheckpointManager
+
+    trainer = CTCTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), next(_batches(examples, 1)))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    for s in [1, 2, 3]:
+        mgr.save(s, state._replace(step=jnp.asarray(s)))
+        mgr.wait()
+    assert mgr.latest_step() == 3
+    restored, step = mgr.restore_latest(state)
+    assert step == 3
+    mgr.close()

@@ -1,0 +1,302 @@
+"""Datasets and batching.
+
+Reference equivalents (SURVEY.md §2.2): `ASRDataSet` / `TextDataSet`
+classes and the `TFData` TFRecord pipeline with shuffle -> bucket ->
+padded_batch. Here:
+
+  - audio stays raw on the host; features are computed on device, so
+    there is no TFRecord feature cache to manage (the conversion stage
+    of the reference disappears);
+  - bucketing pads audio to a small static set of lengths so the jitted
+    train step compiles once per bucket;
+  - a background thread prefetches batches (the reference used tf.data
+    prefetch);
+  - a synthetic "tone language" corpus generator maps phone k to a pure
+    tone, giving integration tests and benches a learnable dataset with
+    no external downloads.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, NamedTuple, Sequence
+
+import numpy as np
+
+from uasr.config import DataConfig, FrontendConfig
+from uasr.data.io import Utterance, read_utterance_list, read_wav
+from uasr.vocab import Vocab, make_vocab
+
+
+class Batch(NamedTuple):
+    audio: np.ndarray  # [B, L] float32
+    audio_lengths: np.ndarray  # [B] int32
+    labels: np.ndarray  # [B, U] int32
+    label_lengths: np.ndarray  # [B] int32
+
+
+class TextBatch(NamedTuple):
+    ids: np.ndarray  # [B, U] int32
+    lengths: np.ndarray  # [B] int32
+
+
+@dataclass
+class ASRDataset:
+    """Utterance list + vocab -> (audio, ids) examples."""
+
+    utts: list[Utterance]
+    vocab: Vocab
+    sample_rate: int = 16000
+
+    @classmethod
+    def from_file(cls, path: str, vocab: Vocab, sample_rate: int = 16000):
+        return cls(read_utterance_list(path), vocab, sample_rate)
+
+    def __len__(self):
+        return len(self.utts)
+
+    def example(self, i: int) -> tuple[np.ndarray, list[int]]:
+        u = self.utts[i]
+        audio, sr = read_wav(u.wav_path)
+        if sr != self.sample_rate:
+            raise ValueError(f"{u.wav_path}: rate {sr} != {self.sample_rate}")
+        return audio, self.vocab.encode(u.tokens)
+
+
+@dataclass
+class TextDataset:
+    """Unpaired token-id sequences (GAN real side / EODM statistics)."""
+
+    sequences: list[list[int]]
+
+    @classmethod
+    def from_file(cls, path: str, vocab: Vocab):
+        seqs = []
+        with open(path) as f:
+            for ln in f:
+                toks = ln.split()
+                if toks:
+                    seqs.append(vocab.encode(toks))
+        return cls(seqs)
+
+    def __len__(self):
+        return len(self.sequences)
+
+
+# ------------------------------------------------------------- synthetic
+
+
+def synth_tone_audio(
+    ids: Sequence[int],
+    sample_rate: int = 16000,
+    frames_per_phone: tuple[int, int] = (8, 16),
+    noise: float = 0.02,
+    rng: np.random.RandomState | None = None,
+) -> np.ndarray:
+    """Synthesize audio where phone k is a tone at 250 + 90*k Hz with a
+    random duration — a learnable toy language for tests/benches."""
+    rng = rng or np.random.RandomState(0)
+    hop = 160  # one frame @ 10ms/16k
+    pieces = []
+    phase = 0.0
+    for k in ids:
+        n = int(rng.randint(frames_per_phone[0], frames_per_phone[1] + 1)) * hop
+        f = 250.0 + 90.0 * int(k)
+        t = np.arange(n)
+        seg = 0.4 * np.sin(phase + 2 * np.pi * f * t / sample_rate)
+        phase += 2 * np.pi * f * n / sample_rate
+        pieces.append(seg)
+    audio = np.concatenate(pieces) if pieces else np.zeros(hop)
+    audio = audio + noise * rng.randn(len(audio))
+    return audio.astype(np.float32)
+
+
+def make_synthetic_dataset(
+    num_utts: int = 128,
+    num_phones: int = 16,
+    min_len: int = 3,
+    max_len: int = 10,
+    seed: int = 0,
+    zipf: bool = True,
+) -> tuple[list[tuple[np.ndarray, list[int]]], Vocab]:
+    """Random phone strings -> tone audio. Zipf-ish phone distribution so
+    n-gram statistics are non-trivial (for EODM tests)."""
+    rng = np.random.RandomState(seed)
+    vocab = make_vocab([f"p{i}" for i in range(num_phones)])
+    # ids 1..num_phones are real phones (0 = blank)
+    weights = 1.0 / np.arange(1, num_phones + 1) if zipf else np.ones(num_phones)
+    weights = weights / weights.sum()
+    examples = []
+    for _ in range(num_utts):
+        n = rng.randint(min_len, max_len + 1)
+        ids = list(1 + rng.choice(num_phones, size=n, p=weights))
+        # avoid immediate repeats (CTC cannot emit them without blanks,
+        # and real phone strings rarely repeat)
+        ids = [int(ids[0])] + [
+            int(x) if x != ids[i] else int(1 + (x % num_phones))
+            for i, x in enumerate(ids[1:])
+        ]
+        examples.append((synth_tone_audio(ids, rng=rng), ids))
+    return examples, vocab
+
+
+# -------------------------------------------------------------- batching
+
+
+def _pad_to(x: np.ndarray, n: int, value=0):
+    out = np.full((n,), value, dtype=x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+def _bucket_length(n: int, boundaries: Sequence[int]) -> int:
+    for b in boundaries:
+        if n <= b:
+            return b
+    return boundaries[-1]
+
+
+def batch_iterator(
+    examples: Sequence[tuple[np.ndarray, list[int]]],
+    batch_size: int,
+    max_audio_samples: int,
+    max_label_len: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+    num_epochs: int | None = None,
+    bucket_boundaries: Sequence[int] = (),
+) -> Iterator[Batch]:
+    """Shuffle -> bucket by audio length -> pad -> yield Batch.
+
+    Static shapes: audio padded to the bucket boundary (or the global
+    max), labels to max_label_len. Over-long examples are clipped.
+    """
+    if not bucket_boundaries:
+        bucket_boundaries = (max_audio_samples,)
+    bucket_boundaries = sorted(int(b) for b in bucket_boundaries)
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = np.arange(len(examples))
+        if shuffle:
+            rng.shuffle(order)
+        buckets: dict[int, list[int]] = {b: [] for b in bucket_boundaries}
+        for i in order:
+            audio, ids = examples[i]
+            L = min(len(audio), max_audio_samples)
+            b = _bucket_length(L, bucket_boundaries)
+            buckets[b].append(i)
+            if len(buckets[b]) == batch_size:
+                yield _make_batch(
+                    [examples[j] for j in buckets[b]], b, max_label_len
+                )
+                buckets[b] = []
+        if not drop_remainder:
+            for b, idxs in buckets.items():
+                if idxs:
+                    yield _make_batch(
+                        [examples[j] for j in idxs], b, max_label_len
+                    )
+        epoch += 1
+
+
+def _make_batch(exs, audio_len: int, max_label_len: int) -> Batch:
+    B = len(exs)
+    audio = np.zeros((B, audio_len), np.float32)
+    a_len = np.zeros((B,), np.int32)
+    labels = np.zeros((B, max_label_len), np.int32)
+    l_len = np.zeros((B,), np.int32)
+    for i, (a, ids) in enumerate(exs):
+        n = min(len(a), audio_len)
+        audio[i, :n] = a[:n]
+        a_len[i] = n
+        u = min(len(ids), max_label_len)
+        labels[i, :u] = ids[:u]
+        l_len[i] = u
+    return Batch(audio, a_len, labels, l_len)
+
+
+def text_batch_iterator(
+    sequences: Sequence[Sequence[int]],
+    batch_size: int,
+    max_len: int,
+    seed: int = 0,
+    num_epochs: int | None = None,
+) -> Iterator[TextBatch]:
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = np.arange(len(sequences))
+        rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[s : s + batch_size]
+            ids = np.zeros((batch_size, max_len), np.int32)
+            lens = np.zeros((batch_size,), np.int32)
+            for j, i in enumerate(idxs):
+                seq = list(sequences[i])[:max_len]
+                ids[j, : len(seq)] = seq
+                lens[j] = len(seq)
+            yield TextBatch(ids, lens)
+        epoch += 1
+
+
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch (the reference used tf.data prefetch)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+# ----------------------------------------------------------------- CMVN
+
+
+def compute_cmvn_stats(
+    examples: Sequence[tuple[np.ndarray, list[int]]],
+    frontend_cfg: FrontendConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One host pass accumulating dataset-level feature mean/std
+    (reference stored CMVN stats with the TFRecords, SURVEY.md §2.2).
+    Uses the numpy oracle (spec-exact) on base features pre-CMVN."""
+    from uasr.frontend import oracle
+
+    cfg = frontend_cfg
+    total = None
+    total_sq = None
+    n = 0
+    for audio, _ in examples:
+        feat = (
+            oracle.oracle_mfcc(audio, cfg)
+            if cfg.feature_type == "mfcc"
+            else oracle.oracle_fbank(audio, cfg)
+        )
+        if cfg.add_deltas:
+            d1 = oracle.delta(feat, cfg.delta_window)
+            d2 = oracle.delta(d1, cfg.delta_window)
+            feat = np.concatenate([feat, d1, d2], axis=1)
+        if total is None:
+            total = feat.sum(0)
+            total_sq = (feat**2).sum(0)
+        else:
+            total += feat.sum(0)
+            total_sq += (feat**2).sum(0)
+        n += len(feat)
+    mean = total / n
+    var = np.maximum(total_sq / n - mean**2, 1e-12)
+    return mean.astype(np.float32), np.sqrt(var).astype(np.float32)

@@ -1,0 +1,462 @@
+"""Training engine: jitted steps + loops for CTC, GAN, and EODM.
+
+Reference call stacks rebuilt TPU-first (SURVEY.md §3.1-3.3):
+
+  - the per-step hot path (frontend -> encoder -> loss -> grad -> Adam)
+    is ONE jitted function per paradigm; the acoustic frontend runs
+    inside it on device (the reference precomputed features on host);
+  - data parallelism: the step is jitted over a ('data','model') mesh
+    with the batch sharded on `data` and params replicated/model-
+    sharded; GSPMD inserts the gradient psum (SURVEY.md §2.3);
+  - eval (greedy decode + edit distance -> PER) also runs on device,
+    only two scalars per batch come back to the host (the reference
+    decoded on host every dev pass — its boundary #2);
+  - GAN: D-steps and G-step are separate jitted functions alternated
+    from the host loop, k D-steps per G-step, exactly the reference's
+    alternation; WGAN-GP double-backward happens inside jit;
+  - EODM: n-gram tables live on device as static gather indices.
+
+Checkpoint cadence and restore-latest resume semantics follow the
+reference (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from uasr.checkpoint import CheckpointManager
+from uasr.config import Config
+from uasr.data.dataset import Batch, TextBatch
+from uasr.frontend.features import FrontendState, compute_features, make_frontend_state
+from uasr.frontend.specaugment import spec_augment
+from uasr.metrics import MetricWriter, log_stdout
+from uasr.models import PhoneClassifier, PhoneDiscriminator, build_model
+from uasr.ops.ctc import ctc_loss
+from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
+from uasr.ops.edit_distance import batch_edit_distance
+from uasr.ops.eodm import build_ngram_table
+from uasr.ops.wgan import d_loss_fn, g_loss_fn
+from uasr.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class GANState(NamedTuple):
+    step: jax.Array
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+# ------------------------------------------------------------ optimizer
+
+
+def make_schedule(cfg: Config):
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        return optax.constant_schedule(t.lr)
+    if t.lr_schedule == "warmup_rsqrt":
+
+        def sched(step):
+            step = jnp.maximum(step, 1)
+            return t.lr * jnp.minimum(
+                step / max(t.warmup_steps, 1),
+                jnp.sqrt(max(t.warmup_steps, 1) / step),
+            )
+
+        return sched
+    # warmup + exponential decay (reference: warmup_exponential_decay)
+    def sched(step):
+        warm = jnp.minimum(step / max(t.warmup_steps, 1), 1.0)
+        decay = t.decay_rate ** (
+            jnp.maximum(step - t.warmup_steps, 0) / max(t.decay_steps, 1)
+        )
+        return t.lr * warm * decay
+
+    return sched
+
+
+def make_optimizer(cfg: Config, lr=None):
+    sched = make_schedule(cfg) if lr is None else lr
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(sched),
+    )
+
+
+# ---------------------------------------------------------- CTC trainer
+
+
+class CTCTrainer:
+    """Supervised CTC training/eval (reference `main.py` loop,
+    SURVEY.md §3.1), one jitted step, DP over the mesh."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.parallel.model_parallel
+        )
+        self.model = build_model(cfg.model, cfg.dim_output)
+        self.frontend_state = make_frontend_state(cfg.frontend)
+        self.optimizer = make_optimizer(cfg)
+        self._jit_cache: dict = {}
+
+    def init_state(self, rng: jax.Array, example: Batch) -> TrainState:
+        feats, flen = compute_features(
+            jnp.asarray(example.audio),
+            jnp.asarray(example.audio_lengths),
+            self.frontend_state,
+            self.cfg.frontend,
+        )
+        params = self.model.init(rng, feats, flen)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+        )
+
+    def _loss(self, params, batch: Batch, rng):
+        fcfg = self.cfg.frontend
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, self.frontend_state, fcfg
+        )
+        if fcfg.specaug_time_masks or fcfg.specaug_freq_masks:
+            feats = spec_augment(rng, feats, flen, fcfg)
+        logits, out_len = self.model.apply(params, feats, flen)
+        per_utt = ctc_loss(
+            logits, out_len, batch.labels, batch.label_lengths,
+            blank_id=self.cfg.ctc.blank_id,
+        )
+        loss = jnp.mean(per_utt)
+        return loss, {"ctc_loss": loss}
+
+    def train_step(self, state: TrainState, batch: Batch, rng) -> tuple:
+        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state), aux
+
+    def eval_step(self, params, batch: Batch):
+        """Greedy decode + edit distance fully on device -> (errors,
+        ref tokens). PER = sum(err)/sum(ref)."""
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, self.frontend_state,
+            self.cfg.frontend,
+        )
+        logits, out_len = self.model.apply(params, feats, flen)
+        if self.cfg.ctc.use_beam:
+            hyps, hyp_len, _ = ctc_beam_search_decode(
+                logits, out_len, self.cfg.ctc.beam_width, self.cfg.ctc.blank_id
+            )
+        else:
+            hyps, hyp_len = ctc_greedy_decode(
+                logits, out_len, self.cfg.ctc.blank_id
+            )
+        dist = batch_edit_distance(
+            batch.labels, batch.label_lengths, hyps, hyp_len
+        )
+        return jnp.sum(dist), jnp.sum(batch.label_lengths)
+
+    # ---- jit plumbing
+
+    def jitted_train_step(self):
+        if "train" not in self._jit_cache:
+            mesh = self.mesh
+            bs = lambda nd: batch_sharding(mesh, nd)
+            rep = replicated(mesh)
+            state_sh = None  # inferred: params replicated
+            self._jit_cache["train"] = jax.jit(
+                self.train_step,
+                in_shardings=(
+                    None,
+                    Batch(bs(2), bs(1), bs(2), bs(1)),
+                    rep,
+                ),
+                donate_argnums=(0,),
+            )
+        return self._jit_cache["train"]
+
+    def jitted_eval_step(self):
+        if "eval" not in self._jit_cache:
+            mesh = self.mesh
+            bs = lambda nd: batch_sharding(mesh, nd)
+            self._jit_cache["eval"] = jax.jit(
+                self.eval_step,
+                in_shardings=(None, Batch(bs(2), bs(1), bs(2), bs(1))),
+            )
+        return self._jit_cache["eval"]
+
+    def evaluate(self, params, batches: Iterator[Batch]) -> float:
+        step = self.jitted_eval_step()
+        errs, total = 0, 0
+        for b in batches:
+            e, t = step(params, Batch(*map(jnp.asarray, b)))
+            errs += int(e)
+            total += int(t)
+        return errs / max(total, 1)
+
+
+# ---------------------------------------------------------- GAN trainer
+
+
+class GANTrainer:
+    """Adversarial unsupervised training (reference GAN loop,
+    SURVEY.md §3.2): G = PhoneClassifier on acoustic features, D =
+    conv critic over phone distributions, WGAN-GP, k D-steps per
+    G-step, optional supervised CTC mix-in (semi-supervised)."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.parallel.model_parallel
+        )
+        self.gen = PhoneClassifier(cfg.model, cfg.dim_output)
+        self.disc = PhoneDiscriminator(cfg.model)
+        self.frontend_state = make_frontend_state(cfg.frontend)
+        self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr)
+        self.d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr)
+        self._jit: dict = {}
+
+    def _gen_probs(self, g_params, batch: Batch):
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, self.frontend_state,
+            self.cfg.frontend,
+        )
+        logits, out_len = self.gen.apply(g_params, feats, flen)
+        return jax.nn.softmax(logits, axis=-1), out_len, logits
+
+    def init_state(self, rng, example_audio: Batch, example_text: TextBatch):
+        r1, r2 = jax.random.split(rng)
+        feats, flen = compute_features(
+            jnp.asarray(example_audio.audio),
+            jnp.asarray(example_audio.audio_lengths),
+            self.frontend_state,
+            self.cfg.frontend,
+        )
+        g_params = self.gen.init(r1, feats, flen)
+        real = jax.nn.one_hot(
+            jnp.asarray(example_text.ids), self.cfg.dim_output
+        )
+        d_params = self.disc.init(r2, real, jnp.asarray(example_text.lengths))
+        return GANState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=self.g_opt.init(g_params),
+            d_opt=self.d_opt.init(d_params),
+        )
+
+    def d_step(self, state: GANState, audio: Batch, text: TextBatch, rng):
+        fake, fake_len, _ = self._gen_probs(state.g_params, audio)
+        fake = jax.lax.stop_gradient(fake)
+        real = jax.nn.one_hot(text.ids, self.cfg.dim_output)
+
+        def loss_fn(d_params):
+            return d_loss_fn(
+                self.disc.apply, d_params, real, text.lengths,
+                fake, fake_len, self.cfg.gan.lambda_gp, rng,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params
+        )
+        updates, d_opt = self.d_opt.update(grads, state.d_opt)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state._replace(d_params=d_params, d_opt=d_opt), aux
+
+    def g_step(self, state: GANState, audio: Batch, rng):
+        sup_w = self.cfg.gan.supervised_weight
+
+        def loss_fn(g_params):
+            fake, fake_len, logits = self._gen_probs(g_params, audio)
+            score = self.disc.apply(state.d_params, fake, fake_len)
+            loss = g_loss_fn(score)
+            aux = {"g_loss": loss}
+            if sup_w > 0:  # semi-supervised CTC mix-in
+                sup = jnp.mean(
+                    ctc_loss(
+                        logits, fake_len, audio.labels, audio.label_lengths,
+                        blank_id=self.cfg.ctc.blank_id,
+                    )
+                )
+                aux["sup_ctc"] = sup
+                loss = loss + sup_w * sup
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params
+        )
+        updates, g_opt = self.g_opt.update(grads, state.g_opt)
+        g_params = optax.apply_updates(state.g_params, updates)
+        return (
+            state._replace(
+                step=state.step + 1, g_params=g_params, g_opt=g_opt
+            ),
+            aux,
+        )
+
+    def jitted(self, name):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(getattr(self, name), donate_argnums=(0,))
+        return self._jit[name]
+
+    def evaluate_per(self, g_params, batches: Iterator[Batch]) -> float:
+        """Frame posteriors -> greedy collapse -> PER vs labels."""
+        if "eval" not in self._jit:
+
+            def _eval(params, batch: Batch):
+                probs, out_len, logits = self._gen_probs(params, batch)
+                hyps, hyp_len = ctc_greedy_decode(
+                    logits, out_len, self.cfg.ctc.blank_id
+                )
+                dist = batch_edit_distance(
+                    batch.labels, batch.label_lengths, hyps, hyp_len
+                )
+                return jnp.sum(dist), jnp.sum(batch.label_lengths)
+
+            self._jit["eval"] = jax.jit(_eval)
+        errs, total = 0, 0
+        for b in batches:
+            e, t = self._jit["eval"](g_params, Batch(*map(jnp.asarray, b)))
+            errs += int(e)
+            total += int(t)
+        return errs / max(total, 1)
+
+
+# --------------------------------------------------------- EODM trainer
+
+
+class EODMTrainer:
+    """Output-distribution-matching training (reference EODM loop,
+    SURVEY.md §3.3). Top-K n-gram tables are built once on the host
+    from unpaired text and baked into the jitted step as gathers."""
+
+    def __init__(self, cfg: Config, text_sequences, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.parallel.model_parallel
+        )
+        self.model = PhoneClassifier(cfg.model, cfg.dim_output)
+        self.frontend_state = make_frontend_state(cfg.frontend)
+        self.optimizer = make_optimizer(cfg)
+        self.tables = [
+            (jnp.asarray(t.ids), jnp.asarray(t.probs))
+            for t in (
+                build_ngram_table(text_sequences, n, cfg.eodm.top_k)
+                for n in cfg.eodm.ngram_orders
+            )
+        ]
+        self._jit: dict = {}
+
+    def init_state(self, rng, example: Batch) -> TrainState:
+        feats, flen = compute_features(
+            jnp.asarray(example.audio),
+            jnp.asarray(example.audio_lengths),
+            self.frontend_state,
+            self.cfg.frontend,
+        )
+        params = self.model.init(rng, feats, flen)
+        return TrainState(jnp.zeros((), jnp.int32), params, self.optimizer.init(params))
+
+    def _loss(self, params, batch: Batch):
+        from uasr.ops.eodm import eodm_loss
+
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, self.frontend_state,
+            self.cfg.frontend,
+        )
+        logits, out_len = self.model.apply(params, feats, flen)
+        loss = self.cfg.eodm.weight * eodm_loss(logits, out_len, self.tables)
+        return loss, {"eodm_loss": loss}
+
+    def train_step(self, state: TrainState, batch: Batch):
+        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = self.optimizer.update(grads, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), aux
+
+    def jitted_train_step(self):
+        if "train" not in self._jit:
+            self._jit["train"] = jax.jit(self.train_step, donate_argnums=(0,))
+        return self._jit["train"]
+
+
+# -------------------------------------------------------------- loops
+
+
+def run_ctc_training(
+    cfg: Config,
+    train_batches: Iterator[Batch],
+    dev_batches_fn=None,
+    trainer: CTCTrainer | None = None,
+    state: TrainState | None = None,
+) -> tuple[CTCTrainer, TrainState]:
+    """The reference's epoch loop (SURVEY.md §3.1): train, periodic dev
+    PER, periodic checkpoint, restore-latest resume."""
+    trainer = trainer or CTCTrainer(cfg)
+    writer = MetricWriter(cfg.model_dir)
+    ckpt = CheckpointManager(
+        f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
+    )
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    first = next(iter(train_batches))
+    if state is None:
+        state = trainer.init_state(rng, first)
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, start = restored
+            log_stdout(start, "resume", restored_step=start)
+    step_fn = trainer.jitted_train_step()
+    t0 = time.time()
+    audio_sec_acc = 0.0
+    for batch in train_batches:
+        step = int(state.step)
+        if step >= cfg.train.total_steps:
+            break
+        rng, sub = jax.random.split(rng)
+        dev_batch = Batch(*map(jnp.asarray, batch))
+        state, aux = step_fn(state, dev_batch, sub)
+        audio_sec_acc += float(
+            np.sum(batch.audio_lengths) / cfg.frontend.sample_rate
+        )
+        step = int(state.step)
+        if step % cfg.train.log_every == 0:
+            jax.block_until_ready(state.params)
+            dt = time.time() - t0
+            writer.write(
+                step, "train",
+                loss=float(aux["ctc_loss"]),
+                grad_norm=float(aux["grad_norm"]),
+                audio_sec_per_sec=audio_sec_acc / max(dt, 1e-9),
+            )
+            log_stdout(step, "train", loss=float(aux["ctc_loss"]),
+                       audio_sec_per_sec=audio_sec_acc / max(dt, 1e-9))
+            t0, audio_sec_acc = time.time(), 0.0
+        if dev_batches_fn and step % cfg.train.eval_every == 0:
+            per = trainer.evaluate(state.params, dev_batches_fn())
+            writer.write(step, "dev", per=per)
+            log_stdout(step, "dev", per=per)
+            t0, audio_sec_acc = time.time(), 0.0
+        if step % cfg.train.save_every == 0:
+            ckpt.save(step, state)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+    writer.close()
+    return trainer, state
