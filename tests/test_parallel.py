@@ -1,0 +1,125 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4): the 8-device CPU
+mesh must reproduce single-device math — data-parallel loss/grads equal
+the global-batch computation, and model-axis sharded params give the
+same forward logits."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import Config, FrontendConfig, ModelConfig, TrainConfig
+from uasr.data.dataset import Batch, batch_iterator, make_synthetic_dataset
+from uasr.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+from uasr.train import CTCTrainer
+
+
+def _cfg(vocab_size):
+    return Config(
+        frontend=FrontendConfig(num_mel_bins=40, cmvn="utterance"),
+        model=ModelConfig(encoder="cnn", hidden_size=64, num_conv_layers=1),
+        train=TrainConfig(total_steps=10, lr=1e-3),
+        vocab_size=vocab_size,
+    )
+
+
+def _one_batch(B=8):
+    examples, vocab = make_synthetic_dataset(num_utts=B, num_phones=8, seed=4)
+    b = next(iter(batch_iterator(
+        examples, batch_size=B, max_audio_samples=16000, max_label_len=8,
+        shuffle=False,
+    )))
+    return b, vocab
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_dp_loss_and_grads_match_single_device():
+    b, vocab = _one_batch()
+    cfg = _cfg(len(vocab))
+    mesh = make_mesh(1)  # (data=8, model=1)
+    trainer = CTCTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+
+    # single-device reference: plain value_and_grad on the global batch
+    gb = Batch(*map(jnp.asarray, b))
+    rng = jax.random.PRNGKey(42)
+    (ref_loss, _), ref_grads = jax.value_and_grad(
+        trainer._loss, has_aux=True
+    )(state.params, gb, rng)
+    ref_norm = float(jnp.sqrt(sum(
+        jnp.sum(g**2) for g in jax.tree.leaves(ref_grads)
+    )))
+
+    # data-parallel: batch sharded over the mesh
+    sb = shard_batch(gb, mesh)
+    state2, aux = trainer.jitted_train_step()(state, sb, rng)
+    np.testing.assert_allclose(float(aux["ctc_loss"]), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(aux["grad_norm"]), ref_norm, rtol=1e-4)
+
+
+def test_dp_matches_manual_psum():
+    """Gradient of the mean loss over a sharded batch == mean of per-shard
+    gradients (manual all-reduce)."""
+    b, vocab = _one_batch()
+    cfg = _cfg(len(vocab))
+    mesh = make_mesh(1)
+    trainer = CTCTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+    rng = jax.random.PRNGKey(7)
+
+    grads_fn = jax.grad(
+        lambda p, bb: trainer._loss(p, bb, rng)[0]
+    )
+    # manual: average of the 8 per-example-shard grads
+    B = b.audio.shape[0]
+    manual = None
+    for i in range(B):
+        shard = Batch(*(np.asarray(x[i : i + 1]) for x in b))
+        g = grads_fn(state.params, Batch(*map(jnp.asarray, shard)))
+        manual = g if manual is None else jax.tree.map(jnp.add, manual, g)
+    manual = jax.tree.map(lambda x: x / B, manual)
+
+    sharded = grads_fn(state.params, shard_batch(Batch(*map(jnp.asarray, b)), mesh))
+    for a, m in zip(jax.tree.leaves(sharded), jax.tree.leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(m), atol=2e-5)
+
+
+def test_model_axis_sharding_forward_equivalence():
+    """Params sharded on the model axis must produce the same logits as
+    replicated params (GSPMD inserts the collectives)."""
+    b, vocab = _one_batch()
+    cfg = _cfg(len(vocab))
+    mesh = make_mesh(2)  # (data=4, model=2)
+    trainer = CTCTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+
+    shardings = param_shardings(state.params, mesh)
+    # at least one tensor actually gets model-sharded
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any("model" in str(s) for s in specs), specs
+
+    sharded_params = jax.device_put(state.params, shardings)
+    gb = Batch(*map(jnp.asarray, b))
+    rng = jax.random.PRNGKey(42)
+    loss_rep, _ = trainer._loss(state.params, gb, rng)
+    loss_tp, _ = jax.jit(trainer._loss)(
+        sharded_params, shard_batch(gb, mesh), rng
+    )
+    np.testing.assert_allclose(float(loss_tp), float(loss_rep), rtol=1e-5)
+
+
+def test_mesh_shapes():
+    m = make_mesh(4)
+    assert m.shape["data"] == 2 and m.shape["model"] == 4
+    r = replicated(m)
+    bs = batch_sharding(m, 2)
+    assert "data" in str(bs.spec)

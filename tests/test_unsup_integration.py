@@ -1,0 +1,114 @@
+"""Unsupervised training integration: GAN (WGAN-GP alternation) and EODM
+steps run jitted, losses finite, D-critic separates real/fake over
+training, EODM loss decreases (SURVEY.md §3.2/3.3)."""
+
+import itertools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import Config, FrontendConfig, GANConfig, ModelConfig, TrainConfig
+from uasr.data.dataset import (
+    Batch,
+    TextBatch,
+    batch_iterator,
+    make_synthetic_dataset,
+    text_batch_iterator,
+)
+from uasr.train import EODMTrainer, GANTrainer
+
+
+def _setup():
+    examples, vocab = make_synthetic_dataset(
+        num_utts=48, num_phones=6, min_len=3, max_len=6, seed=1
+    )
+    cfg = Config(
+        name="unsup",
+        frontend=FrontendConfig(num_mel_bins=40, cmvn="utterance",
+                                downsample=3),
+        model=ModelConfig(
+            classifier_hidden=64, classifier_layers=2, classifier_context=2,
+            disc_channels=32, disc_layers=2,
+        ),
+        gan=GANConfig(lambda_gp=10.0, disc_steps=2, g_lr=2e-4, d_lr=5e-4),
+        train=TrainConfig(total_steps=30, lr=1e-3),
+        vocab_size=len(vocab),
+    )
+    text = [ids for _, ids in examples]  # unpaired text = transcripts
+    return examples, text, cfg
+
+
+def _audio_batches(examples, n, batch_size=8, seed=0):
+    return itertools.islice(
+        batch_iterator(
+            examples, batch_size=batch_size, max_audio_samples=16000,
+            max_label_len=8, seed=seed,
+        ),
+        n,
+    )
+
+
+def test_gan_alternation_runs_and_critic_learns():
+    examples, text, cfg = _setup()
+    trainer = GANTrainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    audio_it = _audio_batches(examples, 200)
+    text_it = text_batch_iterator(text, batch_size=8, max_len=8)
+    first_a = next(audio_it)
+    first_t = next(text_it)
+    state = trainer.init_state(rng, first_a, first_t)
+    d_step = trainer.jitted("d_step")
+    g_step = trainer.jitted("g_step")
+
+    w_hist = []
+    for i in range(25):
+        for _ in range(cfg.gan.disc_steps):
+            a = Batch(*map(jnp.asarray, next(audio_it)))
+            t = TextBatch(*map(jnp.asarray, next(text_it)))
+            rng, sub = jax.random.split(rng)
+            state, d_aux = d_step(state, a, t, sub)
+        a = Batch(*map(jnp.asarray, next(audio_it)))
+        rng, sub = jax.random.split(rng)
+        state, g_aux = g_step(state, a, sub)
+        w_hist.append(float(d_aux["wasserstein"]))
+        assert np.isfinite(float(d_aux["d_loss"]))
+        assert np.isfinite(float(g_aux["g_loss"]))
+    # critic should find a positive Wasserstein gap on untrained G
+    assert np.mean(w_hist[-5:]) > np.mean(w_hist[:3]) - 0.5
+    # eval path runs
+    per = trainer.evaluate_per(state.g_params, _audio_batches(examples, 2))
+    assert 0.0 <= per <= 2.0
+
+
+def test_semisup_gan_mixin():
+    examples, text, cfg = _setup()
+    cfg = cfg.replace(gan=GANConfig(supervised_weight=0.3, disc_steps=1))
+    trainer = GANTrainer(cfg)
+    rng = jax.random.PRNGKey(1)
+    audio_it = _audio_batches(examples, 50)
+    text_it = text_batch_iterator(text, batch_size=8, max_len=8)
+    state = trainer.init_state(rng, next(audio_it), next(text_it))
+    g_step = trainer.jitted("g_step")
+    d_step = trainer.jitted("d_step")
+    a = Batch(*map(jnp.asarray, next(audio_it)))
+    t = TextBatch(*map(jnp.asarray, next(text_it)))
+    state, _ = d_step(state, a, t, jax.random.PRNGKey(2))
+    state, aux = g_step(state, a, jax.random.PRNGKey(3))
+    assert "sup_ctc" in aux and np.isfinite(float(aux["sup_ctc"]))
+
+
+def test_eodm_loss_decreases():
+    examples, text, cfg = _setup()
+    trainer = EODMTrainer(cfg, text)
+    state = trainer.init_state(jax.random.PRNGKey(0), next(_audio_batches(examples, 1)))
+    step = trainer.jitted_train_step()
+    losses = []
+    for b in _audio_batches(examples, 60, seed=3):
+        state, aux = step(state, Batch(*map(jnp.asarray, b)))
+        losses.append(float(aux["eodm_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:5]), (
+        np.mean(losses[:5]), np.mean(losses[-10:]),
+    )
