@@ -1,0 +1,199 @@
+"""CLI entry point: `python -m uasr.cli --config recipe.yaml --mode train|infer`.
+
+Preserves the reference's flag surface (SURVEY.md L0: one entry script
+per paradigm, `--config x.yaml [--mode train/infer]`); the paradigm
+(ctc / gan / eodm / gan+eodm) comes from the recipe's `train.mode`, so
+the reference's separate main scripts collapse into one binary plus
+recipes (BASELINE.json: "train/infer entry points preserved").
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+
+import jax
+
+if os.environ.get("UASR_FORCE_CPU"):  # tests / machines without a TPU
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _load_examples(cfg, split: str):
+    from uasr.data.dataset import ASRDataset, make_synthetic_dataset
+    from uasr.vocab import load_vocab
+
+    if cfg.data.synthetic:
+        examples, vocab = make_synthetic_dataset(
+            num_utts=cfg.data.synthetic_num_utts,
+            num_phones=(cfg.vocab_size - 2) if cfg.vocab_size else 16,
+        )
+        return examples, vocab
+    vocab = load_vocab(cfg.data.vocab_path)
+    path = getattr(cfg.data, f"{split}_list")
+    if path is None:
+        raise SystemExit(f"recipe has no data.{split}_list")
+    ds = ASRDataset.from_file(path, vocab, cfg.frontend.sample_rate)
+    examples = [ds.example(i) for i in range(len(ds))]
+    return examples, vocab
+
+
+def _batches(cfg, examples, num_epochs=None, seed=0):
+    from uasr.data.dataset import batch_iterator, prefetch
+
+    max_samples = int(cfg.data.max_audio_seconds * cfg.frontend.sample_rate)
+    boundaries = [
+        int(s * cfg.frontend.sample_rate) for s in cfg.data.bucket_boundaries
+    ]
+    return prefetch(
+        batch_iterator(
+            examples,
+            batch_size=cfg.data.batch_size,
+            max_audio_samples=max_samples,
+            max_label_len=cfg.data.max_label_len,
+            seed=seed,
+            num_epochs=num_epochs,
+            bucket_boundaries=boundaries,
+        )
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("uasr", description=__doc__)
+    p.add_argument("-c", "--config", required=True, help="YAML recipe")
+    p.add_argument(
+        "--mode", default="train", choices=["train", "infer"],
+        help="train or restore-latest + decode",
+    )
+    p.add_argument("--set", action="append", default=[],
+                   help="override, e.g. --set train.total_steps=100")
+    args = p.parse_args(argv)
+
+    from uasr.config import load_config
+
+    cfg = load_config(args.config)
+    for ov in args.set:
+        key, val = ov.split("=", 1)
+        parts = key.split(".")
+        obj = cfg
+        for part in parts[:-1]:
+            obj = getattr(obj, part)
+        cur = getattr(obj, parts[-1])
+        cast = type(cur) if cur is not None else str
+        if cast is bool:
+            val = val.lower() in ("1", "true", "yes")
+        elif cast in (int, float):
+            val = cast(val)
+        object.__setattr__(obj, parts[-1], val)
+
+    examples, vocab = _load_examples(
+        cfg, "train" if args.mode == "train" else "test"
+    )
+    if cfg.vocab_size is None:
+        cfg = cfg.replace(vocab_size=len(vocab))
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    if args.mode == "infer":
+        return _infer(cfg, examples, vocab)
+    mode = cfg.train.mode
+    if mode == "ctc":
+        return _train_ctc(cfg, examples, vocab)
+    if mode in ("gan", "gan+eodm"):
+        return _train_gan(cfg, examples, vocab, with_eodm="+eodm" in mode)
+    if mode == "eodm":
+        return _train_eodm(cfg, examples, vocab)
+    raise SystemExit(f"unknown train.mode {mode!r}")
+
+
+def _dev_batches_fn(cfg, vocab):
+    if cfg.data.dev_list is None and not cfg.data.synthetic:
+        return None
+    if cfg.data.synthetic:
+        dev_examples, _ = _load_examples(cfg, "dev")
+    else:
+        dev_examples, _ = _load_examples(cfg, "dev")
+
+    def fn():
+        return itertools.islice(_batches(cfg, dev_examples, num_epochs=1), 50)
+
+    return fn
+
+
+def _train_ctc(cfg, examples, vocab):
+    from uasr.train import run_ctc_training
+
+    run_ctc_training(
+        cfg,
+        _batches(cfg, examples, seed=cfg.train.seed),
+        dev_batches_fn=_dev_batches_fn(cfg, vocab),
+    )
+    return 0
+
+
+def _train_gan(cfg, examples, vocab, with_eodm=False):
+    from uasr.train import run_gan_training
+
+    text = _load_text(cfg, examples, vocab)
+    run_gan_training(
+        cfg,
+        _batches(cfg, examples, seed=cfg.train.seed),
+        text,
+        with_eodm=with_eodm,
+    )
+    return 0
+
+
+def _train_eodm(cfg, examples, vocab):
+    from uasr.train import run_eodm_training
+
+    text = _load_text(cfg, examples, vocab)
+    run_eodm_training(
+        cfg, _batches(cfg, examples, seed=cfg.train.seed), text
+    )
+    return 0
+
+
+def _load_text(cfg, examples, vocab):
+    from uasr.data.dataset import TextDataset
+
+    if cfg.data.text_path:
+        return TextDataset.from_file(cfg.data.text_path, vocab).sequences
+    # fall back to transcripts as "unpaired" text (synthetic / smoke runs)
+    return [ids for _, ids in examples if ids]
+
+
+def _infer(cfg, examples, vocab):
+    import jax.numpy as jnp
+
+    from uasr.checkpoint import CheckpointManager
+    from uasr.infer import run_inference
+    from uasr.train import CTCTrainer
+
+    trainer = CTCTrainer(cfg)
+    first = next(_batches(cfg, examples, num_epochs=1))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    mgr = CheckpointManager(
+        f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
+    )
+    restored = mgr.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {cfg.model_dir}/ckpt")
+    state, step = restored
+    res = run_inference(
+        cfg, trainer, state,
+        _batches(cfg, examples, num_epochs=1),
+        vocab=vocab,
+        hyp_path=f"{cfg.model_dir}/hyp.txt",
+    )
+    print(
+        f"step {step}: PER={res['per']:.4f} RTF={res['rtf']:.4f} "
+        f"({res['audio_seconds']:.1f}s audio)"
+    )
+    mgr.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,19 +27,21 @@ def _build(cls, data: dict[str, Any]):
     unknown keys so recipe typos fail loudly."""
     if data is None:
         data = {}
+    import typing
+
+    hints = typing.get_type_hints(cls)  # resolves string annotations
     fields = {f.name: f for f in dataclasses.fields(cls)}
     unknown = set(data) - set(fields)
     if unknown:
         raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
     kwargs = {}
-    for name, f in fields.items():
+    for name in fields:
         if name not in data:
             continue
         val = data[name]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            kwargs[name] = _build(f.type, val)
+        ftype = hints.get(name)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[name] = _build(ftype, val)
         else:
             kwargs[name] = val
     return cls(**kwargs)

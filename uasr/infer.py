@@ -1,0 +1,87 @@
+"""Inference / decode entry (reference `--mode infer`, SURVEY.md §3.4).
+
+Restores the latest checkpoint, decodes the test set **on device**
+(greedy or beam — the reference shipped logits to a host C++ beam
+decoder, its RTF bottleneck), folds TIMIT phones if configured, and
+reports PER/CER plus decode RTF (decode wall time / audio seconds).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uasr.config import Config
+from uasr.data.dataset import Batch
+from uasr.train import CTCTrainer, TrainState
+from uasr.vocab import Vocab
+
+
+def run_inference(
+    cfg: Config,
+    trainer: CTCTrainer,
+    state: TrainState,
+    batches: Iterator[Batch],
+    vocab: Vocab | None = None,
+    fold_timit: bool = False,
+    hyp_path: str | None = None,
+) -> dict:
+    """Decode + score. Returns {"per": float, "rtf": float, ...}."""
+    fe = trainer.frontend_state
+    fcfg = cfg.frontend
+
+    @jax.jit
+    def decode_batch(params, batch: Batch):
+        from uasr.frontend.features import compute_features
+        from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
+        from uasr.ops.edit_distance import batch_edit_distance
+
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, fe, fcfg
+        )
+        logits, out_len = trainer.model.apply(params, feats, flen)
+        if cfg.ctc.use_beam:
+            hyps, hyp_len, _ = ctc_beam_search_decode(
+                logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id
+            )
+        else:
+            hyps, hyp_len = ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+        dist = batch_edit_distance(
+            batch.labels, batch.label_lengths, hyps, hyp_len
+        )
+        return hyps, hyp_len, jnp.sum(dist), jnp.sum(batch.label_lengths)
+
+    errs = total = 0
+    audio_sec = 0.0
+    wall = 0.0
+    hyp_f = open(hyp_path, "w") if hyp_path else None
+    n_utts = 0
+    for b in batches:
+        db = Batch(*map(jnp.asarray, b))
+        t0 = time.time()
+        hyps, hyp_len, e, t = decode_batch(state.params, db)
+        jax.block_until_ready(hyps)
+        wall += time.time() - t0
+        audio_sec += float(np.sum(b.audio_lengths)) / cfg.frontend.sample_rate
+        errs += int(e)
+        total += int(t)
+        if hyp_f is not None and vocab is not None:
+            for i in range(hyps.shape[0]):
+                toks = vocab.decode_for_scoring(
+                    np.asarray(hyps[i, : int(hyp_len[i])]), fold_timit=fold_timit
+                )
+                hyp_f.write(f"utt{n_utts}\t{' '.join(toks)}\n")
+                n_utts += 1
+    if hyp_f:
+        hyp_f.close()
+    return {
+        "per": errs / max(total, 1),
+        "rtf": wall / max(audio_sec, 1e-9),
+        "audio_seconds": audio_sec,
+        "errors": errs,
+        "ref_tokens": total,
+    }

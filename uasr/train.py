@@ -460,3 +460,143 @@ def run_ctc_training(
     ckpt.close()
     writer.close()
     return trainer, state
+
+
+def run_gan_training(
+    cfg: Config,
+    audio_batches: Iterator[Batch],
+    text_sequences,
+    with_eodm: bool = False,
+    dev_batches_fn=None,
+) -> tuple[GANTrainer, GANState]:
+    """Reference GAN alternation loop (SURVEY.md §3.2): k D-steps per
+    G-step, periodic dev PER, checkpoints. `with_eodm` adds the EODM
+    n-gram loss to G's objective (joint mode the reference supported)."""
+    from uasr.data.dataset import text_batch_iterator
+    from uasr.ops.eodm import eodm_loss
+
+    trainer = GANTrainer(cfg)
+    writer = MetricWriter(cfg.model_dir)
+    ckpt = CheckpointManager(
+        f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
+    )
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    text_it = text_batch_iterator(
+        text_sequences, cfg.data.batch_size, cfg.data.max_label_len,
+        seed=cfg.train.seed,
+    )
+    audio_it = iter(audio_batches)
+    first_a = next(audio_it)
+    first_t = next(text_it)
+    state = trainer.init_state(rng, first_a, first_t)
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state, start = restored
+        log_stdout(start, "resume", restored_step=start)
+
+    tables = None
+    if with_eodm:
+        tables = [
+            (jnp.asarray(t.ids), jnp.asarray(t.probs))
+            for t in (
+                build_ngram_table(text_sequences, n, cfg.eodm.top_k)
+                for n in cfg.eodm.ngram_orders
+            )
+        ]
+
+        def g_step_eodm(state: GANState, audio: Batch, rng):
+            def loss_fn(g_params):
+                probs, out_len, logits = trainer._gen_probs(g_params, audio)
+                score = trainer.disc.apply(state.d_params, probs, out_len)
+                g_l = g_loss_fn(score)
+                e_l = cfg.eodm.weight * eodm_loss(logits, out_len, tables)
+                return g_l + e_l, {"g_loss": g_l, "eodm_loss": e_l}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.g_params
+            )
+            updates, g_opt = trainer.g_opt.update(grads, state.g_opt)
+            g_params = optax.apply_updates(state.g_params, updates)
+            return (
+                state._replace(
+                    step=state.step + 1, g_params=g_params, g_opt=g_opt
+                ),
+                aux,
+            )
+
+        g_step = jax.jit(g_step_eodm, donate_argnums=(0,))
+    else:
+        g_step = trainer.jitted("g_step")
+    d_step = trainer.jitted("d_step")
+
+    t0 = time.time()
+    while int(state.step) < cfg.train.total_steps:
+        d_aux = {}
+        for _ in range(cfg.gan.disc_steps):
+            a = Batch(*map(jnp.asarray, next(audio_it)))
+            t = TextBatch(*map(jnp.asarray, next(text_it)))
+            rng, sub = jax.random.split(rng)
+            state, d_aux = d_step(state, a, t, sub)
+        a = Batch(*map(jnp.asarray, next(audio_it)))
+        rng, sub = jax.random.split(rng)
+        state, g_aux = g_step(state, a, sub)
+        step = int(state.step)
+        if step % cfg.train.log_every == 0:
+            scalars = {k: float(v) for k, v in {**d_aux, **g_aux}.items()}
+            scalars["steps_per_sec"] = cfg.train.log_every / max(
+                time.time() - t0, 1e-9
+            )
+            writer.write(step, "train", **scalars)
+            log_stdout(step, "train", **scalars)
+            t0 = time.time()
+        if dev_batches_fn and step % cfg.train.eval_every == 0:
+            per = trainer.evaluate_per(state.g_params, dev_batches_fn())
+            writer.write(step, "dev", per=per)
+            log_stdout(step, "dev", per=per)
+            t0 = time.time()
+        if step % cfg.train.save_every == 0:
+            ckpt.save(step, state)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+    writer.close()
+    return trainer, state
+
+
+def run_eodm_training(
+    cfg: Config,
+    audio_batches: Iterator[Batch],
+    text_sequences,
+    dev_batches_fn=None,
+) -> tuple[EODMTrainer, TrainState]:
+    """Reference EODM loop (SURVEY.md §3.3)."""
+    trainer = EODMTrainer(cfg, text_sequences)
+    writer = MetricWriter(cfg.model_dir)
+    ckpt = CheckpointManager(
+        f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
+    )
+    audio_it = iter(audio_batches)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), next(audio_it))
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state, start = restored
+        log_stdout(start, "resume", restored_step=start)
+    step_fn = trainer.jitted_train_step()
+    t0 = time.time()
+    for batch in audio_it:
+        if int(state.step) >= cfg.train.total_steps:
+            break
+        state, aux = step_fn(state, Batch(*map(jnp.asarray, batch)))
+        step = int(state.step)
+        if step % cfg.train.log_every == 0:
+            writer.write(
+                step, "train", eodm_loss=float(aux["eodm_loss"]),
+                steps_per_sec=cfg.train.log_every / max(time.time() - t0, 1e-9),
+            )
+            log_stdout(step, "train", eodm_loss=float(aux["eodm_loss"]))
+            t0 = time.time()
+        if step % cfg.train.save_every == 0:
+            ckpt.save(step, state)
+    ckpt.save(int(state.step), state)
+    ckpt.close()
+    writer.close()
+    return trainer, state
