@@ -224,14 +224,45 @@ def compute_features(
     Jit-compatible, static output shape; frames past an utterance's
     length are zeroed.
     """
-    x = preemphasize(audio, cfg.preemph)
-    frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
-    pspec = power_frames(frames, state, cfg.n_fft)
-    feat = jnp.log(
-        jnp.maximum(jnp.matmul(pspec, state.mel_fb, precision=_HI), _LOG_FLOOR)
+    if cfg.cmvn == "streaming":
+        # causal chunked frontend with running CMVN (AISHELL streaming
+        # config): frame t ends at sample (t+1)*frame_shift and is
+        # normalized by statistics of frames <= t only
+        from uasr.frontend.streaming import streaming_features
+
+        feat = streaming_features(audio, state, cfg)
+        lengths = jnp.minimum(
+            (audio_lengths + cfg.frame_shift - 1) // cfg.frame_shift,
+            feat.shape[1],
+        )
+        if cfg.add_deltas:
+            feat = add_deltas(feat, lengths, cfg.delta_window)
+        feat, lengths = splice_and_downsample(feat, lengths, cfg)
+        mask = (jnp.arange(feat.shape[1])[None, :] < lengths[:, None])[..., None]
+        return feat * mask, lengths
+    # fused Pallas kernel on TPU for the log-mel hot path; the XLA path
+    # is the reference implementation and the fallback (CPU tests, and
+    # MFCC-with-energy which needs the raw power spectrum sum)
+    use_pallas = (
+        cfg.use_pallas
+        and jax.default_backend() not in ("cpu",)
+        and not (cfg.feature_type == "mfcc" and cfg.use_energy)
     )
-    if cfg.feature_type == "mfcc":
-        feat = _mfcc_from_logmel(feat, pspec.sum(-1), state, cfg)
+    if use_pallas:
+        from uasr.frontend.pallas_frontend import pallas_log_mel_frontend
+
+        feat = pallas_log_mel_frontend(audio, state, cfg)
+        if cfg.feature_type == "mfcc":
+            feat = _mfcc_from_logmel(feat, None, state, cfg)
+    else:
+        x = preemphasize(audio, cfg.preemph)
+        frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
+        pspec = power_frames(frames, state, cfg.n_fft)
+        feat = jnp.log(
+            jnp.maximum(jnp.matmul(pspec, state.mel_fb, precision=_HI), _LOG_FLOOR)
+        )
+        if cfg.feature_type == "mfcc":
+            feat = _mfcc_from_logmel(feat, pspec.sum(-1), state, cfg)
     lengths = num_frames(audio_lengths, cfg.frame_length, cfg.frame_shift)
     lengths = jnp.minimum(lengths, feat.shape[1])
     if cfg.add_deltas:

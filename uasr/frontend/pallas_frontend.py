@@ -1,0 +1,194 @@
+"""Fused Pallas TPU kernel for the log-mel frontend hot path.
+
+One kernel fuses: framing -> windowing -> DFT (two MXU GEMMs against
+cos/sin bases, the MelT GEMM-native NDFT pattern, PAPERS.md) -> power
+spectrum -> mel filterbank GEMM -> log floor. The XLA reference path
+materializes the frame matrix (2.5x the audio) and the power spectrum
+(1.6x) in HBM between fusions; here both stay in VMEM.
+
+Framing on a vector machine, without per-frame slices:
+  frame starts are multiples of frame_shift (160), which are not lane-
+  aligned (128). But GROUP = lcm(shift, 128)/shift (= 4) consecutive
+  frames span exactly GROUP*shift (= 640 = 5*128) samples, so:
+    1. host side: cut audio into chunk rows of [ROWS, 640]
+       (one gather; +1.2% HBM for the overlap tails);
+    2. in kernel: rows_cat = concat(rows[:-1], rows[1:]) -> [ROWS-1, 1280]
+       so every frame lies inside one row;
+    3. the whole frame matrix is GROUP static lane-slices
+       rows_cat[:, r*shift : r*shift + frame_len], concatenated ->
+       [GROUP * (ROWS-1), frame_len] in residue-grouped order.
+  Group order is undone by a tiny transpose outside the kernel. This
+  replaced a 128-way unrolled per-frame copy that Mosaic took minutes
+  to compile.
+
+Numerics match `uasr.frontend.features.log_mel_frontend` (and therefore
+the numpy oracle to 1e-4): same constant bank, f32 GEMMs with HIGHEST
+precision. Validated against the XLA path on real TPU hardware and in
+interpreter mode on CPU (tests/test_pallas_frontend.py).
+
+Pre-emphasis stays outside (one fused VPU op in XLA); everything after
+log-mel (MFCC/deltas/CMVN/splice) is cheap and stays in the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uasr.config import FrontendConfig
+from uasr.frontend.features import FrontendState, preemphasize
+
+_LOG_FLOOR = float(np.finfo(np.float64).eps)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _log_mel_kernel(
+    chunk_ref,  # VMEM block [1, ROWS, ROW_LEN]
+    window_ref,  # VMEM [1, FL]
+    cos_ref,  # VMEM [FL, NB]
+    sin_ref,  # VMEM [FL, NB]
+    mel_ref,  # VMEM [NB, M]
+    out_ref,  # VMEM block [1, GROUP * (ROWS-1), M], residue-grouped rows
+    frames,  # VMEM scratch [GROUP * (ROWS-1), FL]
+    *,
+    frame_len: int,
+    frame_shift: int,
+    group: int,
+    n_fft: int,
+):
+    rows = chunk_ref[0]  # [ROWS, ROW_LEN]
+    row_len = rows.shape[1]
+    # successor rows via roll (Mosaic cannot mix sublane offsets), so a
+    # stripe spanning a row boundary reads its tail from rows_next
+    rows_next = pltpu.roll(rows, shift=rows.shape[0] - 1, axis=0)
+    n = rows.shape[0] - 1
+    # write each residue-r stripe straight into the frames scratch
+    # (stores relayout the unaligned lane offsets; no in-kernel concat)
+    for r in range(group):
+        lo = r * frame_shift
+        hi = lo + frame_len
+        if hi <= row_len:
+            frames[r * n : (r + 1) * n, :] = rows[:-1, lo:hi]
+        else:
+            head = row_len - lo
+            frames[r * n : (r + 1) * n, :head] = rows[:-1, lo:row_len]
+            frames[r * n : (r + 1) * n, head:] = rows_next[
+                :-1, : frame_len - head
+            ]
+    w = frames[:] * window_ref[0, :]
+    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=_HI)
+    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=_HI)
+    power = (re * re + im * im) * (1.0 / n_fft)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=_HI)
+    out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_len", "frame_shift", "n_fft", "block_frames",
+                     "interpret"),
+)
+def _pallas_log_mel(
+    audio: jax.Array,
+    state: FrontendState,
+    frame_len: int,
+    frame_shift: int,
+    n_fft: int,
+    block_frames: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, L] pre-emphasized audio -> [B, T, M] log-mel."""
+    B, L = audio.shape
+    FL, FS = frame_len, frame_shift
+    T = max(1 + (L - FL) // FS, 1)
+    M = state.mel_fb.shape[1]
+    NB = n_fft // 2 + 1
+
+    group = 128 // math.gcd(FS, 128)  # frames per aligned stripe period
+    row_len = group * FS
+    assert row_len >= FL - FS, "frame overlap must fit within one row"
+    assert block_frames % group == 0
+    rows_per_block = block_frames // group  # frames rows -> ROWS-1
+    n_blocks = pl.cdiv(T, block_frames)
+
+    # chunk rows: ROWS = rows_per_block + 1 (the +1 carries the overlap)
+    ROWS = rows_per_block + 1
+    need = (n_blocks - 1) * block_frames * FS + ROWS * row_len
+    audio = jnp.pad(audio, ((0, 0), (0, max(need - L, 0))))
+
+    starts = (np.arange(n_blocks) * block_frames * FS)[:, None, None]
+    idx = starts + (np.arange(ROWS) * row_len)[None, :, None] + np.arange(
+        row_len
+    )[None, None, :]
+    chunks = audio[:, idx].reshape(B * n_blocks, ROWS, row_len)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _log_mel_kernel,
+            frame_len=FL,
+            frame_shift=FS,
+            group=group,
+            n_fft=n_fft,
+        ),
+        grid=(B * n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, row_len), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FL), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FL, NB), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FL, NB), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_frames, M), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B * n_blocks, block_frames, M), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_frames, FL), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_blocks * block_frames * FL * (2 * NB)
+            + 2 * B * n_blocks * block_frames * NB * M,
+            bytes_accessed=chunks.size * 4 + B * n_blocks * block_frames * M * 4,
+            transcendentals=B * n_blocks * block_frames * M,
+        ),
+        interpret=interpret,
+    )(
+        chunks,
+        state.window.reshape(1, FL),
+        state.cos_basis,
+        state.sin_basis,
+        state.mel_fb,
+    )
+    # undo the residue grouping: kernel row g = r * rows_per_block + k
+    # corresponds to frame index k * group + r
+    out = out.reshape(B, n_blocks, group, rows_per_block, M)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(B, n_blocks * block_frames, M)
+    return out[:, :T, :]
+
+
+def pallas_log_mel_frontend(
+    audio: jax.Array,
+    state: FrontendState,
+    cfg: FrontendConfig,
+    block_frames: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fused replacement for features.log_mel_frontend."""
+    x = preemphasize(audio, cfg.preemph)
+    return _pallas_log_mel(
+        x, state, cfg.frame_length, cfg.frame_shift, cfg.n_fft,
+        block_frames=block_frames, interpret=interpret,
+    )

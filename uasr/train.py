@@ -43,7 +43,7 @@ from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
 from uasr.ops.edit_distance import batch_edit_distance
 from uasr.ops.eodm import build_ngram_table
 from uasr.ops.wgan import d_loss_fn, g_loss_fn
-from uasr.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
+from uasr.parallel.mesh import make_mesh, shard_batch
 
 
 class TrainState(NamedTuple):
@@ -175,30 +175,19 @@ class CTCTrainer:
     # ---- jit plumbing
 
     def jitted_train_step(self):
+        # sharding follows the inputs: callers place batches with
+        # parallel.shard_batch (data axis) and params via param_shardings;
+        # GSPMD then inserts the grad psum. No in_shardings pin, so the
+        # same step works single-device and on any mesh shape.
         if "train" not in self._jit_cache:
-            mesh = self.mesh
-            bs = lambda nd: batch_sharding(mesh, nd)
-            rep = replicated(mesh)
-            state_sh = None  # inferred: params replicated
             self._jit_cache["train"] = jax.jit(
-                self.train_step,
-                in_shardings=(
-                    None,
-                    Batch(bs(2), bs(1), bs(2), bs(1)),
-                    rep,
-                ),
-                donate_argnums=(0,),
+                self.train_step, donate_argnums=(0,)
             )
         return self._jit_cache["train"]
 
     def jitted_eval_step(self):
         if "eval" not in self._jit_cache:
-            mesh = self.mesh
-            bs = lambda nd: batch_sharding(mesh, nd)
-            self._jit_cache["eval"] = jax.jit(
-                self.eval_step,
-                in_shardings=(None, Batch(bs(2), bs(1), bs(2), bs(1))),
-            )
+            self._jit_cache["eval"] = jax.jit(self.eval_step)
         return self._jit_cache["eval"]
 
     def evaluate(self, params, batches: Iterator[Batch]) -> float:
@@ -431,7 +420,7 @@ def run_ctc_training(
         if step >= cfg.train.total_steps:
             break
         rng, sub = jax.random.split(rng)
-        dev_batch = Batch(*map(jnp.asarray, batch))
+        dev_batch = shard_batch(Batch(*batch), trainer.mesh)
         state, aux = step_fn(state, dev_batch, sub)
         audio_sec_acc += float(
             np.sum(batch.audio_lengths) / cfg.frontend.sample_rate
