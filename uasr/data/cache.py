@@ -1,0 +1,95 @@
+"""Optional precomputed-feature cache.
+
+The reference converted all features to TFRecords before training
+(`TFData.save/read`, SURVEY.md §2.2). In the rebuild features are
+computed on device per batch, so no cache is *required*; this module
+keeps the capability for the two cases where a cache still earns its
+place (SURVEY.md L2a "retained only as an optional cache"):
+
+  - externally-produced features (e.g. SSL/wav2vec features for the
+    wav2vec-U stretch config, which are not derivable from the fused
+    frontend), and
+  - very slow storage where decoding wavs every epoch dominates.
+
+Format: sharded .npz files, each holding `feat_<i>` float32 [T_i, D]
+and `ids_<i>` int32 label arrays, plus an index json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+def write_cache(
+    out_dir: str,
+    examples: Iterator[tuple[str, np.ndarray, Sequence[int]]],
+    shard_size: int = 512,
+) -> None:
+    """examples: iterator of (utt_id, feats [T, D], label_ids)."""
+    os.makedirs(out_dir, exist_ok=True)
+    index = []
+    shard: dict[str, np.ndarray] = {}
+    shard_utts: list[str] = []
+    shard_idx = 0
+
+    def flush():
+        nonlocal shard, shard_utts, shard_idx
+        if not shard_utts:
+            return
+        path = os.path.join(out_dir, f"shard_{shard_idx:05d}.npz")
+        np.savez_compressed(path, **shard)
+        index.append({"path": os.path.basename(path), "utts": shard_utts})
+        shard, shard_utts = {}, []
+        shard_idx += 1
+
+    for utt_id, feat, ids in examples:
+        i = len(shard_utts)
+        shard[f"feat_{i}"] = np.asarray(feat, np.float32)
+        shard[f"ids_{i}"] = np.asarray(list(ids), np.int32)
+        shard_utts.append(utt_id)
+        if len(shard_utts) >= shard_size:
+            flush()
+    flush()
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        json.dump(index, f)
+
+
+class FeatureCache:
+    """Reader over a cache directory; iterates (utt_id, feat, ids)."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        with open(os.path.join(directory, "index.json")) as f:
+            self.index = json.load(f)
+        self.utts = [
+            (s, i) for s, rec in enumerate(self.index)
+            for i in range(len(rec["utts"]))
+        ]
+        self._shard_cache: dict[int, np.lib.npyio.NpzFile] = {}
+
+    def __len__(self):
+        return len(self.utts)
+
+    def _shard(self, s: int):
+        if s not in self._shard_cache:
+            self._shard_cache[s] = np.load(
+                os.path.join(self.directory, self.index[s]["path"])
+            )
+        return self._shard_cache[s]
+
+    def example(self, i: int) -> tuple[str, np.ndarray, list[int]]:
+        s, j = self.utts[i]
+        z = self._shard(s)
+        return (
+            self.index[s]["utts"][j],
+            z[f"feat_{j}"],
+            z[f"ids_{j}"].tolist(),
+        )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.example(i)

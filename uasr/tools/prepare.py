@@ -1,0 +1,167 @@
+"""Data preparation CLI (reference: prep scripts + `get_dataset_ngram`,
+SURVEY.md §3.5):
+
+  python -m uasr.tools.prepare vocab   --text phones.txt --out vocab.txt
+  python -m uasr.tools.prepare lists   --wav-scp wav.scp --text text --out train.tsv
+  python -m uasr.tools.prepare cmvn    --list train.tsv --vocab vocab.txt \
+                                       --config recipe.yaml --out cmvn.npz
+  python -m uasr.tools.prepare ngrams  --text phones.txt --vocab vocab.txt \
+                                       --orders 2,3 --top-k 1000 --out ngrams.npz
+  python -m uasr.tools.prepare synth   --out-dir data/synth --num-utts 128
+
+`lists` joins Kaldi-style wav.scp (utt_id wav_path) and text
+(utt_id tokens...) into the TSV utterance lists the datasets read.
+`synth` materializes the synthetic tone-language corpus to disk (wavs +
+lists + vocab) so every recipe can be smoke-run with real file IO.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def cmd_vocab(args):
+    from uasr.vocab import BLK, UNK
+
+    counts: dict[str, int] = {}
+    with open(args.text) as f:
+        for ln in f:
+            toks = ln.split()
+            if args.has_utt_ids:
+                toks = toks[1:]
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+    tokens = [BLK] + sorted(counts, key=lambda t: (-counts[t], t)) + [UNK]
+    with open(args.out, "w") as f:
+        f.write("\n".join(tokens) + "\n")
+    print(f"wrote {len(tokens)} tokens -> {args.out}")
+
+
+def cmd_lists(args):
+    wavs: dict[str, str] = {}
+    with open(args.wav_scp) as f:
+        for ln in f:
+            parts = ln.split(maxsplit=1)
+            if len(parts) == 2:
+                wavs[parts[0]] = parts[1].strip()
+    texts: dict[str, str] = {}
+    if args.text:
+        with open(args.text) as f:
+            for ln in f:
+                parts = ln.split(maxsplit=1)
+                texts[parts[0]] = parts[1].strip() if len(parts) == 2 else ""
+    n = 0
+    with open(args.out, "w") as f:
+        for utt, wav in sorted(wavs.items()):
+            f.write(f"{utt}\t{wav}\t{texts.get(utt, '')}\n")
+            n += 1
+    print(f"wrote {n} utterances -> {args.out}")
+
+
+def cmd_cmvn(args):
+    from uasr.config import load_config
+    from uasr.data.dataset import ASRDataset, compute_cmvn_stats
+    from uasr.vocab import load_vocab
+
+    cfg = load_config(args.config)
+    vocab = load_vocab(args.vocab)
+    ds = ASRDataset.from_file(args.list, vocab, cfg.frontend.sample_rate)
+    examples = [ds.example(i) for i in range(len(ds))]
+    mean, std = compute_cmvn_stats(examples, cfg.frontend)
+    np.savez(args.out, mean=mean, std=std)
+    print(f"wrote CMVN stats ({mean.shape[0]} dims) -> {args.out}")
+
+
+def cmd_ngrams(args):
+    from uasr.data.dataset import TextDataset
+    from uasr.ops.eodm import build_ngram_table
+    from uasr.vocab import load_vocab
+
+    vocab = load_vocab(args.vocab)
+    seqs = TextDataset.from_file(args.text, vocab).sequences
+    payload = {}
+    for order in (int(o) for o in args.orders.split(",")):
+        tab = build_ngram_table(seqs, order, args.top_k)
+        payload[f"ids_{order}"] = tab.ids
+        payload[f"probs_{order}"] = tab.probs
+        print(f"order {order}: kept {len(tab.ids)} n-grams")
+    np.savez(args.out, **payload)
+    print(f"wrote n-gram tables -> {args.out}")
+
+
+def cmd_synth(args):
+    from uasr.data.dataset import make_synthetic_dataset
+    from uasr.data.io import write_wav
+
+    examples, vocab = make_synthetic_dataset(
+        num_utts=args.num_utts, num_phones=args.num_phones, seed=args.seed
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    wav_dir = os.path.join(args.out_dir, "wav")
+    lines = []
+    for i, (audio, ids) in enumerate(examples):
+        path = os.path.join(wav_dir, f"utt{i:05d}.wav")
+        write_wav(path, audio, 16000)
+        toks = " ".join(vocab.tokens[j] for j in ids)
+        lines.append(f"utt{i:05d}\t{path}\t{toks}")
+    n_dev = max(args.num_utts // 8, 1)
+    with open(os.path.join(args.out_dir, "train.tsv"), "w") as f:
+        f.write("\n".join(lines[n_dev:]) + "\n")
+    with open(os.path.join(args.out_dir, "dev.tsv"), "w") as f:
+        f.write("\n".join(lines[:n_dev]) + "\n")
+    with open(os.path.join(args.out_dir, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab.tokens) + "\n")
+    with open(os.path.join(args.out_dir, "text.txt"), "w") as f:
+        f.write("\n".join(" ".join(vocab.tokens[j] for j in ids)
+                          for _, ids in examples) + "\n")
+    print(f"wrote {args.num_utts} wavs + lists + vocab -> {args.out_dir}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("uasr.tools.prepare", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("vocab")
+    v.add_argument("--text", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--has-utt-ids", action="store_true")
+    v.set_defaults(fn=cmd_vocab)
+
+    ls = sub.add_parser("lists")
+    ls.add_argument("--wav-scp", required=True)
+    ls.add_argument("--text")
+    ls.add_argument("--out", required=True)
+    ls.set_defaults(fn=cmd_lists)
+
+    c = sub.add_parser("cmvn")
+    c.add_argument("--list", required=True)
+    c.add_argument("--vocab", required=True)
+    c.add_argument("--config", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_cmvn)
+
+    n = sub.add_parser("ngrams")
+    n.add_argument("--text", required=True)
+    n.add_argument("--vocab", required=True)
+    n.add_argument("--orders", default="2,3")
+    n.add_argument("--top-k", type=int, default=1000)
+    n.add_argument("--out", required=True)
+    n.set_defaults(fn=cmd_ngrams)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--num-utts", type=int, default=128)
+    s.add_argument("--num-phones", type=int, default=16)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,6 +22,8 @@ reference (SURVEY.md §5).
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from functools import partial
 from typing import Any, Iterator, NamedTuple
@@ -387,6 +389,26 @@ class EODMTrainer:
         return self._jit["train"]
 
 
+class PreemptionGuard:
+    """Preemption-safe checkpointing (SURVEY.md §5 "Failure detection"):
+    on SIGTERM/SIGINT the training loop finishes the current step, saves,
+    and exits cleanly — the reference's only recovery path was rerun +
+    restore-latest, which this preserves while never losing more than one
+    save interval."""
+
+    def __init__(self):
+        self.triggered = False
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM,):
+                try:
+                    self._prev = signal.signal(sig, self._handle)
+                except (ValueError, OSError):
+                    pass
+
+    def _handle(self, signum, frame):
+        self.triggered = True
+
+
 # -------------------------------------------------------------- loops
 
 
@@ -413,11 +435,14 @@ def run_ctc_training(
             state, start = restored
             log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
+    guard = PreemptionGuard()
     t0 = time.time()
     audio_sec_acc = 0.0
     for batch in train_batches:
         step = int(state.step)
-        if step >= cfg.train.total_steps:
+        if step >= cfg.train.total_steps or guard.triggered:
+            if guard.triggered:
+                log_stdout(step, "preempt", saving=1)
             break
         rng, sub = jax.random.split(rng)
         dev_batch = shard_batch(Batch(*batch), trainer.mesh)
@@ -518,8 +543,9 @@ def run_gan_training(
         g_step = trainer.jitted("g_step")
     d_step = trainer.jitted("d_step")
 
+    guard = PreemptionGuard()
     t0 = time.time()
-    while int(state.step) < cfg.train.total_steps:
+    while int(state.step) < cfg.train.total_steps and not guard.triggered:
         d_aux = {}
         for _ in range(cfg.gan.disc_steps):
             a = Batch(*map(jnp.asarray, next(audio_it)))
@@ -570,9 +596,10 @@ def run_eodm_training(
         state, start = restored
         log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
+    guard = PreemptionGuard()
     t0 = time.time()
     for batch in audio_it:
-        if int(state.step) >= cfg.train.total_steps:
+        if int(state.step) >= cfg.train.total_steps or guard.triggered:
             break
         state, aux = step_fn(state, Batch(*map(jnp.asarray, batch)))
         step = int(state.step)
