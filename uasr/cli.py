@@ -165,22 +165,45 @@ def _load_text(cfg, examples, vocab):
 
 
 def _infer(cfg, examples, vocab):
-    import jax.numpy as jnp
-
     from uasr.checkpoint import CheckpointManager
     from uasr.infer import run_inference
-    from uasr.train import CTCTrainer
+    from uasr.train import CTCTrainer, GANTrainer, TrainState
 
-    trainer = CTCTrainer(cfg)
-    first = next(_batches(cfg, examples, num_epochs=1))
-    state = trainer.init_state(jax.random.PRNGKey(0), first)
     mgr = CheckpointManager(
         f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
     )
-    restored = mgr.restore_latest(state)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {cfg.model_dir}/ckpt")
-    state, step = restored
+    first = next(_batches(cfg, examples, num_epochs=1))
+    mode = cfg.train.mode
+    if mode in ("gan", "gan+eodm"):
+        # GAN-trained runs checkpoint a GANState; restore it and decode
+        # the generator's posteriors (reference: greedy collapse of G)
+        import numpy as np
+
+        from uasr.data.dataset import TextBatch
+
+        cfg.model.encoder = "classifier"
+        gan = GANTrainer(cfg)
+        text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
+        gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
+        restored = mgr.restore_latest(gstate)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {cfg.model_dir}/ckpt")
+        gstate, step = restored
+        trainer = CTCTrainer(cfg)  # build_model('classifier') == G
+        state = TrainState(
+            gstate.step, gstate.g_params,
+            trainer.optimizer.init(gstate.g_params),
+        )
+    else:
+        # ctc and eodm both checkpoint a TrainState over their model
+        if mode == "eodm":
+            cfg.model.encoder = "classifier"
+        trainer = CTCTrainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), first)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {cfg.model_dir}/ckpt")
+        state, step = restored
     res = run_inference(
         cfg, trainer, state,
         _batches(cfg, examples, num_epochs=1),
