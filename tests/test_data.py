@@ -1,0 +1,85 @@
+"""Data layer: bucketing, padding, text batching, prefetch, CMVN stats,
+list/wav IO round trips."""
+
+import itertools
+
+import numpy as np
+
+from uasr.config import FrontendConfig
+from uasr.data.dataset import (
+    batch_iterator,
+    compute_cmvn_stats,
+    make_synthetic_dataset,
+    prefetch,
+    text_batch_iterator,
+)
+from uasr.data.io import read_utterance_list, read_wav, write_wav
+from uasr.frontend import oracle
+
+
+def test_bucketing_static_shapes():
+    examples, _ = make_synthetic_dataset(num_utts=64, num_phones=6,
+                                         min_len=2, max_len=12, seed=2)
+    boundaries = (8000, 16000, 32000)
+    shapes = set()
+    for b in itertools.islice(
+        batch_iterator(examples, 4, 32000, 16,
+                       bucket_boundaries=boundaries), 20
+    ):
+        shapes.add(b.audio.shape)
+        assert b.audio.shape[1] in boundaries
+        # every utterance fits its bucket
+        assert (b.audio_lengths <= b.audio.shape[1]).all()
+        # padding is zero
+        for i in range(4):
+            assert np.all(b.audio[i, b.audio_lengths[i]:] == 0)
+    assert len(shapes) > 1  # multiple buckets actually used
+
+
+def test_label_clipping_and_padding():
+    examples, _ = make_synthetic_dataset(num_utts=8, num_phones=6,
+                                         min_len=9, max_len=10, seed=3)
+    b = next(iter(batch_iterator(examples, 8, 40000, max_label_len=4)))
+    assert b.labels.shape[1] == 4
+    assert (b.label_lengths <= 4).all()
+
+
+def test_text_batch_iterator():
+    seqs = [[1, 2, 3], [4, 5], [6]] * 4
+    batches = list(itertools.islice(
+        text_batch_iterator(seqs, batch_size=4, max_len=5), 3))
+    for tb in batches:
+        assert tb.ids.shape == (4, 5)
+        for i in range(4):
+            assert np.all(tb.ids[i, tb.lengths[i]:] == 0)
+
+
+def test_prefetch_preserves_order_and_count():
+    it = prefetch(iter(range(17)), depth=3)
+    assert list(it) == list(range(17))
+
+
+def test_cmvn_stats_match_oracle():
+    cfg = FrontendConfig(num_mel_bins=24, cmvn="none")
+    examples, _ = make_synthetic_dataset(num_utts=4, num_phones=5, seed=4)
+    mean, std = compute_cmvn_stats(examples, cfg)
+    feats = np.concatenate(
+        [oracle.oracle_fbank(a, cfg) for a, _ in examples], axis=0
+    )
+    np.testing.assert_allclose(mean, feats.mean(0), rtol=1e-4)
+    np.testing.assert_allclose(std, feats.std(0), rtol=1e-3)
+
+
+def test_wav_and_list_io(tmp_path):
+    sig = (np.random.RandomState(0).rand(3000).astype(np.float32) - 0.5)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, sig, 16000)
+    audio, sr = read_wav(p)
+    assert sr == 16000 and len(audio) == 3000
+    np.testing.assert_allclose(audio, sig, atol=1.5 / 32768)
+
+    lst = tmp_path / "list.tsv"
+    lst.write_text(f"utt1\t{p}\tp1 p2 p3\nutt2\t{p}\n")
+    utts = read_utterance_list(str(lst))
+    assert utts[0].tokens == ["p1", "p2", "p3"]
+    assert utts[1].tokens == []
