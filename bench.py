@@ -81,7 +81,7 @@ def _enable_compile_cache():
         pass
 
 
-def run_tpu(B=32, seconds=8.0, warmup=2, iters=10):
+def run_tpu(B=128, seconds=8.0, warmup=2, iters=8, gru_unroll=None):
     import jax
     import jax.numpy as jnp
 
@@ -91,6 +91,8 @@ def run_tpu(B=32, seconds=8.0, warmup=2, iters=10):
     from uasr.train import CTCTrainer
 
     cfg = _bench_cfg()
+    if gru_unroll:
+        cfg.model.gru_unroll = gru_unroll
     batch = _make_batch(B, seconds)
     trainer = CTCTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -150,7 +152,7 @@ def run_baseline(B=16, seconds=8.0, iters=3):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--baseline", action="store_true")
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
     args = p.parse_args()
 

@@ -1,0 +1,58 @@
+"""run_inference: PER/RTF reporting, hyp files, TIMIT-folded scoring."""
+
+import itertools
+
+import numpy as np
+
+import jax
+
+from uasr.config import Config, FrontendConfig, ModelConfig, TrainConfig
+from uasr.data.dataset import batch_iterator, make_synthetic_dataset
+from uasr.infer import run_inference
+from uasr.train import CTCTrainer
+from uasr.vocab import Vocab
+
+
+def _setup():
+    examples, vocab = make_synthetic_dataset(num_utts=16, num_phones=6, seed=6)
+    cfg = Config(
+        frontend=FrontendConfig(num_mel_bins=40),
+        model=ModelConfig(encoder="cnn", hidden_size=32, num_conv_layers=1),
+        train=TrainConfig(total_steps=1),
+        vocab_size=len(vocab),
+    )
+    trainer = CTCTrainer(cfg)
+    first = next(iter(batch_iterator(examples, 8, 16000, 8, shuffle=False)))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    return cfg, trainer, state, examples, vocab
+
+
+def _batches(examples, n=2):
+    return itertools.islice(
+        batch_iterator(examples, 8, 16000, 8, shuffle=False), n
+    )
+
+
+def test_inference_report(tmp_path):
+    cfg, trainer, state, examples, vocab = _setup()
+    hyp = str(tmp_path / "hyp.txt")
+    res = run_inference(cfg, trainer, state, _batches(examples), vocab=vocab,
+                        hyp_path=hyp)
+    assert 0 <= res["per"] <= 10.0  # untrained model: hyps much longer than refs
+    assert res["rtf"] > 0 and res["audio_seconds"] > 0
+    lines = open(hyp).read().strip().split("\n")
+    assert len(lines) == 16
+
+
+def test_folded_scoring():
+    """With fold_timit=True a host-side folded PER is reported; folding
+    'ao'->'aa' means the two symbols stop counting as errors."""
+    cfg, trainer, state, examples, vocab = _setup()
+    # rename two phones to a TIMIT fold pair so the fold actually fires
+    vocab2 = Vocab(tokens=[t if t != "p1" else "ao" for t in
+                           [t if t != "p2" else "aa" for t in vocab.tokens]],
+                   blank_id=vocab.blank_id)
+    res = run_inference(cfg, trainer, state, _batches(examples),
+                        vocab=vocab2, fold_timit=True)
+    assert "per_folded" in res
+    assert 0 <= res["per_folded"] <= res["per"] + 1e-9 + 2.0

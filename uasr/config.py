@@ -121,6 +121,7 @@ class ModelConfig:
     encoder: str = "conv_bigru"  # conv_bigru | cnn | classifier
     hidden_size: int = 256
     num_gru_layers: int = 2
+    gru_unroll: int = 4  # lax.scan unroll of the recurrent body
     conv_channels: int = 64
     num_conv_layers: int = 2
     conv_kernel: int = 3

@@ -60,6 +60,7 @@ def run_inference(
     wall = 0.0
     hyp_f = open(hyp_path, "w") if hyp_path else None
     n_utts = 0
+    fold_pairs: list[tuple[list[str], list[str]]] = []
     for b in batches:
         db = Batch(*map(jnp.asarray, b))
         t0 = time.time()
@@ -69,19 +70,51 @@ def run_inference(
         audio_sec += float(np.sum(b.audio_lengths)) / cfg.frontend.sample_rate
         errs += int(e)
         total += int(t)
-        if hyp_f is not None and vocab is not None:
+        if vocab is not None and (hyp_f is not None or fold_timit):
             for i in range(hyps.shape[0]):
                 toks = vocab.decode_for_scoring(
                     np.asarray(hyps[i, : int(hyp_len[i])]), fold_timit=fold_timit
                 )
-                hyp_f.write(f"utt{n_utts}\t{' '.join(toks)}\n")
+                if hyp_f is not None:
+                    hyp_f.write(f"utt{n_utts}\t{' '.join(toks)}\n")
                 n_utts += 1
+                if fold_timit:
+                    ref = vocab.decode_for_scoring(
+                        np.asarray(b.labels[i, : int(b.label_lengths[i])]),
+                        fold_timit=True,
+                    )
+                    fold_pairs.append((ref, toks))
     if hyp_f:
         hyp_f.close()
-    return {
+    folded_per = None
+    if fold_timit and fold_pairs:
+        # host-side scoring in the folded phone space (reference: TIMIT
+        # 61->39 fold before PER), via the native C++ edit distance
+        from uasr.native import batch_edit_distance_native
+
+        sym = {t: i for i, t in enumerate(
+            sorted({t for r, h in fold_pairs for t in r + h})
+        )}
+        N = max(max((len(r) for r, _ in fold_pairs), default=1), 1)
+        M = max(max((len(h) for _, h in fold_pairs), default=1), 1)
+        B2 = len(fold_pairs)
+        refs = np.zeros((B2, N), np.int32)
+        hyps2 = np.zeros((B2, M), np.int32)
+        rl = np.zeros(B2, np.int32)
+        hl = np.zeros(B2, np.int32)
+        for i, (r, h) in enumerate(fold_pairs):
+            refs[i, : len(r)] = [sym[t] for t in r]
+            hyps2[i, : len(h)] = [sym[t] for t in h]
+            rl[i], hl[i] = len(r), len(h)
+        d = batch_edit_distance_native(refs, rl, hyps2, hl)
+        folded_per = float(d.sum()) / max(int(rl.sum()), 1)
+    out = {
         "per": errs / max(total, 1),
         "rtf": wall / max(audio_sec, 1e-9),
         "audio_seconds": audio_sec,
         "errors": errs,
         "ref_tokens": total,
     }
+    if folded_per is not None:
+        out["per_folded"] = folded_per
+    return out

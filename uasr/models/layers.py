@@ -89,15 +89,14 @@ class BiGRU(nn.Module):
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
-        fwd = GRULayer(self.hidden, reverse=False, dtype=self.dtype, name="fwd")(
-            x, lengths
-        )
-        bwd = GRULayer(self.hidden, reverse=True, dtype=self.dtype, name="bwd")(
-            x, lengths
-        )
+        fwd = GRULayer(self.hidden, reverse=False, dtype=self.dtype,
+                       unroll=self.unroll, name="fwd")(x, lengths)
+        bwd = GRULayer(self.hidden, reverse=True, dtype=self.dtype,
+                       unroll=self.unroll, name="bwd")(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

@@ -544,15 +544,16 @@ def run_gan_training(
     d_step = trainer.jitted("d_step")
 
     guard = PreemptionGuard()
+    mesh = trainer.mesh
     t0 = time.time()
     while int(state.step) < cfg.train.total_steps and not guard.triggered:
         d_aux = {}
         for _ in range(cfg.gan.disc_steps):
-            a = Batch(*map(jnp.asarray, next(audio_it)))
-            t = TextBatch(*map(jnp.asarray, next(text_it)))
+            a = shard_batch(Batch(*next(audio_it)), mesh)
+            t = shard_batch(TextBatch(*next(text_it)), mesh)
             rng, sub = jax.random.split(rng)
             state, d_aux = d_step(state, a, t, sub)
-        a = Batch(*map(jnp.asarray, next(audio_it)))
+        a = shard_batch(Batch(*next(audio_it)), mesh)
         rng, sub = jax.random.split(rng)
         state, g_aux = g_step(state, a, sub)
         step = int(state.step)
@@ -601,7 +602,7 @@ def run_eodm_training(
     for batch in audio_it:
         if int(state.step) >= cfg.train.total_steps or guard.triggered:
             break
-        state, aux = step_fn(state, Batch(*map(jnp.asarray, batch)))
+        state, aux = step_fn(state, shard_batch(Batch(*batch), trainer.mesh))
         step = int(state.step)
         if step % cfg.train.log_every == 0:
             writer.write(
