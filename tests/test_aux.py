@@ -128,13 +128,13 @@ cfg = Config(
 )
 batches = batch_iterator(examples, 8, 16000, 8)
 # SIGTERM ourselves shortly after training starts
-threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+threading.Timer(15.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
 run_ctc_training(cfg, batches)
 print("CLEAN_EXIT")
 """
     r = subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, capture_output=True,
-        text=True, timeout=240,
+        text=True, timeout=400,
     )
     assert "CLEAN_EXIT" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
     ckpt_dir = str(tmp_path / "exp" / "ckpt")

@@ -83,3 +83,28 @@ def test_wav_and_list_io(tmp_path):
     utts = read_utterance_list(str(lst))
     assert utts[0].tokens == ["p1", "p2", "p3"]
     assert utts[1].tokens == []
+
+
+def test_aligned_dataset_and_batching(tmp_path):
+    from uasr.data.dataset import ASRAlignDataset, aligned_batch_iterator
+    from uasr.vocab import make_vocab
+
+    sig = (np.random.RandomState(1).rand(2000).astype(np.float32) - 0.5)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, sig, 16000)
+    lst = tmp_path / "list.tsv"
+    lst.write_text(
+        f"u1\t{p}\tp1 p2\tp1 p1 p1 p2 p2\n"
+        f"u2\t{p}\tp2\tp2 p2\n"
+    )
+    vocab = make_vocab(["p1", "p2"])
+    ds = ASRAlignDataset.from_file(str(lst), vocab)
+    audio, ids, align = ds.example_with_alignment(0)
+    assert len(align) == 5 and align[0] == ids[0]
+
+    exs = [ds.example_with_alignment(i) for i in range(2)]
+    b = next(iter(aligned_batch_iterator(exs, 2, 4000, 4, max_frames=8)))
+    assert b.frame_labels.shape == (2, 8)
+    # padding frames are -1
+    row = b.frame_labels[list(b.label_lengths).index(1)]
+    assert (row[2:] == -1).all()

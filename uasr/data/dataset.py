@@ -66,6 +66,61 @@ class ASRDataset:
 
 
 @dataclass
+class ASRAlignDataset(ASRDataset):
+    """Alignment-supervised variant (reference `ASR_align_DataSet`,
+    SURVEY.md §2.2): examples carry per-frame phone labels from forced
+    alignments (4th column of the list file), enabling frame-CE training
+    and segmentation-vs-classification ablations of the unsupervised
+    objectives."""
+
+    def example_with_alignment(
+        self, i: int
+    ) -> tuple[np.ndarray, list[int], list[int]]:
+        audio, ids = self.example(i)
+        u = self.utts[i]
+        if u.align_tokens is None:
+            raise ValueError(f"{u.utt_id}: list has no alignment column")
+        return audio, ids, self.vocab.encode(u.align_tokens)
+
+
+class AlignedBatch(NamedTuple):
+    audio: np.ndarray
+    audio_lengths: np.ndarray
+    labels: np.ndarray
+    label_lengths: np.ndarray
+    frame_labels: np.ndarray  # [B, T_frames], -1 = unlabeled/padding
+
+
+def aligned_batch_iterator(
+    examples: Sequence[tuple[np.ndarray, list[int], list[int]]],
+    batch_size: int,
+    max_audio_samples: int,
+    max_label_len: int,
+    max_frames: int,
+    seed: int = 0,
+    num_epochs: int | None = None,
+) -> Iterator[AlignedBatch]:
+    """Padded batches with frame-label alignment tracks (pad = -1)."""
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = np.arange(len(examples))
+        rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            exs = [examples[j] for j in order[s : s + batch_size]]
+            base = _make_batch(
+                [(a, ids) for a, ids, _ in exs], max_audio_samples,
+                max_label_len,
+            )
+            frames = np.full((batch_size, max_frames), -1, np.int32)
+            for i, (_, _, al) in enumerate(exs):
+                n = min(len(al), max_frames)
+                frames[i, :n] = al[:n]
+            yield AlignedBatch(*base, frames)
+        epoch += 1
+
+
+@dataclass
 class TextDataset:
     """Unpaired token-id sequences (GAN real side / EODM statistics)."""
 

@@ -24,6 +24,10 @@ class Utterance:
     utt_id: str
     wav_path: str
     tokens: list[str]
+    # optional per-frame phone labels (forced alignment), the reference's
+    # ASR_align_DataSet variant (SURVEY.md §2.2): 4th list column holds
+    # space-separated frame tokens
+    align_tokens: list[str] | None = None
 
 
 def read_utterance_list(path: str) -> list[Utterance]:
@@ -36,7 +40,10 @@ def read_utterance_list(path: str) -> list[Utterance]:
             sep = "\t" if "\t" in ln else ","
             parts = [p.strip() for p in ln.split(sep)]
             toks = parts[2].split() if len(parts) > 2 and parts[2] else []
-            utts.append(Utterance(parts[0], parts[1], toks))
+            align = (
+                parts[3].split() if len(parts) > 3 and parts[3] else None
+            )
+            utts.append(Utterance(parts[0], parts[1], toks, align))
     return utts
 
 
