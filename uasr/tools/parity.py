@@ -134,15 +134,14 @@ def diff_bigru(hidden: int = 16, T: int = 12, D: int = 8, seed: int = 0) -> dict
     m = BiGRU(hidden)
     params = m.init(jax.random.PRNGKey(seed), jnp.asarray(x), lengths)
     got = np.asarray(m.apply(params, jnp.asarray(x), lengths))[0]
-    p = params["params"]
+    p = params["params"]  # fused layout: wx/wh/bx/bh are [2, ...] (fwd, bwd)
     outs = []
-    for name, rev in [("fwd", False), ("bwd", True)]:
-        q = p[name]
+    for g, rev in [(0, False), (1, True)]:
         outs.append(
             np_gru(
                 x[0].astype(np.float64),
-                np.asarray(q["wx"]), np.asarray(q["wh"]),
-                np.asarray(q["bx"]), np.asarray(q["bh"]),
+                np.asarray(p["wx"][g]), np.asarray(p["wh"][g]),
+                np.asarray(p["bx"][g]), np.asarray(p["bh"][g]),
                 reverse=rev,
             )
         )
