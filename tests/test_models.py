@@ -108,3 +108,24 @@ def test_gradients_flow():
     leaves = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+def test_bigru_remat_grad_parity():
+    """jax.checkpoint on the scan body must not change values or grads."""
+    from uasr.models.layers import BiGRU
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 10, 8), jnp.float32)
+    lengths = jnp.array([10, 6])
+    m_plain = BiGRU(12, remat=False)
+    m_remat = BiGRU(12, remat=True)
+    params = m_plain.init(jax.random.PRNGKey(0), x, lengths)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x, lengths) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss(m_plain))(params)
+    v2, g2 = jax.value_and_grad(loss(m_remat))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -122,6 +122,7 @@ class ModelConfig:
     hidden_size: int = 256
     num_gru_layers: int = 2
     gru_unroll: int = 4  # lax.scan unroll of the recurrent body
+    gru_remat: bool = False  # recompute GRU gates in backward (saves HBM)
     conv_channels: int = 64
     num_conv_layers: int = 2
     conv_kernel: int = 3

@@ -99,6 +99,7 @@ class BiGRU(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
     unroll: int = 4
+    remat: bool = False  # recompute gates in backward (HBM for FLOPs)
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -159,7 +160,8 @@ class BiGRU(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((2, B, H), self.dtype)
-        _, ys = jax.lax.scan(step, h0, (xproj, tmask), unroll=self.unroll)
+        body = jax.checkpoint(step) if self.remat else step
+        _, ys = jax.lax.scan(body, h0, (xproj, tmask), unroll=self.unroll)
         ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
         fwd = ys[0]
         bwd = jnp.take_along_axis(ys[1], rev_idx[:, :, None], axis=1)
