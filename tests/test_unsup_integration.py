@@ -112,3 +112,33 @@ def test_eodm_loss_decreases():
     assert np.mean(losses[-10:]) < np.mean(losses[:5]), (
         np.mean(losses[:5]), np.mean(losses[-10:]),
     )
+
+
+def test_gan_on_precomputed_features(tmp_path):
+    """wav2vec-U stretch seam: GAN training over cached external features
+    (frontend skipped)."""
+    from uasr.data.cache import FeatureCache, feature_batch_iterator, write_cache
+
+    examples, text, cfg = _setup()
+    rng = np.random.RandomState(0)
+    cached = [
+        (f"u{i}", rng.randn(20 + i % 5, 32).astype(np.float32), ids)
+        for i, (_, ids) in enumerate(examples[:16])
+    ]
+    write_cache(str(tmp_path), iter(cached), shard_size=8)
+    cache = FeatureCache(str(tmp_path))
+
+    trainer = GANTrainer(cfg)
+    feat_it = feature_batch_iterator(cache, batch_size=8, max_frames=24,
+                                     max_label_len=8)
+    text_it = text_batch_iterator(text, batch_size=8, max_len=8)
+    first = next(feat_it)
+    state = trainer.init_state(jax.random.PRNGKey(0), first, next(text_it))
+    d_step = trainer.jitted("d_step")
+    g_step = trainer.jitted("g_step")
+    a = Batch(*map(jnp.asarray, next(feat_it)))
+    t = TextBatch(*map(jnp.asarray, next(text_it)))
+    state, d_aux = d_step(state, a, t, jax.random.PRNGKey(1))
+    state, g_aux = g_step(state, a, jax.random.PRNGKey(2))
+    assert np.isfinite(float(d_aux["d_loss"]))
+    assert np.isfinite(float(g_aux["g_loss"]))

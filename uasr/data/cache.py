@@ -93,3 +93,43 @@ class FeatureCache:
     def __iter__(self):
         for i in range(len(self)):
             yield self.example(i)
+
+
+def feature_batch_iterator(
+    cache: "FeatureCache",
+    batch_size: int,
+    max_frames: int,
+    max_label_len: int,
+    seed: int = 0,
+    num_epochs: int | None = None,
+):
+    """Padded feature batches straight from a cache (the wav2vec-U
+    stretch path: train the GAN on external SSL features). Yields
+    `Batch`-compatible tuples with `audio` holding [B, T, D] features
+    and `audio_lengths` holding frame counts — the trainers detect the
+    3D layout and skip the frontend."""
+    import numpy as np
+
+    from uasr.data.dataset import Batch
+
+    D = cache.example(0)[1].shape[1]
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = np.arange(len(cache))
+        rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            feats = np.zeros((batch_size, max_frames, D), np.float32)
+            flen = np.zeros((batch_size,), np.int32)
+            labels = np.zeros((batch_size, max_label_len), np.int32)
+            llen = np.zeros((batch_size,), np.int32)
+            for j, i in enumerate(order[s : s + batch_size]):
+                _, f, ids = cache.example(int(i))
+                n = min(len(f), max_frames)
+                feats[j, :n] = f[:n]
+                flen[j] = n
+                u = min(len(ids), max_label_len)
+                labels[j, :u] = ids[:u]
+                llen[j] = u
+            yield Batch(feats, flen, labels, llen)
+        epoch += 1

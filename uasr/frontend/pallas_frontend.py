@@ -61,6 +61,7 @@ def _log_mel_kernel(
     frame_shift: int,
     group: int,
     n_fft: int,
+    precision=_HI,
 ):
     rows = chunk_ref[0]  # [ROWS, ROW_LEN]
     row_len = rows.shape[1]
@@ -83,19 +84,19 @@ def _log_mel_kernel(
             ]
     w = frames[:] * window_ref[0, :]
     re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32,
-                 precision=_HI)
+                 precision=precision)
     im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=_HI)
+                 precision=precision)
     power = (re * re + im * im) * (1.0 / n_fft)
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
-                  precision=_HI)
+                  precision=precision)
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("frame_len", "frame_shift", "n_fft", "block_frames",
-                     "interpret"),
+                     "interpret", "precision"),
 )
 def _pallas_log_mel(
     audio: jax.Array,
@@ -105,6 +106,7 @@ def _pallas_log_mel(
     n_fft: int,
     block_frames: int = 128,
     interpret: bool = False,
+    precision=_HI,
 ) -> jax.Array:
     """[B, L] pre-emphasized audio -> [B, T, M] log-mel."""
     B, L = audio.shape
@@ -138,6 +140,7 @@ def _pallas_log_mel(
             frame_shift=FS,
             group=group,
             n_fft=n_fft,
+            precision=precision,
         ),
         grid=(B * n_blocks,),
         in_specs=[
@@ -185,10 +188,11 @@ def pallas_log_mel_frontend(
     cfg: FrontendConfig,
     block_frames: int = 128,
     interpret: bool = False,
+    precision=_HI,
 ) -> jax.Array:
     """Drop-in fused replacement for features.log_mel_frontend."""
     x = preemphasize(audio, cfg.preemph)
     return _pallas_log_mel(
         x, state, cfg.frame_length, cfg.frame_shift, cfg.n_fft,
-        block_frames=block_frames, interpret=interpret,
+        block_frames=block_frames, interpret=interpret, precision=precision,
     )

@@ -224,21 +224,30 @@ class GANTrainer:
         self._jit: dict = {}
 
     def _gen_probs(self, g_params, batch: Batch):
-        feats, flen = compute_features(
-            batch.audio, batch.audio_lengths, self.frontend_state,
-            self.cfg.frontend,
-        )
+        if batch.audio.ndim == 3:
+            # precomputed features [B, T, D] (wav2vec-U stretch: external
+            # SSL features via uasr.data.cache); lengths are frame counts
+            feats, flen = batch.audio, batch.audio_lengths
+        else:
+            feats, flen = compute_features(
+                batch.audio, batch.audio_lengths, self.frontend_state,
+                self.cfg.frontend,
+            )
         logits, out_len = self.gen.apply(g_params, feats, flen)
         return jax.nn.softmax(logits, axis=-1), out_len, logits
 
     def init_state(self, rng, example_audio: Batch, example_text: TextBatch):
         r1, r2 = jax.random.split(rng)
-        feats, flen = compute_features(
-            jnp.asarray(example_audio.audio),
-            jnp.asarray(example_audio.audio_lengths),
-            self.frontend_state,
-            self.cfg.frontend,
-        )
+        if np.ndim(example_audio.audio) == 3:  # precomputed features
+            feats = jnp.asarray(example_audio.audio)
+            flen = jnp.asarray(example_audio.audio_lengths)
+        else:
+            feats, flen = compute_features(
+                jnp.asarray(example_audio.audio),
+                jnp.asarray(example_audio.audio_lengths),
+                self.frontend_state,
+                self.cfg.frontend,
+            )
         g_params = self.gen.init(r1, feats, flen)
         real = jax.nn.one_hot(
             jnp.asarray(example_text.ids), self.cfg.dim_output
