@@ -46,7 +46,7 @@ def _bench_cfg():
         model=ModelConfig(
             encoder="conv_bigru", hidden_size=512, num_gru_layers=2,
             conv_channels=32, num_conv_layers=2, conv_time_stride=2,
-            dtype="bfloat16", gru_remat=True,
+            dtype="bfloat16", gru_pallas=True,
         ),
         train=TrainConfig(total_steps=1, lr=1e-3),
         vocab_size=64,

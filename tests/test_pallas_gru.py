@@ -1,0 +1,82 @@
+"""Pallas GRU scan kernel vs the lax.scan reference: values AND custom-VJP
+gradients (interpreter mode; the compiled kernel is exercised on TPU by
+bench.py with model.use_pallas_gru)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from uasr.models.pallas_gru import pallas_gru_scan
+
+
+def _reference_scan(xproj, wh, bh, tmask):
+    """Same math as uasr.models.layers.BiGRU's scan body."""
+    def step(h, inp):
+        xp, m = inp
+        hproj = jnp.einsum("gbh,gho->gbo", h, wh) + bh[:, None, :]
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(m[None, :, None], h_new, h)
+        return h_new, h_new
+
+    G, B = xproj.shape[1], xproj.shape[2]
+    H = wh.shape[1]
+    h0 = jnp.zeros((G, B, H), xproj.dtype)
+    _, ys = jax.lax.scan(step, h0, (xproj, tmask))
+    return ys
+
+
+def _problem(T=12, G=2, B=4, H=8, seed=0):
+    rng = np.random.RandomState(seed)
+    xproj = jnp.asarray(rng.randn(T, G, B, 3 * H) * 0.5, jnp.float32)
+    wh = jnp.asarray(rng.randn(G, H, 3 * H) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.randn(G, 3 * H) * 0.1, jnp.float32)
+    lengths = np.array([T, T - 3, 5, 1][:B])
+    tmask = jnp.asarray(
+        np.arange(T)[:, None] < lengths[None, :], jnp.bool_
+    )
+    return xproj, wh, bh, tmask
+
+
+def test_forward_matches_reference():
+    xproj, wh, bh, tmask = _problem()
+    ref = _reference_scan(xproj, wh, bh, tmask)
+    got = pallas_gru_scan(xproj, wh, bh, tmask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_gradients_match_reference():
+    xproj, wh, bh, tmask = _problem(seed=1)
+    rng = np.random.RandomState(2)
+    w_out = jnp.asarray(rng.randn(*_reference_scan(xproj, wh, bh, tmask).shape),
+                        jnp.float32)
+
+    def loss_ref(xp, w, b):
+        return jnp.sum(_reference_scan(xp, w, b, tmask) * w_out)
+
+    def loss_pal(xp, w, b):
+        return jnp.sum(pallas_gru_scan(xp, w, b, tmask, True) * w_out)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(xproj, wh, bh)
+    v_pal, g_pal = jax.value_and_grad(loss_pal, argnums=(0, 1, 2))(xproj, wh, bh)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-5)
+    for a, b, name in zip(g_pal, g_ref, ["dxproj", "dwh", "dbh"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3, err_msg=name
+        )
+
+
+def test_t_equals_one():
+    xproj, wh, bh, tmask = _problem(T=1, B=2)
+    ref = _reference_scan(xproj, wh, bh, tmask)
+    got = pallas_gru_scan(xproj, wh, bh, tmask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g = jax.grad(lambda xp: jnp.sum(pallas_gru_scan(xp, wh, bh, tmask, True)))(
+        xproj
+    )
+    assert np.all(np.isfinite(np.asarray(g)))

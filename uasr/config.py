@@ -123,6 +123,7 @@ class ModelConfig:
     num_gru_layers: int = 2
     gru_unroll: int = 4  # lax.scan unroll of the recurrent body
     gru_remat: bool = False  # recompute GRU gates in backward (saves HBM)
+    gru_pallas: bool = False  # whole GRU recurrence as one Pallas kernel
     conv_channels: int = 64
     num_conv_layers: int = 2
     conv_kernel: int = 3

@@ -100,6 +100,7 @@ class BiGRU(nn.Module):
     dtype: jnp.dtype = jnp.float32
     unroll: int = 4
     remat: bool = False  # recompute gates in backward (HBM for FLOPs)
+    use_pallas: bool = False  # whole recurrence as one Pallas kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -159,9 +160,17 @@ class BiGRU(nn.Module):
             h_new = jnp.where(m[None, :, None], h_new, h)
             return h_new, h_new
 
-        h0 = jnp.zeros((2, B, H), self.dtype)
-        body = jax.checkpoint(step) if self.remat else step
-        _, ys = jax.lax.scan(body, h0, (xproj, tmask), unroll=self.unroll)
+        if self.use_pallas:
+            # one kernel for the whole recurrence (hidden state + weights
+            # pinned in VMEM across grid steps; custom VJP) — removes the
+            # per-step launch overhead of the XLA while-loop
+            from uasr.models.pallas_gru import pallas_gru_scan
+
+            ys = pallas_gru_scan(xproj, whd, bhd, tmask)
+        else:
+            h0 = jnp.zeros((2, B, H), self.dtype)
+            body = jax.checkpoint(step) if self.remat else step
+            _, ys = jax.lax.scan(body, h0, (xproj, tmask), unroll=self.unroll)
         ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
         fwd = ys[0]
         bwd = jnp.take_along_axis(ys[1], rev_idx[:, :, None], axis=1)

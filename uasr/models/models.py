@@ -65,7 +65,8 @@ class ConvBiGRUEncoder(nn.Module):
         x = x.reshape(B, T2, F2 * C)
         for i in range(cfg.num_gru_layers):
             x = BiGRU(cfg.hidden_size, dtype=dt, unroll=cfg.gru_unroll,
-                      remat=cfg.gru_remat, name=f"bigru{i}")(x, lengths)
+                      remat=cfg.gru_remat, use_pallas=cfg.gru_pallas,
+                      name=f"bigru{i}")(x, lengths)
             if cfg.dropout > 0:
                 x = nn.Dropout(cfg.dropout, deterministic=not self.has_rng("dropout"))(x)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)

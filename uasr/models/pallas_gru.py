@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for the (bidirectional-grouped) GRU recurrence,
+with a hand-written backward kernel (custom VJP).
+
+Why: the `lax.scan` GRU lowers to an XLA while-loop that launches
+several kernels per timestep; at T~200 steps the launch overhead is
+~3x the arithmetic (measured: encoder fwd 10.4 ms vs ~3 ms roofline at
+B=128, H=512 on v5e). Here the whole recurrence is ONE kernel: the
+grid iterates over time (TPU grid steps run sequentially on a core),
+the hidden state and the recurrent weights live in VMEM scratch across
+steps, and the per-step x-projections stream in double-buffered via the
+BlockSpec pipeline.
+
+Scope: the recurrent half only. The input projections x @ wx (+bx) for
+all timesteps stay outside as one large XLA GEMM; their gradient flows
+through d(xproj) which this kernel returns.
+
+Layout: inputs grouped [G, ...] (G=2 for the fused BiGRU: forward +
+time-reversed stream), matching uasr.models.layers.BiGRU. Kernels loop
+over g with 2D [B, .] tensors to keep VMEM temporaries within the 16 MB
+scoped budget at production sizes (B=128, H=512).
+
+Backward: reverse-time grid; gates are recomputed from (h_prev, xp)
+(rematerialization — only the h trajectory is saved). The kernel emits
+d(xproj) and d(hproj); the weight gradients dwh/dbh are reduced OUTSIDE
+the kernel as one big XLA GEMM over the whole trajectory
+(dwh = sum_t h_{t-1}^T dhproj_t), which is both faster than per-step
+accumulation and saves the 6 MB f32 VMEM accumulator that blew the
+scoped-vmem limit.
+
+Verified against the lax.scan reference for values and gradients in
+interpreter mode (tests/test_pallas_gru.py) and on real TPU (forward
+bit-exact; grads within f32 accumulation-order noise, rel <= 5e-4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gates_2d(xp, hproj, h_prev):
+    """Gate math on one group. xp/hproj: [B, 3H]; h_prev: [B, H]."""
+    H = h_prev.shape[-1]
+    xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
+    hr, hz, hn = hproj[:, :H], hproj[:, H:2 * H], hproj[:, 2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_cand = (1.0 - z) * n + z * h_prev
+    return r, z, n, hn, h_cand
+
+
+def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    G = h_scr.shape[0]
+    mf = mask_ref[0, 0][:, None]  # [B, 1] in {0, 1}
+    for g in range(G):
+        h_prev = h_scr[g]
+        hproj = (
+            jnp.dot(h_prev, wh_ref[g], preferred_element_type=jnp.float32)
+            + bh_ref[g, :][None, :]
+        )
+        _, _, _, _, h_cand = _gates_2d(xp_ref[0, g], hproj, h_prev)
+        h_new = mf * h_cand + (1.0 - mf) * h_prev
+        h_store = h_new.astype(ys_ref.dtype)
+        # round the carry to the output dtype so the backward pass (which
+        # recomputes gates from the stored ys) sees the exact fwd values
+        ys_ref[0, g] = h_store
+        h_scr[g] = h_store.astype(jnp.float32)
+
+
+def _bwd_kernel(
+    xp_ref,  # [1, G, B, 3H] at time t
+    mask_ref,  # [1, 1, B]
+    hprev_ref,  # [1, G, B, H] = ys[t-1] (t=0 handled by @pl.when)
+    wh_ref,  # [G, H, 3H]
+    bh_ref,  # [G, 3H]
+    dy_ref,  # [1, G, B, H] upstream grad of ys[t]
+    dxp_ref,  # out [1, G, B, 3H]
+    dhproj_ref,  # out [1, G, B, 3H] (dwh/dbh reduced outside)
+    dh_scr,  # [G, B, H] carried dL/dh_prev
+):
+    t_rev = pl.program_id(0)  # 0 = last timestep
+    T = pl.num_programs(0)
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    G, B, H = dh_scr.shape
+    is_first = t_rev == T - 1  # actual t == 0
+    mf = mask_ref[0, 0][:, None]  # [B, 1]
+    for g in range(G):
+        h_prev = jnp.where(is_first, 0.0, hprev_ref[0, g].astype(jnp.float32))
+        xp = xp_ref[0, g]
+        hproj = (
+            jnp.dot(h_prev, wh_ref[g], preferred_element_type=jnp.float32)
+            + bh_ref[g, :][None, :]
+        )
+        r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
+
+        dh_total = dh_scr[g] + dy_ref[0, g]
+        dh_cand = dh_total * mf
+        dh_prev = dh_total * (1.0 - mf)
+
+        dz = dh_cand * (h_prev - n)
+        dn = dh_cand * (1.0 - z)
+        dh_prev = dh_prev + dh_cand * z
+        dn_pre = dn * (1.0 - n * n)
+        dhn = dn_pre * r
+        dr_pre = (dn_pre * hn) * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+
+        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+        dh_prev = dh_prev + jnp.dot(
+            dhproj, wh_ref[g].T, preferred_element_type=jnp.float32
+        )
+        dxp_ref[0, g] = dxp.astype(dxp_ref.dtype)
+        dhproj_ref[0, g] = dhproj.astype(dhproj_ref.dtype)
+        dh_scr[g] = dh_prev
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_gru_scan(xproj, wh, bh, tmask, interpret=False):
+    """Grouped GRU recurrence. xproj: [T, G, B, 3H] (input projections,
+    input bias already added); wh: [G, H, 3H]; bh: [G, 3H]; tmask: [T, B]
+    (1 = step active). Returns ys: [T, G, B, H]."""
+    ys, _ = _fwd(xproj, wh, bh, tmask, interpret)
+    return ys
+
+
+def _fwd(xproj, wh, bh, tmask, interpret):
+    T, G, B, H3 = xproj.shape
+    H = H3 // 3
+    mask = tmask.astype(jnp.float32).reshape(T, 1, B)
+    ys = pl.pallas_call(
+        _fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, G, B, H3), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, H3), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, B, H), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, G, B, H), xproj.dtype),
+        scratch_shapes=[pltpu.VMEM((G, B, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * G * B * H * H3,
+            bytes_accessed=(xproj.size + T * G * B * H) * xproj.dtype.itemsize,
+            transcendentals=3 * T * G * B * H,
+        ),
+        interpret=interpret,
+    )(xproj, mask, wh, bh)
+    return ys, (xproj, wh, bh, tmask, ys)
+
+
+def _fwd_rule(xproj, wh, bh, tmask, interpret):
+    ys, res = _fwd(xproj, wh, bh, tmask, interpret)
+    return ys, res
+
+
+def _bwd_rule(interpret, res, dy):
+    xproj, wh, bh, tmask, ys = res
+    T, G, B, H3 = xproj.shape
+    H = H3 // 3
+    mask = tmask.astype(jnp.float32).reshape(T, 1, B)
+    dxp, dhproj = pl.pallas_call(
+        _bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, G, B, H3), lambda t: (T - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, G, B, H),
+                lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((G, H, H3), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, B, H), lambda t: (T - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, B, H3), lambda t: (T - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, B, H3), lambda t: (T - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, G, B, H3), xproj.dtype),
+            jax.ShapeDtypeStruct((T, G, B, H3), xproj.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((G, B, H), jnp.float32)],
+        interpret=interpret,
+    )(xproj, mask, ys, wh, bh, dy)
+    # weight grads as one large trajectory GEMM (outside the kernel)
+    h_prev_seq = jnp.concatenate(
+        [jnp.zeros_like(ys[:1]), ys[:-1]], axis=0
+    )  # [T, G, B, H]
+    dwh = jnp.einsum(
+        "tgbh,tgbo->gho", h_prev_seq, dhproj,
+        preferred_element_type=jnp.float32,
+    ).astype(wh.dtype)
+    dbh = dhproj.sum(axis=(0, 2)).astype(bh.dtype)
+    return dxp.astype(xproj.dtype), dwh, dbh, None
+
+
+pallas_gru_scan.defvjp(_fwd_rule, _bwd_rule)
