@@ -65,8 +65,12 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
     mf = mask_ref[0, 0][:, None]  # [B, 1] in {0, 1}
     for g in range(G):
         h_prev = h_scr[g]
+        # cast to the weight dtype (bf16 in production) so the MXU runs
+        # native passes instead of promoted-f32 emulation — same
+        # precision as the XLA scan reference, ~6x faster dots
         hproj = (
-            jnp.dot(h_prev, wh_ref[g], preferred_element_type=jnp.float32)
+            jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[g],
+                    preferred_element_type=jnp.float32)
             + bh_ref[g, :][None, :]
         )
         _, _, _, _, h_cand = _gates_2d(xp_ref[0, g], hproj, h_prev)
@@ -100,10 +104,13 @@ def _bwd_kernel(
     is_first = t_rev == T - 1  # actual t == 0
     mf = mask_ref[0, 0][:, None]  # [B, 1]
     for g in range(G):
-        h_prev = jnp.where(is_first, 0.0, hprev_ref[0, g].astype(jnp.float32))
+        h_prev_raw = jnp.where(
+            is_first, jnp.zeros_like(hprev_ref[0, g]), hprev_ref[0, g]
+        )
+        h_prev = h_prev_raw.astype(jnp.float32)
         xp = xp_ref[0, g]
         hproj = (
-            jnp.dot(h_prev, wh_ref[g], preferred_element_type=jnp.float32)
+            jnp.dot(h_prev_raw, wh_ref[g], preferred_element_type=jnp.float32)
             + bh_ref[g, :][None, :]
         )
         r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
@@ -123,7 +130,8 @@ def _bwd_kernel(
         dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
         dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
         dh_prev = dh_prev + jnp.dot(
-            dhproj, wh_ref[g].T, preferred_element_type=jnp.float32
+            dhproj.astype(wh_ref.dtype), wh_ref[g].T,
+            preferred_element_type=jnp.float32,
         )
         dxp_ref[0, g] = dxp.astype(dxp_ref.dtype)
         dhproj_ref[0, g] = dhproj.astype(dhproj_ref.dtype)
