@@ -38,7 +38,9 @@ _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _bench_cfg():
-    from uasr.config import Config, FrontendConfig, ModelConfig, TrainConfig
+    from uasr.config import (
+        Config, CTCConfig, FrontendConfig, ModelConfig, TrainConfig,
+    )
 
     return Config(
         name="bench",
@@ -48,6 +50,7 @@ def _bench_cfg():
             conv_channels=32, num_conv_layers=2, conv_time_stride=2,
             dtype="bfloat16", gru_pallas=True,
         ),
+        ctc=CTCConfig(use_pallas=True),
         train=TrainConfig(total_steps=1, lr=1e-3),
         vocab_size=64,
     )

@@ -145,6 +145,7 @@ class CTCConfig:
     blank_id: int = 0
     beam_width: int = 8
     use_beam: bool = False
+    use_pallas: bool = False  # Pallas forward-backward kernels (TPU)
 
 
 @dataclass

@@ -137,10 +137,18 @@ class CTCTrainer:
         if fcfg.specaug_time_masks or fcfg.specaug_freq_masks:
             feats = spec_augment(rng, feats, flen, fcfg)
         logits, out_len = self.model.apply(params, feats, flen)
-        per_utt = ctc_loss(
-            logits, out_len, batch.labels, batch.label_lengths,
-            blank_id=self.cfg.ctc.blank_id,
-        )
+        if self.cfg.ctc.use_pallas:
+            from uasr.ops.pallas_ctc import ctc_loss_pallas
+
+            per_utt = ctc_loss_pallas(
+                logits, out_len, batch.labels, batch.label_lengths,
+                blank_id=self.cfg.ctc.blank_id,
+            )
+        else:
+            per_utt = ctc_loss(
+                logits, out_len, batch.labels, batch.label_lengths,
+                blank_id=self.cfg.ctc.blank_id,
+            )
         loss = jnp.mean(per_utt)
         return loss, {"ctc_loss": loss}
 
