@@ -165,6 +165,11 @@ class PhoneDiscriminator(nn.Module):
     No normalization layers (the gradient penalty is defined on the
     un-normalized critic). Consumes *distributions* (softmax posteriors
     or one-hot text), keeping G differentiable (SURVEY.md §3.2).
+
+    Always computes in float32 regardless of cfg.dtype: the WGAN-GP
+    double-backward overflows bfloat16 within a couple of critic steps
+    (measured on v5e: NaN at step 1 in bf16, stable in f32). The critic
+    is a tiny fraction of step time, so this costs nothing.
     """
 
     cfg: ModelConfig
@@ -172,7 +177,7 @@ class PhoneDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, probs: jax.Array, lengths: jax.Array) -> jax.Array:
         cfg = self.cfg
-        dt = _dtype(cfg)
+        dt = jnp.float32
         x = probs.astype(dt)
         x = x * _length_mask(x, lengths)
         for i in range(cfg.disc_layers):
