@@ -22,3 +22,23 @@ mount was empty; BASELINE.json is the binding spec).
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "Config",
+    "load_config",
+    "CTCTrainer",
+    "GANTrainer",
+    "EODMTrainer",
+]
+
+
+def __getattr__(name):  # lazy, so `import uasr` stays lightweight
+    if name in ("Config", "load_config"):
+        from uasr import config as _c
+
+        return getattr(_c, name)
+    if name in ("CTCTrainer", "GANTrainer", "EODMTrainer"):
+        from uasr import train as _t
+
+        return getattr(_t, name)
+    raise AttributeError(name)

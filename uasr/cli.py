@@ -74,17 +74,27 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     for ov in args.set:
+        if "=" not in ov:
+            raise SystemExit(f"--set expects key=value, got {ov!r}")
         key, val = ov.split("=", 1)
         parts = key.split(".")
         obj = cfg
-        for part in parts[:-1]:
-            obj = getattr(obj, part)
-        cur = getattr(obj, parts[-1])
+        try:
+            for part in parts[:-1]:
+                obj = getattr(obj, part)
+            cur = getattr(obj, parts[-1])
+        except AttributeError:
+            raise SystemExit(f"--set {key}: no such config field") from None
         cast = type(cur) if cur is not None else str
-        if cast is bool:
-            val = val.lower() in ("1", "true", "yes")
-        elif cast in (int, float):
-            val = cast(val)
+        try:
+            if cast is bool:
+                val = val.lower() in ("1", "true", "yes")
+            elif cast in (int, float):
+                val = cast(val)
+        except ValueError:
+            raise SystemExit(
+                f"--set {key}: cannot parse {val!r} as {cast.__name__}"
+            ) from None
         object.__setattr__(obj, parts[-1], val)
 
     examples, vocab = _load_examples(
