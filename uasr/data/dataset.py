@@ -25,7 +25,7 @@ from typing import Iterator, NamedTuple, Sequence
 
 import numpy as np
 
-from uasr.config import DataConfig, FrontendConfig
+from uasr.config import FrontendConfig
 from uasr.data.io import Utterance, read_utterance_list, read_wav
 from uasr.vocab import Vocab, make_vocab
 

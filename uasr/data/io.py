@@ -12,7 +12,6 @@ Lines with two fields are unlabeled (GAN/EODM audio side).
 from __future__ import annotations
 
 import os
-import struct
 import wave
 from dataclasses import dataclass
 

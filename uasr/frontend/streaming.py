@@ -26,7 +26,6 @@ from uasr.frontend.features import (
     FrontendState,
     frame_audio,
     power_frames,
-    preemphasize,
     _LOG_FLOOR,
     _HI,
 )

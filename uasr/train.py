@@ -25,7 +25,6 @@ from __future__ import annotations
 import signal
 import threading
 import time
-from functools import partial
 from typing import Any, Iterator, NamedTuple
 
 import jax
@@ -36,7 +35,7 @@ import optax
 from uasr.checkpoint import CheckpointManager
 from uasr.config import Config
 from uasr.data.dataset import Batch, TextBatch
-from uasr.frontend.features import FrontendState, compute_features, make_frontend_state
+from uasr.frontend.features import compute_features, make_frontend_state
 from uasr.frontend.specaugment import spec_augment
 from uasr.metrics import MetricWriter, log_stdout
 from uasr.models import PhoneClassifier, PhoneDiscriminator, build_model
