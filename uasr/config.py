@@ -157,6 +157,11 @@ class GANConfig:
     g_lr: float = 1e-4
     d_lr: float = 4e-4
     supervised_weight: float = 0.0  # semi-supervised CTC mix-in
+    # wav2vec-U-style segmental preprocessing (uasr/ops/segment.py)
+    segmenter: str = "none"  # none | kmeans
+    kmeans_clusters: int = 64
+    centroids_path: str | None = None  # npz with 'centroids' [K, D]
+    max_segments: int = 0  # 0 -> frame count (no cap)
 
 
 @dataclass

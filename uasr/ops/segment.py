@@ -1,0 +1,106 @@
+"""Segmental preprocessing for wav2vec-U-style adversarial training.
+
+BASELINE.json's stretch config is "self-supervised features +
+adversarial segmentation". The wav2vec-U recipe (Baevski et al. 2021)
+builds phone-like segments by (1) quantizing frame features with
+k-means, (2) cutting a segment boundary wherever the cluster id
+changes, and (3) mean-pooling features within each segment, so the
+generator sees phone-rate inputs instead of frame-rate ones. This
+module provides those three pieces TPU-natively:
+
+  - `kmeans_fit`: host-side Lloyd iterations (one-time prep pass, like
+    the reference's n-gram table building);
+  - `quantize`: nearest-centroid ids on device (one GEMM);
+  - `segment_pool`: jit-safe mean pooling over cluster-change segments
+    with static shapes (the boundary structure becomes a one-hot
+    [T, S] matmul so pooling runs on the MXU).
+
+The GAN trainer applies this in front of the generator when the recipe
+sets `gan.segmenter: kmeans` (see configs/wav2vecu_pod_stretch.yaml).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def kmeans_fit(
+    feats: np.ndarray, k: int, iters: int = 25, seed: int = 0
+) -> np.ndarray:
+    """Lloyd's algorithm on the host. feats: [N, D] -> centroids [k, D]."""
+    rng = np.random.RandomState(seed)
+    n = len(feats)
+    centroids = feats[rng.choice(n, size=k, replace=n < k)].copy()
+    for _ in range(iters):
+        d = ((feats[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = feats[assign == j]
+            if len(sel):
+                centroids[j] = sel.mean(0)
+            else:  # dead centroid: re-seed at the farthest point
+                centroids[j] = feats[d.min(1).argmax()]
+    return centroids.astype(np.float32)
+
+
+def quantize(feats: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Nearest-centroid ids. feats [B, T, D], centroids [K, D] -> [B, T]."""
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; only the last two matter
+    xc = jnp.einsum("btd,kd->btk", feats, centroids)
+    c2 = jnp.sum(centroids**2, axis=-1)
+    return jnp.argmin(c2[None, None, :] - 2.0 * xc, axis=-1)
+
+
+def smooth_ids(ids: jax.Array) -> jax.Array:
+    """Remove single-frame cluster blips: a frame whose two neighbours
+    agree with each other but not with it takes their id. Kills the
+    noise-driven boundary flicker that otherwise over-segments."""
+    prev = jnp.pad(ids, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+    nxt = jnp.pad(ids, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+    blip = (prev == nxt) & (ids != prev)
+    return jnp.where(blip, prev, ids)
+
+
+def segment_pool(
+    feats: jax.Array,
+    lengths: jax.Array,
+    cluster_ids: jax.Array,
+    max_segments: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Mean-pool features over runs of equal cluster id.
+
+    feats: [B, T, D]; lengths: [B]; cluster_ids: [B, T].
+    Returns (pooled [B, S, D], seg_lengths [B]) with S = max_segments
+    (default T). Frames past `lengths` are ignored; segments past an
+    utterance's count are zero.
+    """
+    B, T, D = feats.shape
+    S = max_segments or T
+    t = jnp.arange(T)[None, :]
+    valid = t < lengths[:, None]
+    prev = jnp.pad(cluster_ids, ((0, 0), (1, 0)), constant_values=-1)[:, :T]
+    new_seg = (cluster_ids != prev) & valid
+    seg_idx = jnp.cumsum(new_seg, axis=1) - 1  # [B, T], -1 before first
+    seg_idx = jnp.where(valid, seg_idx, S)  # padding frames drop out
+    onehot = jax.nn.one_hot(seg_idx, S, dtype=feats.dtype)  # [B, T, S]
+    sums = jnp.einsum("bts,btd->bsd", onehot, feats)
+    counts = jnp.einsum("bts->bs", onehot)
+    pooled = sums / jnp.maximum(counts, 1.0)[..., None]
+    seg_lengths = jnp.minimum(new_seg.sum(axis=1), S)
+    return pooled, seg_lengths
+
+
+def kmeans_segment_frontend(
+    feats: jax.Array,
+    lengths: jax.Array,
+    centroids: jax.Array,
+    max_segments: int | None = None,
+    smooth_passes: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """quantize -> blip-smooth -> segment -> pool (wav2vec-U chain)."""
+    ids = quantize(feats, centroids)
+    for _ in range(smooth_passes):
+        ids = smooth_ids(ids)
+    return segment_pool(feats, lengths, ids, max_segments)

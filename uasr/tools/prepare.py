@@ -92,6 +92,26 @@ def cmd_ngrams(args):
     print(f"wrote n-gram tables -> {args.out}")
 
 
+def cmd_kmeans(args):
+    from uasr.config import load_config
+    from uasr.data.dataset import ASRDataset
+    from uasr.frontend import oracle
+    from uasr.ops.segment import kmeans_fit
+    from uasr.vocab import load_vocab
+
+    cfg = load_config(args.config)
+    vocab = load_vocab(args.vocab)
+    ds = ASRDataset.from_file(args.list, vocab, cfg.frontend.sample_rate)
+    frames = []
+    for i in range(min(len(ds), args.max_utts)):
+        audio, _ = ds.example(i)
+        frames.append(oracle.oracle_fbank(audio, cfg.frontend))
+    feats = np.concatenate(frames, axis=0).astype(np.float32)
+    cents = kmeans_fit(feats, args.clusters, iters=args.iters, seed=args.seed)
+    np.savez(args.out, centroids=cents)
+    print(f"fit {args.clusters} centroids on {len(feats)} frames -> {args.out}")
+
+
 def cmd_synth(args):
     from uasr.data.dataset import make_synthetic_dataset
     from uasr.data.io import write_wav
@@ -150,6 +170,17 @@ def main(argv=None):
     n.add_argument("--top-k", type=int, default=1000)
     n.add_argument("--out", required=True)
     n.set_defaults(fn=cmd_ngrams)
+
+    km = sub.add_parser("kmeans")
+    km.add_argument("--list", required=True)
+    km.add_argument("--vocab", required=True)
+    km.add_argument("--config", required=True)
+    km.add_argument("--clusters", type=int, default=64)
+    km.add_argument("--iters", type=int, default=25)
+    km.add_argument("--max-utts", type=int, default=500)
+    km.add_argument("--seed", type=int, default=0)
+    km.add_argument("--out", required=True)
+    km.set_defaults(fn=cmd_kmeans)
 
     s = sub.add_parser("synth")
     s.add_argument("--out-dir", required=True)

@@ -218,7 +218,7 @@ class GANTrainer:
     conv critic over phone distributions, WGAN-GP, k D-steps per
     G-step, optional supervised CTC mix-in (semi-supervised)."""
 
-    def __init__(self, cfg: Config, mesh=None):
+    def __init__(self, cfg: Config, mesh=None, centroids=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.parallel.model_parallel
@@ -229,6 +229,21 @@ class GANTrainer:
         self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr)
         self.d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr)
         self._jit: dict = {}
+        # wav2vec-U-style segmental preprocessing (SURVEY.md stretch
+        # config): k-means centroids quantize frames; segments pool at
+        # cluster changes before the generator
+        self.centroids = None
+        if cfg.gan.segmenter == "kmeans":
+            if centroids is not None:
+                self.centroids = jnp.asarray(centroids)
+            elif cfg.gan.centroids_path:
+                self.centroids = jnp.asarray(
+                    np.load(cfg.gan.centroids_path)["centroids"]
+                )
+            else:
+                raise ValueError(
+                    "gan.segmenter=kmeans needs centroids (path or array)"
+                )
 
     def _gen_probs(self, g_params, batch: Batch):
         if batch.audio.ndim == 3:
@@ -239,6 +254,13 @@ class GANTrainer:
             feats, flen = compute_features(
                 batch.audio, batch.audio_lengths, self.frontend_state,
                 self.cfg.frontend,
+            )
+        if self.centroids is not None:
+            from uasr.ops.segment import kmeans_segment_frontend
+
+            feats, flen = kmeans_segment_frontend(
+                feats, flen, self.centroids,
+                self.cfg.gan.max_segments or None,
             )
         logits, out_len = self.gen.apply(g_params, feats, flen)
         return jax.nn.softmax(logits, axis=-1), out_len, logits
@@ -254,6 +276,13 @@ class GANTrainer:
                 jnp.asarray(example_audio.audio_lengths),
                 self.frontend_state,
                 self.cfg.frontend,
+            )
+        if self.centroids is not None:
+            from uasr.ops.segment import kmeans_segment_frontend
+
+            feats, flen = kmeans_segment_frontend(
+                feats, flen, self.centroids,
+                self.cfg.gan.max_segments or None,
             )
         g_params = self.gen.init(r1, feats, flen)
         real = jax.nn.one_hot(
