@@ -65,3 +65,30 @@ def test_empty_label_and_edge():
     g = jax.grad(lambda lg: ctc_loss_pallas(
         lg, llen, labels, ulen, interpret=True).sum())(logits)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_nonzero_blank_id():
+    logits, llen, labels, ulen = _problem(seed=3)
+    V = logits.shape[2]
+    # remap labels away from blank_id=3
+    labels = jnp.where(labels == 3, 7, labels)
+    ours = ctc_loss_pallas(logits, llen, labels, ulen, blank_id=3,
+                           interpret=True)
+    ref = ctc_loss(logits, llen, labels, ulen, blank_id=3)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4)
+
+
+def test_uniform_logits_degenerate():
+    """All-equal logits: loss finite, grads finite and sum ~ 0 per frame
+    (softmax VJP property)."""
+    logits = jnp.zeros((2, 8, 5))
+    labels = jnp.asarray([[1, 2], [3, 0]])
+    ulen = jnp.asarray([2, 1])
+    llen = jnp.asarray([8, 5])
+    loss = ctc_loss_pallas(logits, llen, labels, ulen, interpret=True)
+    assert np.isfinite(np.asarray(loss)).all()
+    g = jax.grad(lambda lg: ctc_loss_pallas(
+        lg, llen, labels, ulen, interpret=True).sum())(logits)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g.sum(-1), 0.0, atol=1e-5)
