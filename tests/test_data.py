@@ -108,3 +108,58 @@ def test_aligned_dataset_and_batching(tmp_path):
     # padding frames are -1
     row = b.frame_labels[list(b.label_lengths).index(1)]
     assert (row[2:] == -1).all()
+
+
+def test_prefetch_propagates_worker_errors():
+    def gen():
+        yield 1
+        raise ValueError("bad wav")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    try:
+        next(it)
+    except ValueError as e:
+        assert "bad wav" in str(e)
+    else:
+        raise AssertionError("worker exception was swallowed")
+
+
+def test_global_cmvn_wiring(tmp_path):
+    """prepare-cmvn artifact -> frontend_state_from_config -> cmvn='global'
+    features are normalized by the dataset stats (VERDICT round-1 item 2)."""
+    import jax.numpy as jnp
+
+    from uasr.frontend.features import (
+        compute_features,
+        frontend_state_from_config,
+    )
+
+    examples, _ = make_synthetic_dataset(num_utts=6, num_phones=4, seed=5)
+    cfg = FrontendConfig(num_mel_bins=20, cmvn="global")
+    mean, std = compute_cmvn_stats(examples, cfg)
+    path = str(tmp_path / "cmvn.npz")
+    np.savez(path, mean=mean, std=std)
+
+    # missing path fails loudly
+    try:
+        frontend_state_from_config(cfg)
+    except ValueError as e:
+        assert "cmvn_stats_path" in str(e)
+    else:
+        raise AssertionError("missing stats path did not raise")
+
+    cfg2 = FrontendConfig(
+        num_mel_bins=20, cmvn="global", cmvn_stats_path=path
+    )
+    state = frontend_state_from_config(cfg2)
+    audio = examples[0][0][None, :]
+    lengths = np.array([audio.shape[1]], np.int32)
+    feats, flen = compute_features(
+        jnp.asarray(audio), jnp.asarray(lengths), state, cfg2
+    )
+    # un-normalizing with the same stats reproduces the raw oracle fbank
+    raw = oracle.oracle_fbank(examples[0][0], cfg2)
+    T = int(flen[0])
+    undone = np.asarray(feats[0, :T]) * (std + 1e-8) + mean
+    np.testing.assert_allclose(undone, raw[:T], atol=2e-3)

@@ -131,3 +131,46 @@ def test_d_loss_and_double_backward():
     assert float(g_loss_fn(disc.apply(params, fake, lengths))) == -float(
         jnp.mean(disc.apply(params, fake, lengths))
     )
+
+
+def test_expected_ngram_k_chunk_equivalence():
+    """K-chunked table scan (stretch-recipe memory bound) matches the
+    unchunked computation, values and gradients."""
+    rng = np.random.RandomState(3)
+    B, T, V, K = 2, 10, 6, 7
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    lengths = jnp.asarray([10, 5])
+    ngrams = jnp.asarray(rng.randint(0, V, size=(K, 3)), jnp.int32)
+    probs = jax.nn.softmax(logits, -1)
+    ref = expected_ngram_logprobs(probs, lengths, ngrams)
+    for c in (1, 2, 3, 7, 100):
+        got = expected_ngram_logprobs(probs, lengths, ngrams, k_chunk=c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+    p_hat = jnp.asarray(rng.dirichlet(np.ones(K)).astype(np.float32))
+    g_ref = jax.grad(lambda lg: eodm_loss(lg, lengths, [(ngrams, p_hat)]))(logits)
+    g_chk = jax.grad(
+        lambda lg: eodm_loss(lg, lengths, [(ngrams, p_hat)], k_chunk=3)
+    )(logits)
+    np.testing.assert_allclose(np.asarray(g_chk), np.asarray(g_ref), rtol=1e-4)
+
+
+def test_ngram_table_save_load_roundtrip(tmp_path):
+    from uasr.config import EODMConfig
+    from uasr.ops.eodm import device_ngram_tables
+
+    seqs = [[1, 2, 3, 1, 2, 4], [2, 3, 1, 2]]
+    built = device_ngram_tables(EODMConfig(ngram_orders=(2, 3), top_k=5), seqs)
+    # persist via the prepare-format npz and reload through ngram_path
+    payload = {}
+    for (ids, probs), n in zip(built, (2, 3)):
+        payload[f"ids_{n}"] = np.asarray(ids)
+        payload[f"probs_{n}"] = np.asarray(probs)
+    path = str(tmp_path / "ngrams.npz")
+    np.savez(path, **payload)
+    loaded = device_ngram_tables(
+        EODMConfig(ngram_orders=(2, 3), ngram_path=path), seqs
+    )
+    for (i1, p1), (i2, p2) in zip(built, loaded):
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))

@@ -25,9 +25,11 @@ def _load_examples(cfg, split: str):
     from uasr.vocab import load_vocab
 
     if cfg.data.synthetic:
+        # distinct seed per split so dev/test are held-out strings
         examples, vocab = make_synthetic_dataset(
             num_utts=cfg.data.synthetic_num_utts,
             num_phones=(cfg.vocab_size - 2) if cfg.vocab_size else 16,
+            seed={"train": 0, "dev": 1, "test": 2}.get(split, 0),
         )
         return examples, vocab
     vocab = load_vocab(cfg.data.vocab_path)
@@ -39,9 +41,11 @@ def _load_examples(cfg, split: str):
     return examples, vocab
 
 
-def _batches(cfg, examples, num_epochs=None, seed=0):
+def _batches(cfg, examples, num_epochs="cfg", seed=0):
     from uasr.data.dataset import batch_iterator, prefetch
 
+    if num_epochs == "cfg":
+        num_epochs = cfg.data.num_epochs  # None = cycle forever
     max_samples = int(cfg.data.max_audio_seconds * cfg.frontend.sample_rate)
     boundaries = [
         int(s * cfg.frontend.sample_rate) for s in cfg.data.bucket_boundaries
@@ -73,29 +77,7 @@ def main(argv=None):
     from uasr.config import load_config
 
     cfg = load_config(args.config)
-    for ov in args.set:
-        if "=" not in ov:
-            raise SystemExit(f"--set expects key=value, got {ov!r}")
-        key, val = ov.split("=", 1)
-        parts = key.split(".")
-        obj = cfg
-        try:
-            for part in parts[:-1]:
-                obj = getattr(obj, part)
-            cur = getattr(obj, parts[-1])
-        except AttributeError:
-            raise SystemExit(f"--set {key}: no such config field") from None
-        cast = type(cur) if cur is not None else str
-        try:
-            if cast is bool:
-                val = val.lower() in ("1", "true", "yes")
-            elif cast in (int, float):
-                val = cast(val)
-        except ValueError:
-            raise SystemExit(
-                f"--set {key}: cannot parse {val!r} as {cast.__name__}"
-            ) from None
-        object.__setattr__(obj, parts[-1], val)
+    apply_overrides(cfg, args.set)
 
     examples, vocab = _load_examples(
         cfg, "train" if args.mode == "train" else "test"
@@ -117,16 +99,59 @@ def main(argv=None):
     raise SystemExit(f"unknown train.mode {mode!r}")
 
 
+def apply_overrides(cfg, overrides: list[str]) -> None:
+    """Apply ``key.path=value`` overrides in place, casting to the field's
+    current type (bool/int/float/str, and comma-split sequences for
+    tuple/list fields, e.g. ``--set data.bucket_boundaries=2,4,8``)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise SystemExit(f"--set expects key=value, got {ov!r}")
+        key, val = ov.split("=", 1)
+        parts = key.split(".")
+        obj = cfg
+        try:
+            for part in parts[:-1]:
+                obj = getattr(obj, part)
+            cur = getattr(obj, parts[-1])
+        except AttributeError:
+            raise SystemExit(f"--set {key}: no such config field") from None
+        cast = type(cur) if cur is not None else str
+        try:
+            if cast is bool:
+                val = val.lower() in ("1", "true", "yes")
+            elif cast in (int, float):
+                val = cast(val)
+            elif cast in (tuple, list):
+                val = cast(_scalar(v) for v in val.split(",") if v.strip())
+        except ValueError:
+            raise SystemExit(
+                f"--set {key}: cannot parse {val!r} as {cast.__name__}"
+            ) from None
+        object.__setattr__(obj, parts[-1], val)
+
+
+def _scalar(s: str):
+    """Best-effort element cast for --set sequence values."""
+    s = s.strip()
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
 def _dev_batches_fn(cfg, vocab):
     if cfg.data.dev_list is None and not cfg.data.synthetic:
         return None
-    if cfg.data.synthetic:
-        dev_examples, _ = _load_examples(cfg, "dev")
-    else:
-        dev_examples, _ = _load_examples(cfg, "dev")
+    dev_examples, _ = _load_examples(cfg, "dev")
 
     def fn():
-        return itertools.islice(_batches(cfg, dev_examples, num_epochs=1), 50)
+        return itertools.islice(
+            _batches(cfg, dev_examples, num_epochs=1),
+            cfg.train.dev_eval_batches,
+        )
 
     return fn
 

@@ -172,6 +172,10 @@ class EODMConfig:
     top_k: int = 1000  # top-K n-grams per order
     weight: float = 1.0
     ngram_path: str | None = None  # precomputed table; else built from text
+    # chunk the top-K axis inside the loss: peak memory is B*Tp*k_chunk
+    # instead of B*Tp*K (the stretch recipe's K=4000 would need ~3.3 GB
+    # per order unchunked at B=256, T~800)
+    k_chunk: int = 1024
 
 
 @dataclass
@@ -185,10 +189,12 @@ class DataConfig:
     max_audio_seconds: float = 16.0
     max_label_len: int = 256
     bucket_boundaries: tuple = ()  # seconds; empty -> single bucket
-    shuffle_buffer: int = 4096
+    shuffle_buffer: int = 4096  # window shuffle size of the streaming loader
+    streaming: bool = False  # stream + decode wavs per batch (flat RSS)
+    loader_threads: int = 0  # native decoder threads; 0 = hardware default
     synthetic: bool = False  # generate synthetic data (tests / benches)
     synthetic_num_utts: int = 128
-    num_epochs: int = 1
+    num_epochs: int | None = None  # None = cycle until train.total_steps
 
 
 @dataclass
@@ -206,6 +212,8 @@ class TrainConfig:
     log_every: int = 50
     keep_checkpoints: int = 5  # reference: CheckpointManager(max_to_keep)
     seed: int = 0
+    dev_eval_batches: int = 50  # cap on periodic dev-eval batches
+    tensorboard: bool = False  # also export scalars via tf.summary
 
 
 @dataclass

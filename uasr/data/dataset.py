@@ -299,15 +299,22 @@ def text_batch_iterator(
 
 
 def prefetch(it: Iterator, depth: int = 2) -> Iterator:
-    """Background-thread prefetch (the reference used tf.data prefetch)."""
+    """Background-thread prefetch (the reference used tf.data prefetch).
+
+    Worker exceptions (bad wav, rate mismatch, ...) are re-raised in the
+    consumer — the stream must fail loudly, not end early and
+    'successfully'."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    _ERR = object()
 
     def worker():
         try:
             for item in it:
                 q.put(item)
-        finally:
+        except BaseException as e:  # re-raised in the consumer
+            q.put((_ERR, e))
+        else:
             q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -316,6 +323,8 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item
 
 

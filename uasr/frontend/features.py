@@ -96,6 +96,28 @@ def make_frontend_state(
     )
 
 
+def frontend_state_from_config(cfg: FrontendConfig, dtype=jnp.float32) -> FrontendState:
+    """Build the constant bank, loading dataset-level CMVN statistics
+    from ``cfg.cmvn_stats_path`` when ``cmvn == "global"`` (the stats the
+    reference stored alongside its TFRecords, SURVEY.md §2.2; written by
+    ``python -m uasr.tools.prepare cmvn``)."""
+    mean = std = None
+    if cfg.cmvn == "global":
+        if not cfg.cmvn_stats_path:
+            raise ValueError(
+                "frontend.cmvn='global' requires frontend.cmvn_stats_path "
+                "(write one with: python -m uasr.tools.prepare cmvn)"
+            )
+        z = np.load(cfg.cmvn_stats_path)
+        mean, std = z["mean"], z["std"]
+        if mean.shape[-1] != cfg.base_dim:
+            raise ValueError(
+                f"CMVN stats dim {mean.shape[-1]} != frontend base_dim "
+                f"{cfg.base_dim} ({cfg.cmvn_stats_path})"
+            )
+    return make_frontend_state(cfg, mean, std, dtype)
+
+
 def num_frames(num_samples, frame_len: int, frame_shift: int):
     """Oracle framing count: 1 + floor((L - frame_len)/shift), min 1."""
     return jnp.maximum(1 + (num_samples - frame_len) // frame_shift, 1)
@@ -189,6 +211,11 @@ def apply_cmvn(
     if cfg.cmvn == "none":
         return feat
     if cfg.cmvn == "global":
+        if state.global_mean is None:
+            raise ValueError(
+                "cmvn='global' but the FrontendState has no stats; build it "
+                "with frontend_state_from_config (or pass mean/std explicitly)"
+            )
         return (feat - state.global_mean) / (state.global_std + eps)
     # per-utterance, masked over valid frames
     T = feat.shape[1]

@@ -55,16 +55,47 @@ def build_ngram_table(
     return NgramTable(ids=ids, probs=probs)
 
 
+def load_ngram_tables(path: str, orders: Sequence[int]) -> list[NgramTable]:
+    """Load tables written by ``python -m uasr.tools.prepare ngrams``
+    (npz with ids_{n}/probs_{n} per order)."""
+    z = np.load(path)
+    tables = []
+    for n in orders:
+        if f"ids_{n}" not in z:
+            raise ValueError(f"{path} has no order-{n} table (keys: {list(z)})")
+        tables.append(NgramTable(ids=z[f"ids_{n}"], probs=z[f"probs_{n}"]))
+    return tables
+
+
+def device_ngram_tables(ecfg, text_sequences) -> list[tuple[jax.Array, jax.Array]]:
+    """Tables as device arrays, from ``ecfg.ngram_path`` if set (the
+    reference's precomputed `get_dataset_ngram` artifact) else built from
+    the unpaired text corpus."""
+    if ecfg.ngram_path:
+        tables = load_ngram_tables(ecfg.ngram_path, ecfg.ngram_orders)
+    else:
+        tables = [
+            build_ngram_table(text_sequences, n, ecfg.top_k)
+            for n in ecfg.ngram_orders
+        ]
+    return [(jnp.asarray(t.ids), jnp.asarray(t.probs)) for t in tables]
+
+
 def expected_ngram_logprobs(
     probs: jax.Array,
     lengths: jax.Array,
     ngram_ids: jax.Array,
     log_floor: float = 1e-10,
+    k_chunk: int = 0,
 ) -> jax.Array:
     """log of batch-expected n-gram frequency for each table entry.
 
     probs: [B, T, V] frame posteriors; ngram_ids: [K, n].
     Returns [K] log p_model.
+
+    ``k_chunk > 0`` bounds peak memory to [B, Tp, k_chunk] by scanning the
+    table in chunks (lax.map); K=4000 at stretch batch sizes would
+    otherwise materialize ~3 GB per order.
     """
     B, T, V = probs.shape
     K, n = ngram_ids.shape
@@ -73,12 +104,23 @@ def expected_ngram_logprobs(
     pos_valid = (
         jnp.arange(Tp)[None, :] < jnp.maximum(lengths - n + 1, 0)[:, None]
     )  # [B, Tp]
-    prod = jnp.ones((B, Tp, K), probs.dtype)
-    for i in range(n):
-        # gather posteriors of symbol g_i at offset i: [B, Tp, K]
-        prod = prod * probs[:, i : i + Tp, :][..., ngram_ids[:, i]]
-    total = jnp.sum(prod * pos_valid[..., None], axis=(0, 1))  # [K]
     denom = jnp.maximum(jnp.sum(pos_valid), 1).astype(probs.dtype)
+
+    def chunk_totals(ids: jax.Array) -> jax.Array:
+        # ids: [C, n] -> [C] batch totals of the n-gram product
+        prod = jnp.ones((B, Tp, ids.shape[0]), probs.dtype)
+        for i in range(n):
+            # gather posteriors of symbol g_i at offset i: [B, Tp, C]
+            prod = prod * probs[:, i : i + Tp, :][..., ids[:, i]]
+        return jnp.sum(prod * pos_valid[..., None], axis=(0, 1))
+
+    if k_chunk <= 0 or K <= k_chunk:
+        total = chunk_totals(ngram_ids)
+    else:
+        pad = (-K) % k_chunk
+        ids_p = jnp.pad(ngram_ids, ((0, pad), (0, 0)))
+        chunks = ids_p.reshape(-1, k_chunk, n)
+        total = jax.lax.map(chunk_totals, chunks).reshape(-1)[:K]
     return jnp.log(jnp.maximum(total / denom, log_floor))
 
 
@@ -86,6 +128,7 @@ def eodm_loss(
     logits: jax.Array,
     lengths: jax.Array,
     tables: Sequence[tuple[jax.Array, jax.Array]],
+    k_chunk: int = 0,
 ) -> jax.Array:
     """Cross-entropy of empirical n-gram stats under the model's expected
     output distribution, summed over orders.
@@ -95,6 +138,6 @@ def eodm_loss(
     probs = jax.nn.softmax(logits, axis=-1)
     loss = 0.0
     for ids, p_hat in tables:
-        logp_model = expected_ngram_logprobs(probs, lengths, ids)
+        logp_model = expected_ngram_logprobs(probs, lengths, ids, k_chunk=k_chunk)
         loss = loss - jnp.sum(p_hat * logp_model)
     return loss

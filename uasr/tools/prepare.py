@@ -102,14 +102,16 @@ def cmd_kmeans(args):
     cfg = load_config(args.config)
     vocab = load_vocab(args.vocab)
     ds = ASRDataset.from_file(args.list, vocab, cfg.frontend.sample_rate)
+    # --clusters overrides the recipe's gan.kmeans_clusters
+    clusters = args.clusters or cfg.gan.kmeans_clusters
     frames = []
     for i in range(min(len(ds), args.max_utts)):
         audio, _ = ds.example(i)
         frames.append(oracle.oracle_fbank(audio, cfg.frontend))
     feats = np.concatenate(frames, axis=0).astype(np.float32)
-    cents = kmeans_fit(feats, args.clusters, iters=args.iters, seed=args.seed)
+    cents = kmeans_fit(feats, clusters, iters=args.iters, seed=args.seed)
     np.savez(args.out, centroids=cents)
-    print(f"fit {args.clusters} centroids on {len(feats)} frames -> {args.out}")
+    print(f"fit {clusters} centroids on {len(feats)} frames -> {args.out}")
 
 
 def cmd_synth(args):
@@ -175,7 +177,8 @@ def main(argv=None):
     km.add_argument("--list", required=True)
     km.add_argument("--vocab", required=True)
     km.add_argument("--config", required=True)
-    km.add_argument("--clusters", type=int, default=64)
+    km.add_argument("--clusters", type=int, default=0,
+                    help="0 -> recipe's gan.kmeans_clusters")
     km.add_argument("--iters", type=int, default=25)
     km.add_argument("--max-utts", type=int, default=500)
     km.add_argument("--seed", type=int, default=0)

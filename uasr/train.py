@@ -22,6 +22,7 @@ reference (SURVEY.md §5).
 
 from __future__ import annotations
 
+import itertools
 import signal
 import threading
 import time
@@ -35,14 +36,14 @@ import optax
 from uasr.checkpoint import CheckpointManager
 from uasr.config import Config
 from uasr.data.dataset import Batch, TextBatch
-from uasr.frontend.features import compute_features, make_frontend_state
+from uasr.frontend.features import compute_features, frontend_state_from_config
 from uasr.frontend.specaugment import spec_augment
 from uasr.metrics import MetricWriter, log_stdout
 from uasr.models import PhoneClassifier, PhoneDiscriminator, build_model
 from uasr.ops.ctc import ctc_loss
 from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
 from uasr.ops.edit_distance import batch_edit_distance
-from uasr.ops.eodm import build_ngram_table
+from uasr.ops.eodm import device_ngram_tables
 from uasr.ops.wgan import d_loss_fn, g_loss_fn
 from uasr.parallel.mesh import make_mesh, shard_batch
 
@@ -110,7 +111,7 @@ class CTCTrainer:
             cfg.parallel.model_parallel
         )
         self.model = build_model(cfg.model, cfg.dim_output)
-        self.frontend_state = make_frontend_state(cfg.frontend)
+        self.frontend_state = frontend_state_from_config(cfg.frontend)
         self.optimizer = make_optimizer(cfg)
         self._jit_cache: dict = {}
 
@@ -225,7 +226,7 @@ class GANTrainer:
         )
         self.gen = PhoneClassifier(cfg.model, cfg.dim_output)
         self.disc = PhoneDiscriminator(cfg.model)
-        self.frontend_state = make_frontend_state(cfg.frontend)
+        self.frontend_state = frontend_state_from_config(cfg.frontend)
         self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr)
         self.d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr)
         self._jit: dict = {}
@@ -388,15 +389,9 @@ class EODMTrainer:
             cfg.parallel.model_parallel
         )
         self.model = PhoneClassifier(cfg.model, cfg.dim_output)
-        self.frontend_state = make_frontend_state(cfg.frontend)
+        self.frontend_state = frontend_state_from_config(cfg.frontend)
         self.optimizer = make_optimizer(cfg)
-        self.tables = [
-            (jnp.asarray(t.ids), jnp.asarray(t.probs))
-            for t in (
-                build_ngram_table(text_sequences, n, cfg.eodm.top_k)
-                for n in cfg.eodm.ngram_orders
-            )
-        ]
+        self.tables = device_ngram_tables(cfg.eodm, text_sequences)
         self._jit: dict = {}
 
     def init_state(self, rng, example: Batch) -> TrainState:
@@ -417,7 +412,9 @@ class EODMTrainer:
             self.cfg.frontend,
         )
         logits, out_len = self.model.apply(params, feats, flen)
-        loss = self.cfg.eodm.weight * eodm_loss(logits, out_len, self.tables)
+        loss = self.cfg.eodm.weight * eodm_loss(
+            logits, out_len, self.tables, k_chunk=self.cfg.eodm.k_chunk
+        )
         return loss, {"eodm_loss": loss}
 
     def train_step(self, state: TrainState, batch: Batch):
@@ -443,15 +440,20 @@ class PreemptionGuard:
 
     def __init__(self):
         self.triggered = False
+        self._prev: dict = {}
         if threading.current_thread() is threading.main_thread():
-            for sig in (signal.SIGTERM,):
+            for sig in (signal.SIGTERM, signal.SIGINT):
                 try:
-                    self._prev = signal.signal(sig, self._handle)
+                    self._prev[sig] = signal.signal(sig, self._handle)
                 except (ValueError, OSError):
                     pass
 
     def _handle(self, signum, frame):
         self.triggered = True
+        # a second signal interrupts hard (e.g. double Ctrl-C)
+        prev = self._prev.get(signum)
+        if prev is not None:
+            signal.signal(signum, prev)
 
 
 # -------------------------------------------------------------- loops
@@ -467,12 +469,14 @@ def run_ctc_training(
     """The reference's epoch loop (SURVEY.md §3.1): train, periodic dev
     PER, periodic checkpoint, restore-latest resume."""
     trainer = trainer or CTCTrainer(cfg)
-    writer = MetricWriter(cfg.model_dir)
+    writer = MetricWriter(cfg.model_dir, also_tensorboard=cfg.train.tensorboard)
     ckpt = CheckpointManager(
         f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
     )
     rng = jax.random.PRNGKey(cfg.train.seed)
-    first = next(iter(train_batches))
+    train_it = iter(train_batches)
+    first = next(train_it)
+    train_it = itertools.chain([first], train_it)  # init peek, still trained on
     if state is None:
         state = trainer.init_state(rng, first)
         restored = ckpt.restore_latest(state)
@@ -483,7 +487,7 @@ def run_ctc_training(
     guard = PreemptionGuard()
     t0 = time.time()
     audio_sec_acc = 0.0
-    for batch in train_batches:
+    for batch in train_it:
         step = int(state.step)
         if step >= cfg.train.total_steps or guard.triggered:
             if guard.triggered:
@@ -535,7 +539,7 @@ def run_gan_training(
     from uasr.ops.eodm import eodm_loss
 
     trainer = GANTrainer(cfg)
-    writer = MetricWriter(cfg.model_dir)
+    writer = MetricWriter(cfg.model_dir, also_tensorboard=cfg.train.tensorboard)
     ckpt = CheckpointManager(
         f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
     )
@@ -547,6 +551,8 @@ def run_gan_training(
     audio_it = iter(audio_batches)
     first_a = next(audio_it)
     first_t = next(text_it)
+    audio_it = itertools.chain([first_a], audio_it)  # init peeks, still trained on
+    text_it = itertools.chain([first_t], text_it)
     state = trainer.init_state(rng, first_a, first_t)
     restored = ckpt.restore_latest(state)
     if restored is not None:
@@ -555,20 +561,16 @@ def run_gan_training(
 
     tables = None
     if with_eodm:
-        tables = [
-            (jnp.asarray(t.ids), jnp.asarray(t.probs))
-            for t in (
-                build_ngram_table(text_sequences, n, cfg.eodm.top_k)
-                for n in cfg.eodm.ngram_orders
-            )
-        ]
+        tables = device_ngram_tables(cfg.eodm, text_sequences)
 
         def g_step_eodm(state: GANState, audio: Batch, rng):
             def loss_fn(g_params):
                 probs, out_len, logits = trainer._gen_probs(g_params, audio)
                 score = trainer.disc.apply(state.d_params, probs, out_len)
                 g_l = g_loss_fn(score)
-                e_l = cfg.eodm.weight * eodm_loss(logits, out_len, tables)
+                e_l = cfg.eodm.weight * eodm_loss(
+                    logits, out_len, tables, k_chunk=cfg.eodm.k_chunk
+                )
                 return g_l + e_l, {"g_loss": g_l, "eodm_loss": e_l}
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -631,12 +633,14 @@ def run_eodm_training(
 ) -> tuple[EODMTrainer, TrainState]:
     """Reference EODM loop (SURVEY.md §3.3)."""
     trainer = EODMTrainer(cfg, text_sequences)
-    writer = MetricWriter(cfg.model_dir)
+    writer = MetricWriter(cfg.model_dir, also_tensorboard=cfg.train.tensorboard)
     ckpt = CheckpointManager(
         f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
     )
     audio_it = iter(audio_batches)
-    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), next(audio_it))
+    first = next(audio_it)
+    audio_it = itertools.chain([first], audio_it)  # init peek, still trained on
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), first)
     restored = ckpt.restore_latest(state)
     if restored is not None:
         state, start = restored
