@@ -151,3 +151,40 @@ def test_apply_overrides_sequences_and_scalars():
         pass
     else:
         raise AssertionError("bad int override did not raise")
+
+
+@pytest.mark.slow
+def test_cli_streaming_train_from_disk(tmp_path):
+    """data.streaming (default) drives training straight from wav files
+    via the native batch decoder — no corpus materialization."""
+    data = str(tmp_path / "data")
+    r = _run_prepare(["synth", "--out-dir", data, "--num-utts", "48",
+                      "--num-phones", "8"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    model_dir = str(tmp_path / "exp")
+    r = _run_cli(
+        ["-c", "configs/synthetic_smoke.yaml", "--mode", "train",
+         "--set", f"model_dir={model_dir}",
+         "--set", "data.synthetic=false",
+         "--set", f"data.train_list={os.path.join(data, 'train.tsv')}",
+         "--set", f"data.dev_list={os.path.join(data, 'dev.tsv')}",
+         "--set", f"data.vocab_path={os.path.join(data, 'vocab.txt')}",
+         "--set", "train.total_steps=8",
+         "--set", "train.log_every=4",
+         "--set", "train.save_every=8",
+         "--set", "train.eval_every=8"],
+        tmp_path,
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])
+    assert os.path.isdir(os.path.join(model_dir, "ckpt"))
+    # and infer over the same disk list
+    r2 = _run_cli(
+        ["-c", "configs/synthetic_smoke.yaml", "--mode", "infer",
+         "--set", f"model_dir={model_dir}",
+         "--set", "data.synthetic=false",
+         "--set", f"data.test_list={os.path.join(data, 'dev.tsv')}",
+         "--set", f"data.vocab_path={os.path.join(data, 'vocab.txt')}"],
+        tmp_path,
+    )
+    assert r2.returncode == 0, (r2.stderr[-3000:], r2.stdout[-500:])
+    assert "PER=" in r2.stdout

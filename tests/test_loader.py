@@ -1,0 +1,173 @@
+"""Streaming disk loader: parity with the in-memory path, bounded
+look-ahead (never holds >2 undelivered batches), loud failures, window
+shuffle coverage (VERDICT round-1 item 3)."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from uasr.data.dataset import make_synthetic_dataset, prefetch
+from uasr.data.io import write_wav
+from uasr.data.loader import StreamingASRDataset, _index_stream, scan_lengths
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    examples, vocab = make_synthetic_dataset(num_utts=40, num_phones=6, seed=7)
+    lines = []
+    for i, (audio, ids) in enumerate(examples):
+        path = str(root / f"utt{i:04d}.wav")
+        write_wav(path, audio, 16000)
+        toks = " ".join(vocab.tokens[j] for j in ids)
+        lines.append(f"utt{i:04d}\t{path}\t{toks}")
+    list_path = str(root / "train.tsv")
+    with open(list_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return list_path, examples, vocab
+
+
+def test_scan_lengths_header_only(corpus):
+    list_path, examples, vocab = corpus
+    ds = StreamingASRDataset.from_file(list_path, vocab)
+    # header scan matches the true (PCM16-quantized) lengths
+    for i, (audio, _) in enumerate(examples):
+        assert ds.num_samples[i] == len(audio)
+
+
+def test_stream_matches_materialized(corpus):
+    """Same seed + params -> identical batches to batch_iterator over the
+    decoded corpus (modulo PCM16 round-trip, exact by construction)."""
+    from uasr.data.dataset import batch_iterator
+
+    list_path, examples, vocab = corpus
+    ds = StreamingASRDataset.from_file(list_path, vocab)
+    # decode everything through the same wav files for bit-parity
+    from uasr.data.io import read_wav
+
+    decoded = []
+    for i, u in enumerate(ds.utts):
+        a, _ = read_wav(u.wav_path)
+        decoded.append((a, ds.labels[i]))
+    kw = dict(
+        batch_size=4, max_audio_samples=24000, max_label_len=12,
+        seed=3, num_epochs=1, bucket_boundaries=(8000, 16000, 24000),
+    )
+    got = list(ds.batches(**kw))
+    want = list(batch_iterator(decoded, **kw))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.audio, w.audio)
+        np.testing.assert_array_equal(g.audio_lengths, w.audio_lengths)
+        np.testing.assert_array_equal(g.labels, w.labels)
+        np.testing.assert_array_equal(g.label_lengths, w.label_lengths)
+
+
+def test_bounded_lookahead(corpus):
+    """Decoded-but-unconsumed batches never exceed the prefetch depth:
+    the loader holds at most ONE batch; prefetch(depth=2) bounds the
+    total in flight."""
+    list_path, _, vocab = corpus
+    ds = StreamingASRDataset.from_file(list_path, vocab)
+    decoded = 0
+    lock = threading.Lock()
+
+    def on_decode(batch):
+        nonlocal decoded
+        with lock:
+            decoded += 1
+
+    it = prefetch(
+        ds.batches(
+            batch_size=4, max_audio_samples=24000, max_label_len=12,
+            num_epochs=2, on_decode=on_decode,
+        ),
+        depth=2,
+    )
+    consumed = 0
+    import time
+
+    for batch in it:
+        consumed += 1
+        time.sleep(0.01)  # let the worker run ahead if it could
+        with lock:
+            ahead = decoded - consumed
+        # queue(2) + 1 in-flight put + 1 being built = 4 absolute worst case
+        assert ahead <= 4, f"loader ran {ahead} batches ahead"
+    assert consumed >= 10
+
+
+def test_decode_failure_is_loud(corpus, tmp_path):
+    list_path, _, vocab = corpus
+    ds = StreamingASRDataset.from_file(list_path, vocab)
+    # corrupt one path after the header scan
+    bad = str(tmp_path / "missing.wav")
+    ds.utts[3].wav_path = bad
+    with pytest.raises(ValueError):
+        list(ds.batches(batch_size=4, max_audio_samples=24000,
+                        max_label_len=12, num_epochs=1, shuffle=False))
+
+
+def test_rate_mismatch_rejected(corpus, tmp_path):
+    list_path, _, vocab = corpus
+    bad = str(tmp_path / "bad.tsv")
+    wav = str(tmp_path / "8k.wav")
+    write_wav(wav, np.zeros(800, np.float32), 8000)
+    with open(bad, "w") as f:
+        f.write(f"u0\t{wav}\tp1\n")
+    with pytest.raises(ValueError, match="rate"):
+        StreamingASRDataset.from_file(bad, vocab)
+
+
+def test_window_shuffle_is_a_permutation():
+    rng = np.random.RandomState(0)
+    for N, buf in [(100, 10), (50, 1), (10, 100), (64, 64)]:
+        out = list(_index_stream(N, rng, shuffle=True, buffer=buf))
+        assert sorted(out) == list(range(N))
+    # windowed order stays roughly local: element i appears within buf+slack
+    rng = np.random.RandomState(1)
+    out = list(_index_stream(1000, rng, shuffle=True, buffer=10))
+    lag = [abs(pos - v) for pos, v in enumerate(out)]
+    assert max(lag) < 200  # not a full shuffle
+    assert out != list(range(1000))  # but not the identity either
+
+
+def _rss_mb():
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+@pytest.mark.slow
+def test_flat_rss_over_large_corpus(tmp_path):
+    """Streaming 1000 utterances (~120 MB decoded) grows RSS by far less
+    than the corpus size — the loader truly streams."""
+    root = tmp_path / "big"
+    examples, vocab = make_synthetic_dataset(
+        num_utts=250, num_phones=6, min_len=6, max_len=12, seed=11
+    )
+    lines = []
+    k = 0
+    for rep in range(4):  # 1000 files from 250 distinct signals
+        for audio, ids in examples:
+            path = str(root / f"utt{k:05d}.wav")
+            write_wav(path, audio, 16000)
+            toks = " ".join(vocab.tokens[j] for j in ids)
+            lines.append(f"utt{k:05d}\t{path}\t{toks}")
+            k += 1
+    list_path = str(root / "train.tsv")
+    with open(list_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    ds = StreamingASRDataset.from_file(list_path, vocab)
+    corpus_mb = float(ds.num_samples.sum()) * 4 / 1e6
+    assert corpus_mb > 50, corpus_mb
+    before = _rss_mb()
+    n = 0
+    for b in prefetch(ds.batches(batch_size=8, max_audio_samples=32000,
+                                 max_label_len=16, num_epochs=1)):
+        n += 1
+    grown = _rss_mb() - before
+    assert n >= 100
+    assert grown < corpus_mb / 3, (grown, corpus_mb)

@@ -20,7 +20,11 @@ if os.environ.get("UASR_FORCE_CPU"):  # tests / machines without a TPU
     jax.config.update("jax_platforms", "cpu")
 
 
-def _load_examples(cfg, split: str):
+def _load_source(cfg, split: str):
+    """Data source for a split: ("examples", list) for synthetic /
+    materialized corpora, ("stream", StreamingASRDataset) when
+    data.streaming — disk-backed, flat RSS, native per-batch decode.
+    Returns (source, vocab)."""
     from uasr.data.dataset import ASRDataset, make_synthetic_dataset
     from uasr.vocab import load_vocab
 
@@ -31,17 +35,24 @@ def _load_examples(cfg, split: str):
             num_phones=(cfg.vocab_size - 2) if cfg.vocab_size else 16,
             seed={"train": 0, "dev": 1, "test": 2}.get(split, 0),
         )
-        return examples, vocab
+        return ("examples", examples), vocab
     vocab = load_vocab(cfg.data.vocab_path)
     path = getattr(cfg.data, f"{split}_list")
     if path is None:
         raise SystemExit(f"recipe has no data.{split}_list")
+    if cfg.data.streaming:
+        from uasr.data.loader import StreamingASRDataset
+
+        ds = StreamingASRDataset.from_file(
+            path, vocab, cfg.frontend.sample_rate
+        )
+        return ("stream", ds), vocab
     ds = ASRDataset.from_file(path, vocab, cfg.frontend.sample_rate)
     examples = [ds.example(i) for i in range(len(ds))]
-    return examples, vocab
+    return ("examples", examples), vocab
 
 
-def _batches(cfg, examples, num_epochs="cfg", seed=0):
+def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True):
     from uasr.data.dataset import batch_iterator, prefetch
 
     if num_epochs == "cfg":
@@ -50,13 +61,29 @@ def _batches(cfg, examples, num_epochs="cfg", seed=0):
     boundaries = [
         int(s * cfg.frontend.sample_rate) for s in cfg.data.bucket_boundaries
     ]
+    kind, payload = source
+    if kind == "stream":
+        return prefetch(
+            payload.batches(
+                batch_size=cfg.data.batch_size,
+                max_audio_samples=max_samples,
+                max_label_len=cfg.data.max_label_len,
+                seed=seed,
+                shuffle_buffer=cfg.data.shuffle_buffer,
+                drop_remainder=drop_remainder,
+                num_epochs=num_epochs,
+                bucket_boundaries=boundaries,
+                decode_threads=cfg.data.loader_threads,
+            )
+        )
     return prefetch(
         batch_iterator(
-            examples,
+            payload,
             batch_size=cfg.data.batch_size,
             max_audio_samples=max_samples,
             max_label_len=cfg.data.max_label_len,
             seed=seed,
+            drop_remainder=drop_remainder,
             num_epochs=num_epochs,
             bucket_boundaries=boundaries,
         )
@@ -79,7 +106,7 @@ def main(argv=None):
     cfg = load_config(args.config)
     apply_overrides(cfg, args.set)
 
-    examples, vocab = _load_examples(
+    source, vocab = _load_source(
         cfg, "train" if args.mode == "train" else "test"
     )
     if cfg.vocab_size is None:
@@ -88,14 +115,14 @@ def main(argv=None):
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     if args.mode == "infer":
-        return _infer(cfg, examples, vocab)
+        return _infer(cfg, source, vocab)
     mode = cfg.train.mode
     if mode == "ctc":
-        return _train_ctc(cfg, examples, vocab)
+        return _train_ctc(cfg, source, vocab)
     if mode in ("gan", "gan+eodm"):
-        return _train_gan(cfg, examples, vocab, with_eodm="+eodm" in mode)
+        return _train_gan(cfg, source, vocab, with_eodm="+eodm" in mode)
     if mode == "eodm":
-        return _train_eodm(cfg, examples, vocab)
+        return _train_eodm(cfg, source, vocab)
     raise SystemExit(f"unknown train.mode {mode!r}")
 
 
@@ -145,61 +172,64 @@ def _scalar(s: str):
 def _dev_batches_fn(cfg, vocab):
     if cfg.data.dev_list is None and not cfg.data.synthetic:
         return None
-    dev_examples, _ = _load_examples(cfg, "dev")
+    dev_source, _ = _load_source(cfg, "dev")
 
     def fn():
         return itertools.islice(
-            _batches(cfg, dev_examples, num_epochs=1),
+            _batches(cfg, dev_source, num_epochs=1, drop_remainder=False),
             cfg.train.dev_eval_batches,
         )
 
     return fn
 
 
-def _train_ctc(cfg, examples, vocab):
+def _train_ctc(cfg, source, vocab):
     from uasr.train import run_ctc_training
 
     run_ctc_training(
         cfg,
-        _batches(cfg, examples, seed=cfg.train.seed),
+        _batches(cfg, source, seed=cfg.train.seed),
         dev_batches_fn=_dev_batches_fn(cfg, vocab),
     )
     return 0
 
 
-def _train_gan(cfg, examples, vocab, with_eodm=False):
+def _train_gan(cfg, source, vocab, with_eodm=False):
     from uasr.train import run_gan_training
 
-    text = _load_text(cfg, examples, vocab)
+    text = _load_text(cfg, source, vocab)
     run_gan_training(
         cfg,
-        _batches(cfg, examples, seed=cfg.train.seed),
+        _batches(cfg, source, seed=cfg.train.seed),
         text,
         with_eodm=with_eodm,
     )
     return 0
 
 
-def _train_eodm(cfg, examples, vocab):
+def _train_eodm(cfg, source, vocab):
     from uasr.train import run_eodm_training
 
-    text = _load_text(cfg, examples, vocab)
+    text = _load_text(cfg, source, vocab)
     run_eodm_training(
-        cfg, _batches(cfg, examples, seed=cfg.train.seed), text
+        cfg, _batches(cfg, source, seed=cfg.train.seed), text
     )
     return 0
 
 
-def _load_text(cfg, examples, vocab):
+def _load_text(cfg, source, vocab):
     from uasr.data.dataset import TextDataset
 
     if cfg.data.text_path:
         return TextDataset.from_file(cfg.data.text_path, vocab).sequences
     # fall back to transcripts as "unpaired" text (synthetic / smoke runs)
-    return [ids for _, ids in examples if ids]
+    kind, payload = source
+    if kind == "stream":
+        return [ids for ids in payload.labels if ids]
+    return [ids for _, ids in payload if ids]
 
 
-def _infer(cfg, examples, vocab):
+def _infer(cfg, source, vocab):
     from uasr.checkpoint import CheckpointManager
     from uasr.infer import run_inference
     from uasr.train import CTCTrainer, GANTrainer, TrainState
@@ -207,7 +237,7 @@ def _infer(cfg, examples, vocab):
     mgr = CheckpointManager(
         f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
     )
-    first = next(_batches(cfg, examples, num_epochs=1))
+    first = next(_batches(cfg, source, num_epochs=1, drop_remainder=False))
     mode = cfg.train.mode
     if mode in ("gan", "gan+eodm"):
         # GAN-trained runs checkpoint a GANState; restore it and decode
@@ -241,7 +271,7 @@ def _infer(cfg, examples, vocab):
         state, step = restored
     res = run_inference(
         cfg, trainer, state,
-        _batches(cfg, examples, num_epochs=1),
+        _batches(cfg, source, num_epochs=1, drop_remainder=False),
         vocab=vocab,
         hyp_path=f"{cfg.model_dir}/hyp.txt",
     )

@@ -190,7 +190,8 @@ class DataConfig:
     max_label_len: int = 256
     bucket_boundaries: tuple = ()  # seconds; empty -> single bucket
     shuffle_buffer: int = 4096  # window shuffle size of the streaming loader
-    streaming: bool = False  # stream + decode wavs per batch (flat RSS)
+    streaming: bool = True  # stream + decode wavs per batch (flat RSS);
+    # False materializes the decoded corpus in RAM (small sets only)
     loader_threads: int = 0  # native decoder threads; 0 = hardware default
     synthetic: bool = False  # generate synthetic data (tests / benches)
     synthetic_num_utts: int = 128
