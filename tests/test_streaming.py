@@ -109,3 +109,30 @@ def test_streaming_through_compute_features_and_training():
     step = trainer.jitted_train_step()
     state, aux = step(state, Batch(*map(jnp.asarray, batch)), jax.random.PRNGKey(1))
     assert np.isfinite(float(aux["ctc_loss"]))
+
+
+def test_streaming_pallas_matches_xla_path():
+    """BASELINE.json #4 "chunked Pallas feature kernels": the streaming
+    chunk dispatches to the fused Pallas log-mel kernel; interpreter mode
+    must match the XLA chunk path to float32 tolerance."""
+    cfg = FrontendConfig(num_mel_bins=24, cmvn="streaming",
+                         streaming_chunk_frames=32)
+    fe = make_frontend_state(cfg)
+    B, L = 2, 3 * 5120
+    audio = jnp.asarray(np.stack([_audio(L, s) for s in (1, 2)]))
+    ref = streaming_features(audio, fe, cfg, use_pallas=False)
+    got = streaming_features(audio, fe, cfg, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # chunk-by-chunk (online) Pallas path carries state identically
+    st_ref = init_stream_state(B, cfg)
+    st_pl = init_stream_state(B, cfg)
+    S = 32 * cfg.frame_shift
+    for k in range(3):
+        chunk = audio[:, k * S : (k + 1) * S]
+        st_ref, f_ref = stream_chunk(st_ref, chunk, fe, cfg, use_pallas=False)
+        st_pl, f_pl = stream_chunk(st_pl, chunk, fe, cfg, use_pallas=True,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -56,6 +56,12 @@ def init_stream_state(
     )
 
 
+def _use_pallas(cfg: FrontendConfig, override: bool | None) -> bool:
+    if override is not None:
+        return override
+    return cfg.use_pallas and jax.default_backend() not in ("cpu",)
+
+
 def stream_chunk(
     state: StreamState,
     audio_chunk: jax.Array,
@@ -63,6 +69,8 @@ def stream_chunk(
     cfg: FrontendConfig,
     prior_count: float = 8.0,
     eps: float = 1e-8,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> tuple[StreamState, jax.Array]:
     """Process one chunk of `chunk_frames * frame_shift` samples.
 
@@ -70,6 +78,13 @@ def stream_chunk(
     Returns (new_state, feats [B, S // frame_shift, D]) — exactly
     S/frame_shift frames per chunk, each normalized causally by the
     running statistics including itself.
+
+    The log-mel itself dispatches to the fused Pallas kernel on TPU
+    (BASELINE.json config #4 "chunked Pallas feature kernels"); the
+    glued chunk of `overlap + S` samples yields exactly S/frame_shift
+    frames, so the kernel output needs no re-windowing. `use_pallas`
+    overrides the auto gating (cfg.use_pallas and non-CPU backend);
+    `interpret` runs the kernel in interpreter mode (CPU tests).
     """
     B, S = audio_chunk.shape
     FS, FL = cfg.frame_shift, cfg.frame_length
@@ -82,11 +97,23 @@ def stream_chunk(
 
     # splice the overlap tail from the previous chunk in front
     glued = jnp.concatenate([state.tail, x], axis=1)  # [B, overlap + S]
-    frames = frame_audio(glued, FL, FS)[:, :n_frames]
-    pspec = power_frames(frames, fe, cfg.n_fft)
-    logmel = jnp.log(
-        jnp.maximum(jnp.matmul(pspec, fe.mel_fb, precision=_HI), _LOG_FLOOR)
-    )  # [B, n, D]
+    if _use_pallas(cfg, use_pallas):
+        import math
+
+        from uasr.frontend.pallas_frontend import _pallas_log_mel
+
+        group = 128 // math.gcd(FS, 128)
+        block = -(-n_frames // group) * group
+        logmel = _pallas_log_mel(
+            glued, fe, FL, FS, cfg.n_fft, block_frames=block,
+            interpret=interpret,
+        )[:, :n_frames]
+    else:
+        frames = frame_audio(glued, FL, FS)[:, :n_frames]
+        pspec = power_frames(frames, fe, cfg.n_fft)
+        logmel = jnp.log(
+            jnp.maximum(jnp.matmul(pspec, fe.mel_fb, precision=_HI), _LOG_FLOOR)
+        )  # [B, n, D]
 
     # causal running CMVN: frame t is normalized with stats of frames
     # <= t (cumulative within the chunk, seeded by the carried totals)
@@ -116,6 +143,8 @@ def streaming_features(
     audio: jax.Array,
     fe: FrontendState,
     cfg: FrontendConfig,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Offline driver: run the streaming path over a full utterance with
     `lax.scan` over chunks. Output frames equal feeding the chunks one
@@ -131,7 +160,9 @@ def streaming_features(
     state = init_stream_state(B, cfg, audio.dtype)
 
     def step(st, chunk):
-        st, f = stream_chunk(st, chunk, fe, cfg)
+        st, f = stream_chunk(
+            st, chunk, fe, cfg, use_pallas=use_pallas, interpret=interpret
+        )
         return st, f
 
     _, feats = jax.lax.scan(step, state, chunks)  # [n, B, cf, D]
