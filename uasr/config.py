@@ -156,6 +156,10 @@ class GANConfig:
     disc_steps: int = 3  # D updates per G update
     g_lr: float = 1e-4
     d_lr: float = 4e-4
+    # smooth the real one-hot text toward uniform (wav2vec-U trick):
+    # without it the critic separates real/fake by peakedness alone and
+    # the Wasserstein estimate runs away
+    real_label_smooth: float = 0.0
     supervised_weight: float = 0.0  # semi-supervised CTC mix-in
     # wav2vec-U-style segmental preprocessing (uasr/ops/segment.py)
     segmenter: str = "none"  # none | kmeans

@@ -52,8 +52,6 @@ def ctc_greedy_decode(
 
 
 class _BeamState(NamedTuple):
-    tokens: jax.Array  # [B, W, T] prefix buffer
-    lengths: jax.Array  # [B, W]
     last: jax.Array  # [B, W] last symbol (-1 if empty)
     hash1: jax.Array  # [B, W] rolling hashes of the prefix
     hash2: jax.Array
@@ -69,18 +67,28 @@ def _logaddexp(a, b):
     )
 
 
-def _segment_logsumexp(scores, seg_ids, num_segments):
-    """Log-sum-exp of `scores` grouped by seg_ids (per batch row folded
-    into seg_ids already). scores: [N], seg_ids: [N] in [0, num_segments)."""
-    seg_max = jax.ops.segment_max(
-        scores, seg_ids, num_segments=num_segments, indices_are_sorted=True
-    )
-    seg_max = jnp.maximum(seg_max, NEG)
-    shifted = jnp.exp(scores - seg_max[seg_ids])
-    seg_sum = jax.ops.segment_sum(
-        shifted, seg_ids, num_segments=num_segments, indices_are_sorted=True
-    )
-    return seg_max + jnp.log(jnp.maximum(seg_sum, 1e-38))
+def _segmented_logaddexp_to_first(values, first):
+    """Per-segment log-sum-exp delivered AT THE FIRST element of each
+    segment, where `first` [B, K] marks segment starts along axis 1 and
+    segments are contiguous (the candidate list is hash-sorted).
+
+    Implemented as a reverse segmented scan via associative_scan on the
+    flipped axis — log-depth vector ops, no scatters (jax.ops.segment_*
+    lowers to scatter-adds, the slowest op class on TPU)."""
+    flags = jnp.pad(first[:, 1:], ((0, 0), (0, 1)), constant_values=True)
+    rev = lambda x: x[:, ::-1]
+
+    def op(a, b):
+        # b is the later element in scan order; a its accumulated left
+        out_v = tuple(
+            jnp.where(b[-1], bv, _logaddexp(av, bv))
+            for av, bv in zip(a[:-1], b[:-1])
+        )
+        return out_v + (a[-1] | b[-1],)
+
+    carried = tuple(rev(v) for v in values) + (rev(flags),)
+    scanned = jax.lax.associative_scan(op, carried, axis=1)
+    return tuple(rev(s) for s in scanned[:-1])
 
 
 def ctc_beam_search_decode(
@@ -88,19 +96,31 @@ def ctc_beam_search_decode(
     lengths: jax.Array,
     beam_width: int = 8,
     blank_id: int = 0,
+    prune: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Vectorized CTC prefix beam search, fully on device.
 
     Returns (ids [B, T] best prefix padded with blank_id, out_lengths [B],
     log-prob [B] of the best prefix).
+
+    Two design points keep the scan O(T) instead of O(T^2) (round-1
+    version was 131x slower than greedy):
+
+      - prefixes are never materialized in the scan; each step emits
+        (parent, char) backpointers and the winning prefix is rebuilt by
+        one reverse traceback scan at the end;
+      - extend candidates are pruned per beam to the top `prune` symbols
+        before the global hash-merge sort (default min(V, 2W)); a pruned
+        extension can only lose mass that merging would have added to an
+        already-surviving prefix, so sequence choice is unaffected in
+        practice and exact whenever prune >= V.
     """
     B, T, V = logits.shape
     W = beam_width
+    P = min(V, 2 * W) if prune is None else min(V, max(prune, 1))
     logp = jax.nn.log_softmax(logits, axis=-1)
 
     init = _BeamState(
-        tokens=jnp.zeros((B, W, T), jnp.int32),
-        lengths=jnp.zeros((B, W), jnp.int32),
         last=jnp.full((B, W), -1, jnp.int32),
         hash1=jnp.zeros((B, W), jnp.uint32),
         hash2=jnp.zeros((B, W), jnp.uint32),
@@ -136,46 +156,44 @@ def ctc_beam_search_decode(
         ext_pnb = base + lp_t[:, None, :]
         ext_pnb = jnp.where(not_blank[None, None, :], ext_pnb, NEG)
 
-        # ---- flatten candidates: W stay + W*V extend = K
-        K = W + W * V
-        h1_ext = state.hash1[..., None] * _HASH_MULT + (sym + 1)[None, None, :].astype(
-            jnp.uint32
-        )
-        h2_ext = state.hash2[..., None] * jnp.uint32(40503) + (sym + 7)[
-            None, None, :
-        ].astype(jnp.uint32)
+        # ---- per-beam prune to the top-P symbols: [B, W, P]
+        if P < V:
+            ext_pnb, ext_sym = jax.lax.top_k(ext_pnb, P)
+        else:
+            ext_sym = jnp.broadcast_to(sym[None, None, :], (B, W, V))
 
-        cand_pb = jnp.concatenate([stay_pb, jnp.full((B, W * V), NEG)], axis=1)
-        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(B, W * V)], axis=1)
-        cand_h1 = jnp.concatenate([state.hash1, h1_ext.reshape(B, W * V)], axis=1)
-        cand_h2 = jnp.concatenate([state.hash2, h2_ext.reshape(B, W * V)], axis=1)
+        # ---- flatten candidates: W stay + W*P extend = K
+        K = W + W * P
+        ext_u = ext_sym.astype(jnp.uint32)
+        h1_ext = state.hash1[..., None] * _HASH_MULT + (ext_u + 1)
+        h2_ext = state.hash2[..., None] * jnp.uint32(40503) + (ext_u + 7)
+
+        cand_pb = jnp.concatenate([stay_pb, jnp.full((B, W * P), NEG)], axis=1)
+        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(B, W * P)], axis=1)
+        cand_h1 = jnp.concatenate([state.hash1, h1_ext.reshape(B, W * P)], axis=1)
+        cand_h2 = jnp.concatenate([state.hash2, h2_ext.reshape(B, W * P)], axis=1)
         cand_parent = jnp.concatenate(
             [
                 jnp.arange(W, dtype=jnp.int32)[None].repeat(B, 0),
                 jnp.arange(W, dtype=jnp.int32)[None, :, None]
-                .repeat(V, 2)
-                .reshape(1, W * V)
+                .repeat(P, 2)
+                .reshape(1, W * P)
                 .repeat(B, 0),
             ],
             axis=1,
         )
         cand_char = jnp.concatenate(
-            [
-                jnp.full((B, W), -1, jnp.int32),
-                sym[None, None, :].repeat(W, 1).reshape(1, W * V).repeat(B, 0),
-            ],
+            [jnp.full((B, W), -1, jnp.int32), ext_sym.reshape(B, W * P)],
             axis=1,
         )
 
-        # ---- merge duplicates: sort by hash, segment-logsumexp
-        order = jnp.argsort(cand_h1, axis=1)
-        h1 = jnp.take_along_axis(cand_h1, order, 1)
-        h2 = jnp.take_along_axis(cand_h2, order, 1)
-        pb = jnp.take_along_axis(cand_pb, order, 1)
-        pnb = jnp.take_along_axis(cand_pnb, order, 1)
-        parent = jnp.take_along_axis(cand_parent, order, 1)
-        char = jnp.take_along_axis(cand_char, order, 1)
-
+        # ---- merge duplicates: one multi-operand sort by hash, then a
+        # segmented log-sum-exp scan over the contiguous hash runs
+        h1, h2, pb, pnb, parent, char = jax.lax.sort(
+            (cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char),
+            dimension=1,
+            num_keys=1,
+        )
         prev_h1 = jnp.pad(h1, ((0, 0), (1, 0)))[:, :K]
         prev_h2 = jnp.pad(h2, ((0, 0), (1, 0)))[:, :K]
         first = (
@@ -183,13 +201,10 @@ def ctc_beam_search_decode(
             | (h2 != prev_h2)
             | (jnp.arange(K)[None, :] == 0)
         )
-        seg_in_row = jnp.cumsum(first, axis=1) - 1  # [B, K]
-        seg_ids = (seg_in_row + jnp.arange(B)[:, None] * K).reshape(-1)
-        m_pb = _segment_logsumexp(pb.reshape(-1), seg_ids, B * K).reshape(B, K)
-        m_pnb = _segment_logsumexp(pnb.reshape(-1), seg_ids, B * K).reshape(B, K)
+        m_pb, m_pnb = _segmented_logaddexp_to_first((pb, pnb), first)
         # representative = first element of segment; others get NEG
-        pb = jnp.where(first, jnp.take_along_axis(m_pb, seg_in_row, 1), NEG)
-        pnb = jnp.where(first, jnp.take_along_axis(m_pnb, seg_in_row, 1), NEG)
+        pb = jnp.where(first, m_pb, NEG)
+        pnb = jnp.where(first, m_pnb, NEG)
 
         # ---- top-W by total score
         total = _logaddexp(pb, pnb)
@@ -203,30 +218,11 @@ def ctc_beam_search_decode(
         new_h1 = take(h1)
         new_h2 = take(h2)
 
-        # ---- rebuild prefix buffers from parents
-        gather_beam = lambda arr: jnp.take_along_axis(
-            arr, new_parent[..., None] if arr.ndim == 3 else new_parent, 1
-        )
-        tokens = jnp.take_along_axis(
-            state.tokens, new_parent[..., None].repeat(T, -1), 1
-        )
-        lengths_w = gather_beam(state.lengths)
-        last_w = gather_beam(state.last)
-
+        last_w = jnp.take_along_axis(state.last, new_parent, 1)
         is_ext = new_char >= 0
-        # write the new char at position lengths (static T buffer)
-        wpos = jnp.where(is_ext, lengths_w, T)  # drop when not extending
-        bi = jnp.arange(B)[:, None].repeat(W, 1)
-        wi = jnp.arange(W)[None, :].repeat(B, 0)
-        tokens = tokens.at[bi, wi, wpos].set(
-            jnp.maximum(new_char, 0), mode="drop"
-        )
-        new_lengths = lengths_w + is_ext.astype(jnp.int32)
         new_last = jnp.where(is_ext, new_char, last_w)
 
         new_state = _BeamState(
-            tokens=tokens,
-            lengths=new_lengths,
             last=new_last,
             hash1=new_h1,
             hash2=new_h2,
@@ -236,24 +232,40 @@ def ctc_beam_search_decode(
         # freeze finished utterances
         active = (t < lengths)[:, None]
         merged = jax.tree.map(
-            lambda n, o: jnp.where(
-                active.reshape((B,) + (1,) * (n.ndim - 1)), n, o
-            ),
-            new_state,
-            state,
+            lambda n, o: jnp.where(active, n, o), new_state, state
         )
-        return merged, None
+        # backpointers for the final traceback; frozen steps emit the
+        # identity so the traceback passes through them unchanged
+        out_parent = jnp.where(
+            active, new_parent, jnp.arange(W, dtype=jnp.int32)[None, :]
+        )
+        out_char = jnp.where(active & is_ext, new_char, -1)
+        return merged, (out_parent, out_char)
 
-    state, _ = jax.lax.scan(
+    state, (parents, chars) = jax.lax.scan(
         step, init, (jnp.moveaxis(logp, 1, 0), jnp.arange(T))
     )
     best = jnp.argmax(_logaddexp(state.p_b, state.p_nb), axis=1)  # [B]
-    pick = lambda arr: jnp.take_along_axis(
-        arr, best.reshape(B, *([1] * (arr.ndim - 1))), 1
-    ).squeeze(1)
-    ids = pick(state.tokens)
-    out_len = pick(state.lengths)
-    score = pick(_logaddexp(state.p_b, state.p_nb))
-    # pad tail with blank_id for cleanliness
-    ids = jnp.where(jnp.arange(T)[None, :] < out_len[:, None], ids, blank_id)
+
+    # ---- traceback: walk parents from t = T-1 down, collecting chars
+    def back(idx, inp):
+        parent_t, char_t = inp  # [B, W]
+        c = jnp.take_along_axis(char_t, idx[:, None], 1)[:, 0]
+        nxt = jnp.take_along_axis(parent_t, idx[:, None], 1)[:, 0]
+        return nxt, c
+
+    _, path_chars = jax.lax.scan(back, best, (parents, chars), reverse=True)
+    path = path_chars.T  # [B, T]; char emitted at step t, -1 = none
+
+    # compact: drop -1 entries, left-align (same scatter trick as greedy)
+    keep = path >= 0
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, T)
+    ids = jnp.full((B, T), blank_id, dtype=jnp.int32)
+    b_idx = jnp.arange(B)[:, None].repeat(T, 1)
+    ids = ids.at[b_idx, pos].set(jnp.maximum(path, 0), mode="drop")
+    out_len = keep.sum(axis=1)
+    score = jnp.take_along_axis(
+        _logaddexp(state.p_b, state.p_nb), best[:, None], 1
+    )[:, 0]
     return ids, out_len, score

@@ -298,10 +298,21 @@ class GANTrainer:
             d_opt=self.d_opt.init(d_params),
         )
 
+    def _real_dist(self, ids: jax.Array) -> jax.Array:
+        """One-hot real text, optionally smoothed toward uniform
+        (gan.real_label_smooth; wav2vec-U's fix for the peakedness
+        shortcut the critic otherwise exploits)."""
+        V = self.cfg.dim_output
+        real = jax.nn.one_hot(ids, V)
+        s = self.cfg.gan.real_label_smooth
+        if s > 0:
+            real = real * (1.0 - s) + s / V
+        return real
+
     def d_step(self, state: GANState, audio: Batch, text: TextBatch, rng):
         fake, fake_len, _ = self._gen_probs(state.g_params, audio)
         fake = jax.lax.stop_gradient(fake)
-        real = jax.nn.one_hot(text.ids, self.cfg.dim_output)
+        real = self._real_dist(text.ids)
 
         def loss_fn(d_params):
             return d_loss_fn(
