@@ -85,6 +85,11 @@ class FrontendConfig:
     specaug_time_masks: int = 0
     # implementation selection
     use_pallas: bool = True  # fused Pallas kernel on TPU, jnp elsewhere
+    # GEMM precision of the DFT/mel matmuls: "highest" reproduces the
+    # float64 oracle to 1e-4 (6-pass f32 emulation on the MXU);
+    # "bfloat16" runs native single-pass MXU (~4x faster frontend,
+    # features shift ~1e-2 after CMVN — below SpecAugment noise)
+    precision: str = "highest"  # highest | high | bfloat16
     # streaming (AISHELL streaming-CMVN config)
     streaming_chunk_frames: int = 0  # >0 -> chunked streaming frontend
 
@@ -160,12 +165,24 @@ class GANConfig:
     # without it the critic separates real/fake by peakedness alone and
     # the Wasserstein estimate runs away
     real_label_smooth: float = 0.0
+    adam_b1: float = 0.5  # low momentum for both GAN opts (WGAN-GP paper)
+    # push G's posteriors toward one-hot (removes the peakedness tell;
+    # wav2vec-U's entropy penalty)
+    entropy_weight: float = 0.0
+    # maximize entropy of the batch-mean posterior (wav2vec-U's phoneme
+    # diversity loss; prevents collapse to a constant output)
+    diversity_weight: float = 0.0
+    d_weight_decay: float = 0.0  # bounds critic scale growth
     supervised_weight: float = 0.0  # semi-supervised CTC mix-in
     # wav2vec-U-style segmental preprocessing (uasr/ops/segment.py)
     segmenter: str = "none"  # none | kmeans
     kmeans_clusters: int = 64
     centroids_path: str | None = None  # npz with 'centroids' [K, D]
     max_segments: int = 0  # 0 -> frame count (no cap)
+    segment_mode_radius: int = 0  # >0: majority-vote de-flicker window
+    # quantize on the raw (pre-CMVN) feature view; per-utterance CMVN
+    # amplifies silent bins to unit variance and drowns k-means distances
+    segment_on_raw: bool = False
 
 
 @dataclass

@@ -143,11 +143,29 @@ def preemphasize(audio: jax.Array, k: float) -> jax.Array:
 _HI = jax.lax.Precision.HIGHEST
 
 
-def power_frames(frames: jax.Array, state: FrontendState, n_fft: int) -> jax.Array:
+def _gemm(a: jax.Array, b: jax.Array, precision: str) -> jax.Array:
+    """Frontend GEMM at the configured fidelity: "highest" = 6-pass f32
+    emulation (oracle parity to 1e-4), "high" = 3-pass (~2x faster,
+    ~1e-3 feature error), "bfloat16" = native single-pass MXU (~4x
+    faster but log() blows up silent-bin error; training-only)."""
+    if precision == "bfloat16":
+        return jnp.matmul(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    if precision == "high":
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def power_frames(
+    frames: jax.Array, state: FrontendState, n_fft: int,
+    precision: str = "highest",
+) -> jax.Array:
     """Windowed frames -> power spectrum via two MXU GEMMs."""
     w = frames * state.window
-    re = jnp.matmul(w, state.cos_basis, precision=_HI)
-    im = jnp.matmul(w, state.sin_basis, precision=_HI)
+    re = _gemm(w, state.cos_basis, precision)
+    im = _gemm(w, state.sin_basis, precision)
     return (re * re + im * im) * (1.0 / n_fft)
 
 
@@ -157,9 +175,9 @@ def log_mel_frontend(
     """[B, L] waveform -> [B, T, num_mel] log-mel (the kernel-bank hot path)."""
     x = preemphasize(audio, cfg.preemph)
     frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
-    pspec = power_frames(frames, state, cfg.n_fft)
+    pspec = power_frames(frames, state, cfg.n_fft, cfg.precision)
     return jnp.log(
-        jnp.maximum(jnp.matmul(pspec, state.mel_fb, precision=_HI), _LOG_FLOOR)
+        jnp.maximum(_gemm(pspec, state.mel_fb, cfg.precision), _LOG_FLOOR)
     )
 
 
@@ -278,15 +296,16 @@ def compute_features(
     if use_pallas:
         from uasr.frontend.pallas_frontend import pallas_log_mel_frontend
 
-        feat = pallas_log_mel_frontend(audio, state, cfg)
+        feat = pallas_log_mel_frontend(audio, state, cfg,
+                                       precision=cfg.precision)
         if cfg.feature_type == "mfcc":
             feat = _mfcc_from_logmel(feat, None, state, cfg)
     else:
         x = preemphasize(audio, cfg.preemph)
         frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
-        pspec = power_frames(frames, state, cfg.n_fft)
+        pspec = power_frames(frames, state, cfg.n_fft, cfg.precision)
         feat = jnp.log(
-            jnp.maximum(jnp.matmul(pspec, state.mel_fb, precision=_HI), _LOG_FLOOR)
+            jnp.maximum(_gemm(pspec, state.mel_fb, cfg.precision), _LOG_FLOOR)
         )
         if cfg.feature_type == "mfcc":
             feat = _mfcc_from_logmel(feat, pspec.sum(-1), state, cfg)

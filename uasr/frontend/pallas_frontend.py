@@ -83,13 +83,43 @@ def _log_mel_kernel(
                 :-1, : frame_len - head
             ]
     w = frames[:] * window_ref[0, :]
-    re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)
-    im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)
-    power = (re * re + im * im) * (1.0 / n_fft)
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
-                  precision=precision)
+    if precision == "bfloat16":
+        # native single-pass MXU (see FrontendConfig.precision)
+        w16 = w.astype(jnp.bfloat16)
+        re = jnp.dot(w16, cos_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(w16, sin_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        power = (re * re + im * im) * (1.0 / n_fft)
+        mel = jnp.dot(power.astype(jnp.bfloat16),
+                      mel_ref[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    elif precision == "high":
+        # bf16x3 split (Mosaic has no HIGH lowering): a = hi + lo,
+        # a@b ~ hi@bh + hi@bl + lo@bh — 3 native passes, ~1e-3 features
+        def dot3(a, b):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (
+                jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+                + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+                + jnp.dot(al, bh, preferred_element_type=jnp.float32)
+            )
+
+        re = dot3(w, cos_ref[:])
+        im = dot3(w, sin_ref[:])
+        power = (re * re + im * im) * (1.0 / n_fft)
+        mel = dot3(power, mel_ref[:])
+    else:
+        re = jnp.dot(w, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=_HI)
+        im = jnp.dot(w, sin_ref[:], preferred_element_type=jnp.float32,
+                     precision=_HI)
+        power = (re * re + im * im) * (1.0 / n_fft)
+        mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                      precision=_HI)
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
 
 
@@ -106,7 +136,7 @@ def _pallas_log_mel(
     n_fft: int,
     block_frames: int = 128,
     interpret: bool = False,
-    precision=_HI,
+    precision: str = "highest",
 ) -> jax.Array:
     """[B, L] pre-emphasized audio -> [B, T, M] log-mel."""
     B, L = audio.shape
@@ -188,7 +218,7 @@ def pallas_log_mel_frontend(
     cfg: FrontendConfig,
     block_frames: int = 128,
     interpret: bool = False,
-    precision=_HI,
+    precision: str = "highest",
 ) -> jax.Array:
     """Drop-in fused replacement for features.log_mel_frontend."""
     x = preemphasize(audio, cfg.preemph)

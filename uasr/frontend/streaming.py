@@ -106,11 +106,11 @@ def stream_chunk(
         block = -(-n_frames // group) * group
         logmel = _pallas_log_mel(
             glued, fe, FL, FS, cfg.n_fft, block_frames=block,
-            interpret=interpret,
+            interpret=interpret, precision=cfg.precision,
         )[:, :n_frames]
     else:
         frames = frame_audio(glued, FL, FS)[:, :n_frames]
-        pspec = power_frames(frames, fe, cfg.n_fft)
+        pspec = power_frames(frames, fe, cfg.n_fft, cfg.precision)
         logmel = jnp.log(
             jnp.maximum(jnp.matmul(pspec, fe.mel_fb, precision=_HI), _LOG_FLOOR)
         )  # [B, n, D]

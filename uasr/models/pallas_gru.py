@@ -54,8 +54,18 @@ def _gates_2d(xp, hproj, h_prev):
     return r, z, n, hn, h_cand
 
 
+def _batch_tile(B: int, cap: int = 128) -> int:
+    """Largest divisor of B that is <= cap (the per-grid-step batch tile:
+    keeps all VMEM temporaries bounded regardless of batch size, lifting
+    round-1's B*H ceiling — NOTES_ROUND1.md item 6)."""
+    bt = min(B, cap)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
 def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -93,8 +103,8 @@ def _bwd_kernel(
     dhproj_ref,  # out [1, G, B, 3H] (dwh/dbh reduced outside)
     dh_scr,  # [G, B, H] carried dL/dh_prev
 ):
-    t_rev = pl.program_id(0)  # 0 = last timestep
-    T = pl.num_programs(0)
+    t_rev = pl.program_id(1)  # 0 = last timestep
+    T = pl.num_programs(1)
 
     @pl.when(t_rev == 0)
     def _():
@@ -150,24 +160,28 @@ def pallas_gru_scan(xproj, wh, bh, tmask, interpret=False):
 def _fwd(xproj, wh, bh, tmask, interpret):
     T, G, B, H3 = xproj.shape
     H = H3 // 3
+    BT = _batch_tile(B)
     mask = tmask.astype(jnp.float32).reshape(T, 1, B)
+    # grid (batch tiles, time): time is the fast axis, so each tile runs
+    # its full recurrence with the carry in scratch before the next tile
+    # starts (scratch re-zeroed at t == 0)
     ys = pl.pallas_call(
         _fwd_kernel,
-        grid=(T,),
+        grid=(B // BT, T),
         in_specs=[
-            pl.BlockSpec((1, G, B, H3), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, G, BT, H3), lambda b, t: (t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 1, BT), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, H3), lambda t: (0, 0, 0),
+            pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H3), lambda t: (0, 0),
+            pl.BlockSpec((G, H3), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, G, B, H), lambda t: (t, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, G, BT, H), lambda b, t: (t, 0, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, G, B, H), xproj.dtype),
-        scratch_shapes=[pltpu.VMEM((G, B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * G * B * H * H3,
             bytes_accessed=(xproj.size + T * G * B * H) * xproj.dtype.itemsize,
@@ -187,38 +201,39 @@ def _bwd_rule(interpret, res, dy):
     xproj, wh, bh, tmask, ys = res
     T, G, B, H3 = xproj.shape
     H = H3 // 3
+    BT = _batch_tile(B)
     mask = tmask.astype(jnp.float32).reshape(T, 1, B)
     dxp, dhproj = pl.pallas_call(
         _bwd_kernel,
-        grid=(T,),
+        grid=(B // BT, T),
         in_specs=[
-            pl.BlockSpec((1, G, B, H3), lambda t: (T - 1 - t, 0, 0, 0),
+            pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (T - 1 - t, 0, 0),
+            pl.BlockSpec((1, 1, BT), lambda b, t: (T - 1 - t, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, G, B, H),
-                lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0, 0),
+                (1, G, BT, H),
+                lambda b, t: (jnp.maximum(T - 2 - t, 0), 0, b, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((G, H, H3), lambda t: (0, 0, 0),
+            pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H3), lambda t: (0, 0),
+            pl.BlockSpec((G, H3), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, B, H), lambda t: (T - 1 - t, 0, 0, 0),
+            pl.BlockSpec((1, G, BT, H), lambda b, t: (T - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, B, H3), lambda t: (T - 1 - t, 0, 0, 0),
+            pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, B, H3), lambda t: (T - 1 - t, 0, 0, 0),
+            pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, G, B, H3), xproj.dtype),
             jax.ShapeDtypeStruct((T, G, B, H3), xproj.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((G, B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
         interpret=interpret,
     )(xproj, mask, ys, wh, bh, dy)
     # weight grads as one large trajectory GEMM (outside the kernel)

@@ -53,6 +53,23 @@ def quantize(feats: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmin(c2[None, None, :] - 2.0 * xc, axis=-1)
 
 
+def mode_filter(ids: jax.Array, num_clusters: int, radius: int) -> jax.Array:
+    """Windowed majority vote over cluster ids (+-radius frames).
+
+    Stronger de-flicker than single-frame blip removal: transition
+    frames between phones form short spurious runs that `smooth_ids`
+    cannot kill; a mode filter with radius >= their length absorbs them
+    into the surrounding phone. Measured on the synthetic tone corpus:
+    oracle segmentation PER 0.44 -> 0.06 (radius 3, K=16)."""
+    if radius <= 0:
+        return ids
+    oh = jax.nn.one_hot(ids, num_clusters)
+    pad = jnp.pad(oh, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+    T = ids.shape[1]
+    s = sum(pad[:, i : i + T] for i in range(2 * radius + 1))
+    return jnp.argmax(s, axis=-1)
+
+
 def smooth_ids(ids: jax.Array) -> jax.Array:
     """Remove single-frame cluster blips: a frame whose two neighbours
     agree with each other but not with it takes their id. Kills the
@@ -98,9 +115,21 @@ def kmeans_segment_frontend(
     centroids: jax.Array,
     max_segments: int | None = None,
     smooth_passes: int = 2,
+    mode_radius: int = 0,
+    quant_feats: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """quantize -> blip-smooth -> segment -> pool (wav2vec-U chain)."""
-    ids = quantize(feats, centroids)
-    for _ in range(smooth_passes):
-        ids = smooth_ids(ids)
+    """quantize -> de-flicker -> segment -> pool (wav2vec-U chain).
+
+    `quant_feats` lets the boundary decision run on a different feature
+    view than the pooled model input (e.g. raw log-mel for quantization
+    while the model consumes CMVN features — per-utterance CMVN scales
+    silent mel bins to unit variance, drowning k-means distances in
+    noise). `mode_radius > 0` replaces the blip-smoother with a windowed
+    majority vote."""
+    ids = quantize(quant_feats if quant_feats is not None else feats, centroids)
+    if mode_radius > 0:
+        ids = mode_filter(ids, centroids.shape[0], mode_radius)
+    else:
+        for _ in range(smooth_passes):
+            ids = smooth_ids(ids)
     return segment_pool(feats, lengths, ids, max_segments)

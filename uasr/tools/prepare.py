@@ -93,9 +93,17 @@ def cmd_ngrams(args):
 
 
 def cmd_kmeans(args):
+    """Fit segmenter centroids in the SAME feature space the trainer
+    quantizes in (the runtime chain via compute_features; raw pre-CMVN
+    view when gan.segment_on_raw) — fitting on a different view than the
+    quantizer sees silently breaks segmentation."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
     from uasr.config import load_config
     from uasr.data.dataset import ASRDataset
-    from uasr.frontend import oracle
+    from uasr.frontend.features import compute_features, make_frontend_state
     from uasr.ops.segment import kmeans_fit
     from uasr.vocab import load_vocab
 
@@ -104,10 +112,19 @@ def cmd_kmeans(args):
     ds = ASRDataset.from_file(args.list, vocab, cfg.frontend.sample_rate)
     # --clusters overrides the recipe's gan.kmeans_clusters
     clusters = args.clusters or cfg.gan.kmeans_clusters
+    fcfg = cfg.frontend
+    if cfg.gan.segment_on_raw:
+        fcfg = dataclasses.replace(fcfg, cmvn="none")
+    fe = make_frontend_state(fcfg)
     frames = []
     for i in range(min(len(ds), args.max_utts)):
         audio, _ = ds.example(i)
-        frames.append(oracle.oracle_fbank(audio, cfg.frontend))
+        f, fl = compute_features(
+            jnp.asarray(audio[None, :]),
+            jnp.asarray([len(audio)]),
+            fe, fcfg,
+        )
+        frames.append(np.asarray(f[0, : int(fl[0])]))
     feats = np.concatenate(frames, axis=0).astype(np.float32)
     cents = kmeans_fit(feats, clusters, iters=args.iters, seed=args.seed)
     np.savez(args.out, centroids=cents)

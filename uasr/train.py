@@ -90,11 +90,11 @@ def make_schedule(cfg: Config):
     return sched
 
 
-def make_optimizer(cfg: Config, lr=None):
+def make_optimizer(cfg: Config, lr=None, b1: float = 0.9, b2: float = 0.999):
     sched = make_schedule(cfg) if lr is None else lr
     return optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adam(sched),
+        optax.adam(sched, b1=b1, b2=b2),
     )
 
 
@@ -227,8 +227,15 @@ class GANTrainer:
         self.gen = PhoneClassifier(cfg.model, cfg.dim_output)
         self.disc = PhoneDiscriminator(cfg.model)
         self.frontend_state = frontend_state_from_config(cfg.frontend)
-        self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr)
-        self.d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr)
+        self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr,
+                                    b1=cfg.gan.adam_b1, b2=0.9)
+        d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr,
+                               b1=cfg.gan.adam_b1, b2=0.9)
+        if cfg.gan.d_weight_decay > 0:
+            d_opt = optax.chain(
+                optax.add_decayed_weights(cfg.gan.d_weight_decay), d_opt
+            )
+        self.d_opt = d_opt
         self._jit: dict = {}
         # wav2vec-U-style segmental preprocessing (SURVEY.md stretch
         # config): k-means centroids quantize frames; segments pool at
@@ -246,6 +253,24 @@ class GANTrainer:
                     "gan.segmenter=kmeans needs centroids (path or array)"
                 )
 
+    def _segment(self, feats, flen, batch: Batch):
+        from uasr.ops.segment import kmeans_segment_frontend
+
+        quant_feats = None
+        if self.cfg.gan.segment_on_raw and batch.audio.ndim != 3:
+            import dataclasses
+
+            raw_cfg = dataclasses.replace(self.cfg.frontend, cmvn="none")
+            quant_feats, _ = compute_features(
+                batch.audio, batch.audio_lengths, self.frontend_state, raw_cfg
+            )
+        return kmeans_segment_frontend(
+            feats, flen, self.centroids,
+            self.cfg.gan.max_segments or None,
+            mode_radius=self.cfg.gan.segment_mode_radius,
+            quant_feats=quant_feats,
+        )
+
     def _gen_probs(self, g_params, batch: Batch):
         if batch.audio.ndim == 3:
             # precomputed features [B, T, D] (wav2vec-U stretch: external
@@ -257,12 +282,7 @@ class GANTrainer:
                 self.cfg.frontend,
             )
         if self.centroids is not None:
-            from uasr.ops.segment import kmeans_segment_frontend
-
-            feats, flen = kmeans_segment_frontend(
-                feats, flen, self.centroids,
-                self.cfg.gan.max_segments or None,
-            )
+            feats, flen = self._segment(feats, flen, batch)
         logits, out_len = self.gen.apply(g_params, feats, flen)
         return jax.nn.softmax(logits, axis=-1), out_len, logits
 
@@ -279,12 +299,8 @@ class GANTrainer:
                 self.cfg.frontend,
             )
         if self.centroids is not None:
-            from uasr.ops.segment import kmeans_segment_frontend
-
-            feats, flen = kmeans_segment_frontend(
-                feats, flen, self.centroids,
-                self.cfg.gan.max_segments or None,
-            )
+            example_np = Batch(*map(jnp.asarray, example_audio))
+            feats, flen = self._segment(feats, flen, example_np)
         g_params = self.gen.init(r1, feats, flen)
         real = jax.nn.one_hot(
             jnp.asarray(example_text.ids), self.cfg.dim_output
@@ -327,6 +343,31 @@ class GANTrainer:
         d_params = optax.apply_updates(state.d_params, updates)
         return state._replace(d_params=d_params, d_opt=d_opt), aux
 
+    def _entropy(self, probs, lengths):
+        """Masked mean per-position entropy of posteriors [B, T, V]."""
+        T = probs.shape[1]
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+        ent = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
+        return jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    def _aux_penalties(self, probs, lengths, aux, loss):
+        """Entropy (peakiness) + diversity (anti-collapse) penalties."""
+        g = self.cfg.gan
+        if g.entropy_weight > 0:
+            ent = self._entropy(probs, lengths)
+            aux["g_entropy"] = ent
+            loss = loss + g.entropy_weight * ent
+        if g.diversity_weight > 0:
+            T = probs.shape[1]
+            mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+            mean_p = jnp.sum(probs * mask, axis=(0, 1)) / jnp.maximum(
+                jnp.sum(mask), 1
+            )
+            div = -jnp.sum(mean_p * jnp.log(mean_p + 1e-8))
+            aux["g_diversity"] = div
+            loss = loss - g.diversity_weight * div
+        return loss
+
     def g_step(self, state: GANState, audio: Batch, rng):
         sup_w = self.cfg.gan.supervised_weight
 
@@ -335,6 +376,7 @@ class GANTrainer:
             score = self.disc.apply(state.d_params, fake, fake_len)
             loss = g_loss_fn(score)
             aux = {"g_loss": loss}
+            loss = self._aux_penalties(fake, fake_len, aux, loss)
             if sup_w > 0:  # semi-supervised CTC mix-in
                 sup = jnp.mean(
                     ctc_loss(
@@ -582,7 +624,10 @@ def run_gan_training(
                 e_l = cfg.eodm.weight * eodm_loss(
                     logits, out_len, tables, k_chunk=cfg.eodm.k_chunk
                 )
-                return g_l + e_l, {"g_loss": g_l, "eodm_loss": e_l}
+                loss = g_l + e_l
+                aux = {"g_loss": g_l, "eodm_loss": e_l}
+                loss = trainer._aux_penalties(probs, out_len, aux, loss)
+                return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.g_params
