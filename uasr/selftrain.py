@@ -1,0 +1,168 @@
+"""Iterative self-training (wav2vec-U refinement stage).
+
+The wav2vec-U recipe follows the adversarial stage with self-training:
+pseudo-label the unlabeled audio with the current model, train a
+standard CTC student on the pseudo-labels, optionally iterate with the
+student as the new teacher (Baevski et al. 2021 §4.4; deferred from
+round 1 — NOTES_ROUND1.md item 3, VERDICT round-1 item 8).
+
+TPU-first: labeling is the jitted eval path (posteriors -> greedy
+collapse fully on device; only ids/confidences return to host), and the
+student is the ordinary CTCTrainer, so every stage reuses the hot paths.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uasr.config import Config
+from uasr.data.dataset import Batch, batch_iterator, prefetch
+from uasr.ops.decode import ctc_greedy_decode
+from uasr.train import CTCTrainer, TrainState, run_ctc_training
+
+
+def make_gan_label_fn(gan_trainer, g_params):
+    """(audio Batch) -> (hyps, hyp_lens, confidence) from a GAN/EODM
+    generator: posteriors over segments -> greedy collapse; confidence =
+    masked mean max-posterior."""
+
+    @jax.jit
+    def fn(batch: Batch):
+        probs, out_len, logits = gan_trainer._gen_probs(g_params, batch)
+        hyps, hyp_len = ctc_greedy_decode(
+            logits, out_len, gan_trainer.cfg.ctc.blank_id
+        )
+        conf = _mean_max(probs, out_len)
+        return hyps, hyp_len, conf
+
+    return fn
+
+
+def make_ctc_label_fn(ctc_trainer: CTCTrainer, params):
+    """(audio Batch) -> (hyps, hyp_lens, confidence) from a CTC model."""
+    from uasr.frontend.features import compute_features
+
+    @jax.jit
+    def fn(batch: Batch):
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, ctc_trainer.frontend_state,
+            ctc_trainer.cfg.frontend,
+        )
+        logits, out_len = ctc_trainer.model.apply(params, feats, flen)
+        hyps, hyp_len = ctc_greedy_decode(
+            logits, out_len, ctc_trainer.cfg.ctc.blank_id
+        )
+        conf = _mean_max(jax.nn.softmax(logits, -1), out_len)
+        return hyps, hyp_len, conf
+
+    return fn
+
+
+def _mean_max(probs: jax.Array, lengths: jax.Array) -> jax.Array:
+    T = probs.shape[1]
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    mx = jnp.max(probs, axis=-1)
+    return jnp.sum(mx * mask, axis=1) / jnp.maximum(lengths, 1)
+
+
+def pseudo_label(
+    label_fn: Callable,
+    examples: Sequence[tuple[np.ndarray, list[int]]],
+    batch_size: int,
+    max_audio_samples: int,
+    max_label_len: int,
+    conf_threshold: float = 0.0,
+    min_labels: int = 1,
+) -> tuple[list[tuple[np.ndarray, list[int]]], dict]:
+    """Label every example with the teacher; keep those whose confidence
+    clears the threshold. Returns (pseudo-labeled examples, stats)."""
+    out = []
+    confs = []
+    it = batch_iterator(
+        examples, batch_size, max_audio_samples, max_label_len,
+        shuffle=False, drop_remainder=False, num_epochs=1,
+    )
+    idx = 0
+    for batch in it:
+        hyps, hyp_len, conf = label_fn(Batch(*map(jnp.asarray, batch)))
+        hyps, hyp_len, conf = map(np.asarray, (hyps, hyp_len, conf))
+        B = len(hyp_len)
+        for b in range(B):
+            audio = batch.audio[b, : batch.audio_lengths[b]]
+            ids = hyps[b, : hyp_len[b]].tolist()
+            confs.append(float(conf[b]))
+            if conf[b] >= conf_threshold and len(ids) >= min_labels:
+                out.append((audio, ids))
+            idx += 1
+    stats = {
+        "labeled": len(out),
+        "total": idx,
+        "kept_frac": len(out) / max(idx, 1),
+        "mean_conf": float(np.mean(confs)) if confs else 0.0,
+    }
+    return out, stats
+
+
+def self_train(
+    cfg: Config,
+    label_fn: Callable,
+    unlabeled: Sequence[tuple[np.ndarray, list[int]]],
+    rounds: int = 1,
+    conf_threshold: float = 0.0,
+    dev_batches_fn=None,
+    steps_per_round: int | None = None,
+    gold: Sequence[tuple[np.ndarray, list[int]]] = (),
+    log: Callable = print,
+) -> tuple[CTCTrainer, TrainState, list[dict]]:
+    """Iterate: pseudo-label -> CTC student -> student becomes teacher.
+
+    `unlabeled` examples' label field is ignored (kept for the Batch
+    shape). `gold` examples (the teacher's labeled pool, if any) are
+    mixed into every student round — the standard semi-supervised setup;
+    omit for the fully-unsupervised wav2vec-U flavor. Returns the last
+    student and per-round stats.
+    """
+    max_samples = int(cfg.data.max_audio_seconds * cfg.frontend.sample_rate)
+    history = []
+    trainer = state = None
+    for r in range(rounds):
+        labeled, stats = pseudo_label(
+            label_fn, unlabeled, cfg.data.batch_size, max_samples,
+            cfg.data.max_label_len, conf_threshold,
+        )
+        log(f"[selftrain] round {r}: kept {stats['labeled']}/{stats['total']} "
+            f"(mean conf {stats['mean_conf']:.3f})")
+        if not labeled:
+            raise ValueError(
+                "self-training kept 0 utterances; lower conf_threshold"
+            )
+        labeled = list(gold) + labeled
+        round_cfg = cfg.replace(
+            model_dir=f"{cfg.model_dir}/selftrain_r{r}"
+        )
+        if steps_per_round is not None:
+            import dataclasses
+
+            round_cfg = round_cfg.replace(
+                train=dataclasses.replace(
+                    round_cfg.train, total_steps=steps_per_round
+                )
+            )
+        batches = prefetch(
+            batch_iterator(
+                labeled, cfg.data.batch_size, max_samples,
+                cfg.data.max_label_len, seed=cfg.train.seed + r,
+            )
+        )
+        trainer, state = run_ctc_training(
+            round_cfg, batches, dev_batches_fn=dev_batches_fn
+        )
+        stats["round"] = r
+        history.append(stats)
+        # the student labels the next round
+        label_fn = make_ctc_label_fn(trainer, state.params)
+    return trainer, state, history

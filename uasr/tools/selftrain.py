@@ -1,0 +1,126 @@
+"""Self-training CLI (wav2vec-U refinement stage):
+
+  python -m uasr.tools.selftrain -c recipe.yaml \
+      --teacher-dir exp/timit_unsup --teacher-mode gan \
+      --rounds 2 --conf-threshold 0.5 [--set k=v ...]
+
+Restores the teacher (GAN/EODM generator or CTC model) from
+--teacher-dir, pseudo-labels the recipe's training audio, trains a CTC
+student per round (student re-labels for the next round), then reports
+teacher vs student PER on the dev split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+if os.environ.get("UASR_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("uasr.tools.selftrain", description=__doc__)
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--teacher-dir", required=True)
+    p.add_argument("--teacher-mode", default="gan",
+                   choices=["gan", "eodm", "ctc"])
+    p.add_argument("--rounds", type=int, default=1)
+    p.add_argument("--conf-threshold", type=float, default=0.0)
+    p.add_argument("--student-steps", type=int, default=None)
+    p.add_argument("--gold-list", default=None,
+                   help="labeled utterances mixed into every student round")
+    p.add_argument("--set", action="append", default=[])
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from uasr.checkpoint import CheckpointManager
+    from uasr.cli import _batches, _load_source, apply_overrides
+    from uasr.config import load_config
+    from uasr.data.dataset import Batch, TextBatch
+    from uasr.selftrain import (
+        make_ctc_label_fn, make_gan_label_fn, self_train,
+    )
+    from uasr.train import CTCTrainer, GANTrainer, TrainState
+
+    cfg = load_config(args.config)
+    apply_overrides(cfg, args.set)
+    source, vocab = _load_source(cfg, "train")
+    if cfg.vocab_size is None:
+        cfg = cfg.replace(vocab_size=len(vocab))
+    kind, payload = source
+    if kind != "examples":
+        # materialize for repeated labeling passes (self-training rereads
+        # the corpus every round; stream-once is the wrong tradeoff here)
+        payload = [
+            (b.audio[i, : b.audio_lengths[i]],
+             b.labels[i, : b.label_lengths[i]].tolist())
+            for b in _batches(cfg, source, num_epochs=1, drop_remainder=False)
+            for i in range(len(b.audio_lengths))
+        ]
+    examples = payload
+
+    mgr = CheckpointManager(f"{args.teacher_dir}/ckpt", max_to_keep=1)
+    first = next(_batches(cfg, ("examples", examples), num_epochs=1))
+    if args.teacher_mode in ("gan", "eodm"):
+        tcfg = cfg.replace()
+        tcfg.model.encoder = "classifier"
+        gan = GANTrainer(tcfg)
+        text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
+        gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
+        restored = mgr.restore_latest(gstate)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+        gstate, step = restored
+        label_fn = make_gan_label_fn(gan, gstate.g_params)
+        teacher_eval = lambda batches: gan.evaluate_per(gstate.g_params, batches)
+    else:
+        tr = CTCTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), first)
+        restored = mgr.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+        state, step = restored
+        label_fn = make_ctc_label_fn(tr, state.params)
+        teacher_eval = lambda batches: tr.evaluate(state.params, batches)
+    mgr.close()
+    print(f"teacher restored from {args.teacher_dir} (step {step})",
+          file=sys.stderr)
+
+    def dev_batches_fn():
+        dev_source, _ = _load_source(cfg, "dev")
+        return _batches(cfg, dev_source, num_epochs=1, drop_remainder=False)
+
+    has_dev = cfg.data.synthetic or cfg.data.dev_list is not None
+    teacher_per = teacher_eval(dev_batches_fn()) if has_dev else float("nan")
+
+    gold = []
+    if args.gold_list:
+        from uasr.data.dataset import ASRDataset
+
+        gds = ASRDataset.from_file(args.gold_list, vocab,
+                                   cfg.frontend.sample_rate)
+        gold = [gds.example(i) for i in range(len(gds))]
+
+    trainer, st_state, history = self_train(
+        cfg, label_fn, examples,
+        rounds=args.rounds,
+        conf_threshold=args.conf_threshold,
+        steps_per_round=args.student_steps,
+        gold=gold,
+    )
+    student_per = (
+        trainer.evaluate(st_state.params, dev_batches_fn())
+        if has_dev else float("nan")
+    )
+    print(f"teacher PER={teacher_per:.4f} student PER={student_per:.4f} "
+          f"({args.rounds} rounds)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

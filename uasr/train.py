@@ -339,7 +339,8 @@ class GANTrainer:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.d_params
         )
-        updates, d_opt = self.d_opt.update(grads, state.d_opt)
+        # params arg required by add_decayed_weights (d_weight_decay)
+        updates, d_opt = self.d_opt.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         return state._replace(d_params=d_params, d_opt=d_opt), aux
 
