@@ -118,6 +118,72 @@ def run_tpu(B=128, seconds=8.0, warmup=2, iters=8, gru_unroll=None):
     return audio_sec / dt / n_chips, float(aux["ctc_loss"])
 
 
+def run_stages(B=128, seconds=8.0, iters=20):
+    """Per-stage ms breakdown of the train step (frontend / encoder fwd /
+    CTC / backward / optimizer) — prints one line per stage to stderr and
+    returns the dict."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.data.dataset import Batch
+    from uasr.frontend.features import compute_features
+    from uasr.train import CTCTrainer
+
+    cfg = _bench_cfg()
+    batch = _make_batch(B, seconds)
+    db = Batch(*map(jnp.asarray, batch))
+    tr = CTCTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0), db)
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters * 1e3
+
+    fe = jax.jit(lambda a, l: compute_features(
+        a, l, tr.frontend_state, cfg.frontend))
+    t_fe = timeit(fe, db.audio, db.audio_lengths)
+
+    def enc(params, a, l):
+        f, fl = compute_features(a, l, tr.frontend_state, cfg.frontend)
+        return tr.model.apply(params, f, fl)
+
+    t_enc = timeit(jax.jit(enc), state.params, db.audio, db.audio_lengths)
+    t_loss = timeit(jax.jit(lambda p, b, r: tr._loss(p, b, r)[0]),
+                    state.params, db, jax.random.PRNGKey(1))
+    t_grad = timeit(
+        jax.jit(lambda p, b, r: jax.value_and_grad(
+            lambda q: tr._loss(q, b, r)[0])(p)[1]),
+        state.params, db, jax.random.PRNGKey(1))
+    step_fn = jax.jit(tr.train_step, donate_argnums=(0,))
+    s, _ = step_fn(state, db, jax.random.PRNGKey(1))
+    jax.block_until_ready(s.params)
+    t0 = time.time()
+    for _ in range(iters):
+        s, _ = step_fn(s, db, jax.random.PRNGKey(1))
+    jax.block_until_ready(s.params)
+    t_step = (time.time() - t0) / iters * 1e3
+
+    stages = {
+        "frontend_ms": round(t_fe, 2),
+        "encoder_fwd_ms": round(t_enc - t_fe, 2),
+        "ctc_fwd_ms": round(t_loss - t_enc, 2),
+        "backward_ms": round(t_grad - t_loss, 2),
+        "optimizer_ms": round(t_step - t_grad, 2),
+        "step_ms": round(t_step, 2),
+        "audio_sec_per_sec": round(B * seconds / (t_step / 1e3), 1),
+    }
+    for k, v in stages.items():
+        print(f"{k}: {v}", file=sys.stderr)
+    return stages
+
+
 def run_baseline(B=16, seconds=8.0, iters=3):
     """Reference-equivalent: host numpy feature chain (the oracle — the
     reference's data-prep math) + the same train step on CPU."""
@@ -158,9 +224,15 @@ def run_baseline(B=16, seconds=8.0, iters=3):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--baseline", action="store_true")
+    p.add_argument("--stages", action="store_true",
+                   help="per-stage ms breakdown instead of the JSON line")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
     args = p.parse_args()
+
+    if args.stages:
+        print(json.dumps(run_stages(B=args.batch, seconds=args.seconds)))
+        return
 
     if args.baseline:
         thr, loss = run_baseline()

@@ -142,3 +142,35 @@ def test_gan_on_precomputed_features(tmp_path):
     state, g_aux = g_step(state, a, jax.random.PRNGKey(2))
     assert np.isfinite(float(d_aux["d_loss"]))
     assert np.isfinite(float(g_aux["g_loss"]))
+
+
+def test_merge_repeats_gen_probs():
+    """gan.merge_repeats: consecutive same-argmax generator outputs are
+    pooled before D/EODM (wav2vec-U repeat merge) — merged stream has no
+    adjacent duplicate argmax and shorter lengths."""
+    examples, text, cfg = _setup()
+    cfg.gan.merge_repeats = True
+    trainer = GANTrainer(cfg)
+    b = next(_audio_batches(examples, 1))
+    t = TextBatch(np.ones((8, 4), np.int32), np.full((8,), 4, np.int32))
+    state = trainer.init_state(jax.random.PRNGKey(0), Batch(*map(jnp.asarray, b)), t)
+    probs, out_len, logits = trainer._gen_probs(
+        state.g_params, Batch(*map(jnp.asarray, b))
+    )
+    ids = np.asarray(jnp.argmax(logits, -1))
+    ol = np.asarray(out_len)
+    for i in range(len(ol)):
+        seq = ids[i, : ol[i]]
+        assert all(seq[j] != seq[j + 1] for j in range(len(seq) - 1)), seq
+    # merged rows are still distributions on the valid region
+    p = np.asarray(probs)
+    for i in range(len(ol)):
+        np.testing.assert_allclose(p[i, : ol[i]].sum(-1), 1.0, atol=1e-4)
+    # and the d/g steps still run jitted with the merge active
+    d_step = trainer.jitted("d_step")
+    g_step = trainer.jitted("g_step")
+    tt = TextBatch(*map(jnp.asarray, t))
+    state, d_aux = d_step(state, Batch(*map(jnp.asarray, b)), tt, jax.random.PRNGKey(1))
+    state, g_aux = g_step(state, Batch(*map(jnp.asarray, b)), jax.random.PRNGKey(2))
+    assert np.isfinite(float(d_aux["d_loss"]))
+    assert np.isfinite(float(g_aux["g_loss"]))

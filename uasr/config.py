@@ -180,6 +180,10 @@ class GANConfig:
     centroids_path: str | None = None  # npz with 'centroids' [K, D]
     max_segments: int = 0  # 0 -> frame count (no cap)
     segment_mode_radius: int = 0  # >0: majority-vote de-flicker window
+    # merge consecutive same-argmax generator outputs before D / EODM
+    # (wav2vec-U: over-segmented outputs would otherwise contain repeat
+    # bigrams that real text never has, making the match impossible)
+    merge_repeats: bool = False
     # quantize on the raw (pre-CMVN) feature view; per-utterance CMVN
     # amplifies silent bins to unit variance and drowns k-means distances
     segment_on_raw: bool = False

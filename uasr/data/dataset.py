@@ -168,6 +168,36 @@ def synth_tone_audio(
     return audio.astype(np.float32)
 
 
+def synthetic_phonotactics(num_phones: int, seed: int = 1234) -> np.ndarray:
+    """A fixed sparse Markov transition matrix over phones (zero
+    diagonal), the synthetic language's 'phonotactics'.
+
+    Identifiability matters: with IID phone strings, bigram statistics
+    factor as p(a)p(b), so any frequency-preserving permutation of the
+    phone inventory matches the text distribution equally well and NO
+    distribution-matching objective (EODM / GAN) can recover the true
+    mapping. A Markov grammar with distinct successor distributions per
+    phone breaks that symmetry — like real phonotactics do."""
+    rng = np.random.RandomState(seed)  # fixed: the language, not the data
+    trans = rng.dirichlet(0.3 * np.ones(num_phones), size=num_phones)
+    np.fill_diagonal(trans, 0.0)
+    return trans / trans.sum(axis=1, keepdims=True)
+
+
+def sample_phone_string(
+    n: int, trans: np.ndarray, rng: np.random.RandomState,
+    init: np.ndarray | None = None,
+) -> list[int]:
+    """Sample a length-n phone-id string (ids 1..P) from the grammar."""
+    P = trans.shape[0]
+    if init is None:
+        init = np.full(P, 1.0 / P)
+    ids = [int(rng.choice(P, p=init))]
+    for _ in range(n - 1):
+        ids.append(int(rng.choice(P, p=trans[ids[-1]])))
+    return [1 + i for i in ids]  # 0 is blank
+
+
 def make_synthetic_dataset(
     num_utts: int = 128,
     num_phones: int = 16,
@@ -175,24 +205,32 @@ def make_synthetic_dataset(
     max_len: int = 10,
     seed: int = 0,
     zipf: bool = True,
+    syntax: str = "iid",  # iid | markov
 ) -> tuple[list[tuple[np.ndarray, list[int]]], Vocab]:
-    """Random phone strings -> tone audio. Zipf-ish phone distribution so
-    n-gram statistics are non-trivial (for EODM tests)."""
+    """Random phone strings -> tone audio.
+
+    syntax="iid": Zipf-ish independent draws (non-trivial unigram stats).
+    syntax="markov": strings from `synthetic_phonotactics` — required for
+    unsupervised identifiability (see that docstring)."""
     rng = np.random.RandomState(seed)
     vocab = make_vocab([f"p{i}" for i in range(num_phones)])
+    trans = synthetic_phonotactics(num_phones) if syntax == "markov" else None
     # ids 1..num_phones are real phones (0 = blank)
     weights = 1.0 / np.arange(1, num_phones + 1) if zipf else np.ones(num_phones)
     weights = weights / weights.sum()
     examples = []
     for _ in range(num_utts):
         n = rng.randint(min_len, max_len + 1)
-        ids = list(1 + rng.choice(num_phones, size=n, p=weights))
-        # avoid immediate repeats (CTC cannot emit them without blanks,
-        # and real phone strings rarely repeat)
-        ids = [int(ids[0])] + [
-            int(x) if x != ids[i] else int(1 + (x % num_phones))
-            for i, x in enumerate(ids[1:])
-        ]
+        if trans is not None:
+            ids = sample_phone_string(n, trans, rng)
+        else:
+            ids = list(1 + rng.choice(num_phones, size=n, p=weights))
+            # avoid immediate repeats (CTC cannot emit them without
+            # blanks, and real phone strings rarely repeat)
+            ids = [int(ids[0])] + [
+                int(x) if x != ids[i] else int(1 + (x % num_phones))
+                for i, x in enumerate(ids[1:])
+            ]
         examples.append((synth_tone_audio(ids, rng=rng), ids))
     return examples, vocab
 

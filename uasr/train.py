@@ -284,7 +284,18 @@ class GANTrainer:
         if self.centroids is not None:
             feats, flen = self._segment(feats, flen, batch)
         logits, out_len = self.gen.apply(g_params, feats, flen)
-        return jax.nn.softmax(logits, axis=-1), out_len, logits
+        probs = jax.nn.softmax(logits, axis=-1)
+        if self.cfg.gan.merge_repeats:
+            from uasr.ops.segment import segment_pool
+
+            # pool posteriors over runs of equal argmax (wav2vec-U's
+            # repeat merge); boundaries are stop-gradient, the pooled
+            # probabilities stay differentiable. log(pooled) acts as the
+            # merged logits (softmax(log p) == p on the simplex).
+            ids = jnp.argmax(logits, axis=-1)
+            probs, out_len = segment_pool(probs, out_len, ids)
+            logits = jnp.log(probs + 1e-8)
+        return probs, out_len, logits
 
     def init_state(self, rng, example_audio: Batch, example_text: TextBatch):
         r1, r2 = jax.random.split(rng)
