@@ -2,6 +2,7 @@
 steps run jitted, losses finite, D-critic separates real/fake over
 training, EODM loss decreases (SURVEY.md §3.2/3.3)."""
 
+import dataclasses
 import itertools
 
 import numpy as np
@@ -154,14 +155,20 @@ def test_merge_repeats_gen_probs():
     b = next(_audio_batches(examples, 1))
     t = TextBatch(np.ones((8, 4), np.int32), np.full((8,), 4, np.int32))
     state = trainer.init_state(jax.random.PRNGKey(0), Batch(*map(jnp.asarray, b)), t)
+    raw_probs, raw_len, _ = GANTrainer(
+        cfg.replace(gan=dataclasses.replace(cfg.gan, merge_repeats=False))
+    )._gen_probs(state.g_params, Batch(*map(jnp.asarray, b)))
     probs, out_len, logits = trainer._gen_probs(
         state.g_params, Batch(*map(jnp.asarray, b))
     )
     ids = np.asarray(jnp.argmax(logits, -1))
     ol = np.asarray(out_len)
+    # merged stream: shorter than the raw stream, and never emits blank
+    # (blank runs are dropped; repeats split by blank may remain adjacent,
+    # exactly CTC's collapse semantics)
+    assert (ol <= np.asarray(raw_len)).all()
     for i in range(len(ol)):
-        seq = ids[i, : ol[i]]
-        assert all(seq[j] != seq[j + 1] for j in range(len(seq) - 1)), seq
+        assert (ids[i, : ol[i]] != 0).all(), ids[i, : ol[i]]
     # merged rows are still distributions on the valid region
     p = np.asarray(probs)
     for i in range(len(ol)):

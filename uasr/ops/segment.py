@@ -109,6 +109,38 @@ def segment_pool(
     return pooled, seg_lengths
 
 
+def merge_repeats_drop_blank(
+    probs: jax.Array,
+    lengths: jax.Array,
+    blank_id: int = 0,
+    max_out: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """CTC-style collapse of a posterior stream: mean-pool runs of equal
+    argmax, drop blank-argmax runs entirely (wav2vec-U's repeat merge
+    plus an explicit junk sink — transition segments can emit blank
+    instead of inserting random phones). probs: [B, S, V] -> pooled
+    [B, S', V] (rows renormalized convex averages), lengths'.
+
+    Boundaries come from the (stop-gradient) argmax; the pooled
+    probabilities stay differentiable."""
+    B, S, V = probs.shape
+    S_out = max_out or S
+    ids = jnp.argmax(probs, axis=-1)
+    t = jnp.arange(S)[None, :]
+    valid = t < lengths[:, None]
+    prev = jnp.pad(ids, ((0, 0), (1, 0)), constant_values=-1)[:, :S]
+    run_start = (ids != prev) & valid
+    is_new = run_start & (ids != blank_id)
+    keep = (ids != blank_id) & valid
+    seg_idx = jnp.where(keep, jnp.cumsum(is_new, axis=1) - 1, S_out)
+    onehot = jax.nn.one_hot(seg_idx, S_out, dtype=probs.dtype)  # [B, S, S']
+    sums = jnp.einsum("bts,btv->bsv", onehot, probs)
+    counts = jnp.einsum("bts->bs", onehot)
+    pooled = sums / jnp.maximum(counts, 1.0)[..., None]
+    new_len = jnp.minimum(is_new.sum(axis=1), S_out)
+    return pooled, new_len
+
+
 def kmeans_segment_frontend(
     feats: jax.Array,
     lengths: jax.Array,

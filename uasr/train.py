@@ -213,30 +213,16 @@ class CTCTrainer:
 # ---------------------------------------------------------- GAN trainer
 
 
-class GANTrainer:
-    """Adversarial unsupervised training (reference GAN loop,
-    SURVEY.md §3.2): G = PhoneClassifier on acoustic features, D =
-    conv critic over phone distributions, WGAN-GP, k D-steps per
-    G-step, optional supervised CTC mix-in (semi-supervised)."""
+class GeneratorBase:
+    """Shared machinery for trainers built on the PhoneClassifier
+    generator (GAN / EODM): frontend, optional k-means segmental
+    preprocessing, CTC-style repeat merge, and the output regularizers.
+    One pathway so every unsupervised objective sees identical inputs."""
 
-    def __init__(self, cfg: Config, mesh=None, centroids=None):
+    def _init_generator(self, cfg: Config, centroids=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.parallel.model_parallel
-        )
         self.gen = PhoneClassifier(cfg.model, cfg.dim_output)
-        self.disc = PhoneDiscriminator(cfg.model)
         self.frontend_state = frontend_state_from_config(cfg.frontend)
-        self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr,
-                                    b1=cfg.gan.adam_b1, b2=0.9)
-        d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr,
-                               b1=cfg.gan.adam_b1, b2=0.9)
-        if cfg.gan.d_weight_decay > 0:
-            d_opt = optax.chain(
-                optax.add_decayed_weights(cfg.gan.d_weight_decay), d_opt
-            )
-        self.d_opt = d_opt
-        self._jit: dict = {}
         # wav2vec-U-style segmental preprocessing (SURVEY.md stretch
         # config): k-means centroids quantize frames; segments pool at
         # cluster changes before the generator
@@ -271,47 +257,112 @@ class GANTrainer:
             quant_feats=quant_feats,
         )
 
-    def _gen_probs(self, g_params, batch: Batch):
-        if batch.audio.ndim == 3:
+    def _gen_feats(self, batch: Batch):
+        if np.ndim(batch.audio) == 3:
             # precomputed features [B, T, D] (wav2vec-U stretch: external
             # SSL features via uasr.data.cache); lengths are frame counts
-            feats, flen = batch.audio, batch.audio_lengths
+            feats = jnp.asarray(batch.audio)
+            flen = jnp.asarray(batch.audio_lengths)
         else:
             feats, flen = compute_features(
-                batch.audio, batch.audio_lengths, self.frontend_state,
-                self.cfg.frontend,
+                jnp.asarray(batch.audio), jnp.asarray(batch.audio_lengths),
+                self.frontend_state, self.cfg.frontend,
             )
         if self.centroids is not None:
             feats, flen = self._segment(feats, flen, batch)
+        return feats, flen
+
+    def _gen_probs(self, g_params, batch: Batch):
+        feats, flen = self._gen_feats(batch)
         logits, out_len = self.gen.apply(g_params, feats, flen)
         probs = jax.nn.softmax(logits, axis=-1)
         if self.cfg.gan.merge_repeats:
-            from uasr.ops.segment import segment_pool
+            from uasr.ops.segment import merge_repeats_drop_blank
 
-            # pool posteriors over runs of equal argmax (wav2vec-U's
-            # repeat merge); boundaries are stop-gradient, the pooled
-            # probabilities stay differentiable. log(pooled) acts as the
-            # merged logits (softmax(log p) == p on the simplex).
-            ids = jnp.argmax(logits, axis=-1)
-            probs, out_len = segment_pool(probs, out_len, ids)
+            # CTC-style collapse before D/EODM (wav2vec-U's repeat merge
+            # + blank junk sink); boundaries are stop-gradient, the
+            # pooled probabilities stay differentiable. log(pooled) acts
+            # as the merged logits (softmax(log p) == p on the simplex).
+            probs, out_len = merge_repeats_drop_blank(
+                probs, out_len, self.cfg.ctc.blank_id
+            )
             logits = jnp.log(probs + 1e-8)
         return probs, out_len, logits
 
+    def _entropy(self, probs, lengths):
+        """Masked mean per-position entropy of posteriors [B, T, V]."""
+        T = probs.shape[1]
+        mask = jnp.arange(T)[None, :] < lengths[:, None]
+        ent = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
+        return jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    def _aux_penalties(self, probs, lengths, aux, loss):
+        """Entropy (peakiness) + diversity (anti-collapse) penalties."""
+        g = self.cfg.gan
+        if g.entropy_weight > 0:
+            ent = self._entropy(probs, lengths)
+            aux["g_entropy"] = ent
+            loss = loss + g.entropy_weight * ent
+        if g.diversity_weight > 0:
+            T = probs.shape[1]
+            mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+            mean_p = jnp.sum(probs * mask, axis=(0, 1)) / jnp.maximum(
+                jnp.sum(mask), 1
+            )
+            div = -jnp.sum(mean_p * jnp.log(mean_p + 1e-8))
+            aux["g_diversity"] = div
+            loss = loss - g.diversity_weight * div
+        return loss
+
+    def evaluate_per(self, g_params, batches) -> float:
+        """Frame/segment posteriors -> greedy collapse -> PER vs labels."""
+        if not hasattr(self, "_eval_jit"):
+
+            def _eval(params, batch: Batch):
+                probs, out_len, logits = self._gen_probs(params, batch)
+                hyps, hyp_len = ctc_greedy_decode(
+                    logits, out_len, self.cfg.ctc.blank_id
+                )
+                dist = batch_edit_distance(
+                    batch.labels, batch.label_lengths, hyps, hyp_len
+                )
+                return jnp.sum(dist), jnp.sum(batch.label_lengths)
+
+            self._eval_jit = jax.jit(_eval)
+        errs, total = 0, 0
+        for b in batches:
+            e, t = self._eval_jit(g_params, Batch(*map(jnp.asarray, b)))
+            errs += int(e)
+            total += int(t)
+        return errs / max(total, 1)
+
+
+class GANTrainer(GeneratorBase):
+    """Adversarial unsupervised training (reference GAN loop,
+    SURVEY.md §3.2): G = PhoneClassifier on acoustic features, D =
+    conv critic over phone distributions, WGAN-GP, k D-steps per
+    G-step, optional supervised CTC mix-in (semi-supervised)."""
+
+    def __init__(self, cfg: Config, mesh=None, centroids=None):
+        self._init_generator(cfg, centroids)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.parallel.model_parallel
+        )
+        self.disc = PhoneDiscriminator(cfg.model)
+        self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr,
+                                    b1=cfg.gan.adam_b1, b2=0.9)
+        d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr,
+                               b1=cfg.gan.adam_b1, b2=0.9)
+        if cfg.gan.d_weight_decay > 0:
+            d_opt = optax.chain(
+                optax.add_decayed_weights(cfg.gan.d_weight_decay), d_opt
+            )
+        self.d_opt = d_opt
+        self._jit: dict = {}
+
     def init_state(self, rng, example_audio: Batch, example_text: TextBatch):
         r1, r2 = jax.random.split(rng)
-        if np.ndim(example_audio.audio) == 3:  # precomputed features
-            feats = jnp.asarray(example_audio.audio)
-            flen = jnp.asarray(example_audio.audio_lengths)
-        else:
-            feats, flen = compute_features(
-                jnp.asarray(example_audio.audio),
-                jnp.asarray(example_audio.audio_lengths),
-                self.frontend_state,
-                self.cfg.frontend,
-            )
-        if self.centroids is not None:
-            example_np = Batch(*map(jnp.asarray, example_audio))
-            feats, flen = self._segment(feats, flen, example_np)
+        feats, flen = self._gen_feats(Batch(*map(jnp.asarray, example_audio)))
         g_params = self.gen.init(r1, feats, flen)
         real = jax.nn.one_hot(
             jnp.asarray(example_text.ids), self.cfg.dim_output
@@ -355,31 +406,6 @@ class GANTrainer:
         d_params = optax.apply_updates(state.d_params, updates)
         return state._replace(d_params=d_params, d_opt=d_opt), aux
 
-    def _entropy(self, probs, lengths):
-        """Masked mean per-position entropy of posteriors [B, T, V]."""
-        T = probs.shape[1]
-        mask = jnp.arange(T)[None, :] < lengths[:, None]
-        ent = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
-        return jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1)
-
-    def _aux_penalties(self, probs, lengths, aux, loss):
-        """Entropy (peakiness) + diversity (anti-collapse) penalties."""
-        g = self.cfg.gan
-        if g.entropy_weight > 0:
-            ent = self._entropy(probs, lengths)
-            aux["g_entropy"] = ent
-            loss = loss + g.entropy_weight * ent
-        if g.diversity_weight > 0:
-            T = probs.shape[1]
-            mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
-            mean_p = jnp.sum(probs * mask, axis=(0, 1)) / jnp.maximum(
-                jnp.sum(mask), 1
-            )
-            div = -jnp.sum(mean_p * jnp.log(mean_p + 1e-8))
-            aux["g_diversity"] = div
-            loss = loss - g.diversity_weight * div
-        return loss
-
     def g_step(self, state: GANState, audio: Batch, rng):
         sup_w = self.cfg.gan.supervised_weight
 
@@ -417,70 +443,46 @@ class GANTrainer:
             self._jit[name] = jax.jit(getattr(self, name), donate_argnums=(0,))
         return self._jit[name]
 
-    def evaluate_per(self, g_params, batches: Iterator[Batch]) -> float:
-        """Frame posteriors -> greedy collapse -> PER vs labels."""
-        if "eval" not in self._jit:
-
-            def _eval(params, batch: Batch):
-                probs, out_len, logits = self._gen_probs(params, batch)
-                hyps, hyp_len = ctc_greedy_decode(
-                    logits, out_len, self.cfg.ctc.blank_id
-                )
-                dist = batch_edit_distance(
-                    batch.labels, batch.label_lengths, hyps, hyp_len
-                )
-                return jnp.sum(dist), jnp.sum(batch.label_lengths)
-
-            self._jit["eval"] = jax.jit(_eval)
-        errs, total = 0, 0
-        for b in batches:
-            e, t = self._jit["eval"](g_params, Batch(*map(jnp.asarray, b)))
-            errs += int(e)
-            total += int(t)
-        return errs / max(total, 1)
-
-
 # --------------------------------------------------------- EODM trainer
 
 
-class EODMTrainer:
+class EODMTrainer(GeneratorBase):
     """Output-distribution-matching training (reference EODM loop,
     SURVEY.md §3.3). Top-K n-gram tables are built once on the host
-    from unpaired text and baked into the jitted step as gathers."""
+    from unpaired text and baked into the jitted step as gathers.
+    Shares the generator pathway (frontend -> optional k-means
+    segmentation -> PhoneClassifier -> optional repeat merge) with
+    GANTrainer, so `gan.segmenter` / `gan.merge_repeats` / the output
+    regularizers apply to standalone EODM runs too."""
 
-    def __init__(self, cfg: Config, text_sequences, mesh=None):
-        self.cfg = cfg
+    def __init__(self, cfg: Config, text_sequences, mesh=None, centroids=None):
+        self._init_generator(cfg, centroids)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.parallel.model_parallel
         )
-        self.model = PhoneClassifier(cfg.model, cfg.dim_output)
-        self.frontend_state = frontend_state_from_config(cfg.frontend)
         self.optimizer = make_optimizer(cfg)
         self.tables = device_ngram_tables(cfg.eodm, text_sequences)
         self._jit: dict = {}
 
+    @property
+    def model(self):  # CTC-trainer-compatible alias (infer/selftrain)
+        return self.gen
+
     def init_state(self, rng, example: Batch) -> TrainState:
-        feats, flen = compute_features(
-            jnp.asarray(example.audio),
-            jnp.asarray(example.audio_lengths),
-            self.frontend_state,
-            self.cfg.frontend,
-        )
-        params = self.model.init(rng, feats, flen)
+        feats, flen = self._gen_feats(Batch(*map(jnp.asarray, example)))
+        params = self.gen.init(rng, feats, flen)
         return TrainState(jnp.zeros((), jnp.int32), params, self.optimizer.init(params))
 
     def _loss(self, params, batch: Batch):
         from uasr.ops.eodm import eodm_loss
 
-        feats, flen = compute_features(
-            batch.audio, batch.audio_lengths, self.frontend_state,
-            self.cfg.frontend,
-        )
-        logits, out_len = self.model.apply(params, feats, flen)
+        probs, out_len, logits = self._gen_probs(params, batch)
         loss = self.cfg.eodm.weight * eodm_loss(
             logits, out_len, self.tables, k_chunk=self.cfg.eodm.k_chunk
         )
-        return loss, {"eodm_loss": loss}
+        aux = {"eodm_loss": loss}
+        loss = self._aux_penalties(probs, out_len, aux, loss)
+        return loss, aux
 
     def train_step(self, state: TrainState, batch: Batch):
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
