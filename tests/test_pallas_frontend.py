@@ -57,3 +57,35 @@ def test_pallas_partial_last_block():
         audio, state, cfg, block_frames=32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_kernel_energy_column_matches_xla(fe_cfg=None):
+    """MFCC use_energy through the kernel: the extra log-energy column
+    equals the XLA path's log power sum (interpret mode)."""
+    import dataclasses
+
+    from uasr.config import FrontendConfig
+    from uasr.frontend.features import (
+        frame_audio, make_frontend_state, power_frames, preemphasize,
+    )
+    from uasr.frontend.pallas_frontend import pallas_log_mel_frontend
+
+    cfg = FrontendConfig(num_mel_bins=24, feature_type="mfcc",
+                         use_energy=True, num_ceps=13)
+    fe = make_frontend_state(cfg)
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(2, 16000).astype(np.float32) * 0.2)
+    out = pallas_log_mel_frontend(audio, fe, cfg, interpret=True,
+                                  want_energy=True)
+    logmel, loge = out[..., :-1], out[..., -1]
+
+    x = preemphasize(audio, cfg.preemph)
+    frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)
+    pspec = power_frames(frames, fe, cfg.n_fft)
+    floor = float(np.finfo(np.float64).eps)
+    ref_logmel = jnp.log(jnp.maximum(pspec @ fe.mel_fb, floor))
+    ref_loge = jnp.log(jnp.maximum(pspec.sum(-1), floor))
+    np.testing.assert_allclose(np.asarray(logmel), np.asarray(ref_logmel),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(loge), np.asarray(ref_loge),
+                               rtol=1e-4, atol=1e-4)

@@ -157,6 +157,9 @@ class CTCConfig:
 class GANConfig:
     """WGAN-GP adversarial objective (SURVEY.md §3.2)."""
 
+    # wgan-gp = reference's Wasserstein critic; bce = wav2vec-U's
+    # non-saturating GAN objective (bounded — no critic runaway)
+    objective: str = "wgan-gp"  # wgan-gp | bce
     lambda_gp: float = 10.0
     disc_steps: int = 3  # D updates per G update
     g_lr: float = 1e-4

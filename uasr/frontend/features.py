@@ -286,20 +286,24 @@ def compute_features(
         mask = (jnp.arange(feat.shape[1])[None, :] < lengths[:, None])[..., None]
         return feat * mask, lengths
     # fused Pallas kernel on TPU for the log-mel hot path; the XLA path
-    # is the reference implementation and the fallback (CPU tests, and
-    # MFCC-with-energy which needs the raw power spectrum sum)
-    use_pallas = (
-        cfg.use_pallas
-        and jax.default_backend() not in ("cpu",)
-        and not (cfg.feature_type == "mfcc" and cfg.use_energy)
-    )
+    # is the reference implementation and the fallback (CPU tests).
+    # MFCC-with-energy gets the log power sum as an extra kernel output
+    # column (the raw power spectrum never leaves VMEM).
+    use_pallas = cfg.use_pallas and jax.default_backend() not in ("cpu",)
     if use_pallas:
         from uasr.frontend.pallas_frontend import pallas_log_mel_frontend
 
+        want_e = cfg.feature_type == "mfcc" and cfg.use_energy
         feat = pallas_log_mel_frontend(audio, state, cfg,
-                                       precision=cfg.precision)
+                                       precision=cfg.precision,
+                                       want_energy=want_e)
         if cfg.feature_type == "mfcc":
-            feat = _mfcc_from_logmel(feat, None, state, cfg)
+            if want_e:
+                loge, feat = feat[..., -1], feat[..., :-1]
+                ceps = jnp.matmul(feat, state.dct, precision=_HI) * state.lifter
+                feat = ceps.at[..., 0].set(loge)
+            else:
+                feat = _mfcc_from_logmel(feat, None, state, cfg)
     else:
         x = preemphasize(audio, cfg.preemph)
         frames = frame_audio(x, cfg.frame_length, cfg.frame_shift)

@@ -62,6 +62,7 @@ def _log_mel_kernel(
     group: int,
     n_fft: int,
     precision=_HI,
+    want_energy: bool = False,
 ):
     rows = chunk_ref[0]  # [ROWS, ROW_LEN]
     row_len = rows.shape[1]
@@ -120,13 +121,22 @@ def _log_mel_kernel(
         power = (re * re + im * im) * (1.0 / n_fft)
         mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
                       precision=_HI)
-    out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
+    if want_energy:
+        # MFCC-with-energy: log total spectral power rides as an extra
+        # output column (sliced off by the wrapper) — the raw power
+        # spectrum never leaves VMEM
+        M = mel.shape[1]
+        out_ref[0, :, :M] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
+        loge = jnp.log(jnp.maximum(jnp.sum(power, axis=1), _LOG_FLOOR))
+        out_ref[0, :, M:] = loge[:, None]
+    else:
+        out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("frame_len", "frame_shift", "n_fft", "block_frames",
-                     "interpret", "precision"),
+                     "interpret", "precision", "want_energy"),
 )
 def _pallas_log_mel(
     audio: jax.Array,
@@ -137,12 +147,15 @@ def _pallas_log_mel(
     block_frames: int = 128,
     interpret: bool = False,
     precision: str = "highest",
+    want_energy: bool = False,
 ) -> jax.Array:
-    """[B, L] pre-emphasized audio -> [B, T, M] log-mel."""
+    """[B, L] pre-emphasized audio -> [B, T, M] log-mel (M+1 with the
+    log-energy column when want_energy)."""
     B, L = audio.shape
     FL, FS = frame_len, frame_shift
     T = max(1 + (L - FL) // FS, 1)
-    M = state.mel_fb.shape[1]
+    M_mel = state.mel_fb.shape[1]
+    M = M_mel + (1 if want_energy else 0)  # output cols (+1 = log-energy)
     NB = n_fft // 2 + 1
 
     group = 128 // math.gcd(FS, 128)  # frames per aligned stripe period
@@ -171,6 +184,7 @@ def _pallas_log_mel(
             group=group,
             n_fft=n_fft,
             precision=precision,
+            want_energy=want_energy,
         ),
         grid=(B * n_blocks,),
         in_specs=[
@@ -179,7 +193,8 @@ def _pallas_log_mel(
             pl.BlockSpec((1, FL), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((FL, NB), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((FL, NB), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, M_mel), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_frames, M), lambda i: (i, 0, 0),
@@ -219,10 +234,16 @@ def pallas_log_mel_frontend(
     block_frames: int = 128,
     interpret: bool = False,
     precision: str = "highest",
+    want_energy: bool = False,
 ) -> jax.Array:
-    """Drop-in fused replacement for features.log_mel_frontend."""
+    """Drop-in fused replacement for features.log_mel_frontend.
+
+    With want_energy, returns [B, T, M+1] whose last column is the log
+    total spectral power per frame (MFCC use_energy, computed in-kernel).
+    """
     x = preemphasize(audio, cfg.preemph)
     return _pallas_log_mel(
         x, state, cfg.frame_length, cfg.frame_shift, cfg.n_fft,
         block_frames=block_frames, interpret=interpret, precision=precision,
+        want_energy=want_energy,
     )

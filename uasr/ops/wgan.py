@@ -76,3 +76,40 @@ def d_loss_fn(
 def g_loss_fn(score_fake: jax.Array) -> jax.Array:
     """Generator loss: -E[D(G(x))]."""
     return -jnp.mean(score_fake)
+
+
+def bce_d_loss_fn(
+    disc_apply: Callable,
+    disc_params,
+    real: jax.Array,
+    real_lengths: jax.Array,
+    fake: jax.Array,
+    fake_lengths: jax.Array,
+    lambda_gp: float,
+    rng: jax.Array,
+):
+    """Non-saturating GAN critic loss (wav2vec-U's objective):
+    softplus(-D(real)) + softplus(D(fake)) + lambda * GP. Bounded, so the
+    critic cannot run away the way an under-penalized Wasserstein
+    estimate does; the same interpolate gradient penalty regularizes it.
+    """
+    score_real = disc_apply(disc_params, real, real_lengths)
+    score_fake = disc_apply(disc_params, fake, fake_lengths)
+    T = max(real.shape[1], fake.shape[1])
+    pad_r = jnp.pad(real, ((0, 0), (0, T - real.shape[1]), (0, 0)))
+    pad_f = jnp.pad(fake, ((0, 0), (0, T - fake.shape[1]), (0, 0)))
+    gp_len = jnp.minimum(real_lengths, fake_lengths)
+    gp = gradient_penalty(disc_apply, disc_params, pad_r, pad_f, gp_len, rng)
+    loss = (
+        jnp.mean(jax.nn.softplus(-score_real))
+        + jnp.mean(jax.nn.softplus(score_fake))
+        + lambda_gp * gp
+    )
+    # report the same separation diagnostic as the WGAN path
+    wdist = jnp.mean(score_real) - jnp.mean(score_fake)
+    return loss, {"d_loss": loss, "wasserstein": wdist, "gp": gp}
+
+
+def bce_g_loss_fn(score_fake: jax.Array) -> jax.Array:
+    """Non-saturating generator loss: softplus(-D(G(x)))."""
+    return jnp.mean(jax.nn.softplus(-score_fake))

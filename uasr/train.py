@@ -44,7 +44,7 @@ from uasr.ops.ctc import ctc_loss
 from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
 from uasr.ops.edit_distance import batch_edit_distance
 from uasr.ops.eodm import device_ngram_tables
-from uasr.ops.wgan import d_loss_fn, g_loss_fn
+from uasr.ops.wgan import bce_d_loss_fn, bce_g_loss_fn, d_loss_fn, g_loss_fn
 from uasr.parallel.mesh import make_mesh, shard_batch
 
 
@@ -392,8 +392,10 @@ class GANTrainer(GeneratorBase):
         fake = jax.lax.stop_gradient(fake)
         real = self._real_dist(text.ids)
 
+        d_fn = bce_d_loss_fn if self.cfg.gan.objective == "bce" else d_loss_fn
+
         def loss_fn(d_params):
-            return d_loss_fn(
+            return d_fn(
                 self.disc.apply, d_params, real, text.lengths,
                 fake, fake_len, self.cfg.gan.lambda_gp, rng,
             )
@@ -408,11 +410,12 @@ class GANTrainer(GeneratorBase):
 
     def g_step(self, state: GANState, audio: Batch, rng):
         sup_w = self.cfg.gan.supervised_weight
+        g_fn = bce_g_loss_fn if self.cfg.gan.objective == "bce" else g_loss_fn
 
         def loss_fn(g_params):
             fake, fake_len, logits = self._gen_probs(g_params, audio)
             score = self.disc.apply(state.d_params, fake, fake_len)
-            loss = g_loss_fn(score)
+            loss = g_fn(score)
             aux = {"g_loss": loss}
             loss = self._aux_penalties(fake, fake_len, aux, loss)
             if sup_w > 0:  # semi-supervised CTC mix-in
@@ -631,10 +634,13 @@ def run_gan_training(
         tables = device_ngram_tables(cfg.eodm, text_sequences)
 
         def g_step_eodm(state: GANState, audio: Batch, rng):
+            g_fn = (bce_g_loss_fn if cfg.gan.objective == "bce"
+                    else g_loss_fn)
+
             def loss_fn(g_params):
                 probs, out_len, logits = trainer._gen_probs(g_params, audio)
                 score = trainer.disc.apply(state.d_params, probs, out_len)
-                g_l = g_loss_fn(score)
+                g_l = g_fn(score)
                 e_l = cfg.eodm.weight * eodm_loss(
                     logits, out_len, tables, k_chunk=cfg.eodm.k_chunk
                 )
