@@ -87,7 +87,7 @@ def test_wav2vecu_stretch_recipe_runs(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     r = _run_prepare(["kmeans", "--list", train_list, "--vocab", vocab,
                       "--config", recipe, "--clusters", "8", "--iters", "3",
-                      "--max-utts", "10", "--out", km])
+                      "--max-utts", "10", "--cmvn-stats", cmvn, "--out", km])
     assert r.returncode == 0, r.stderr[-2000:]
     r = _run_prepare(["ngrams", "--text", text, "--vocab", vocab,
                       "--orders", "2,3,4", "--top-k", "50", "--out", ngrams])

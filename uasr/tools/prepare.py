@@ -103,7 +103,7 @@ def cmd_kmeans(args):
 
     from uasr.config import load_config
     from uasr.data.dataset import ASRDataset
-    from uasr.frontend.features import compute_features, make_frontend_state
+    from uasr.frontend.features import compute_features, frontend_state_from_config
     from uasr.ops.segment import kmeans_fit
     from uasr.vocab import load_vocab
 
@@ -115,7 +115,9 @@ def cmd_kmeans(args):
     fcfg = cfg.frontend
     if cfg.gan.segment_on_raw:
         fcfg = dataclasses.replace(fcfg, cmvn="none")
-    fe = make_frontend_state(fcfg)
+    if args.cmvn_stats:  # point at a freshly-written `prepare cmvn` artifact
+        fcfg = dataclasses.replace(fcfg, cmvn_stats_path=args.cmvn_stats)
+    fe = frontend_state_from_config(fcfg)
     frames = []
     for i in range(min(len(ds), args.max_utts)):
         audio, _ = ds.example(i)
@@ -199,6 +201,8 @@ def main(argv=None):
     km.add_argument("--iters", type=int, default=25)
     km.add_argument("--max-utts", type=int, default=500)
     km.add_argument("--seed", type=int, default=0)
+    km.add_argument("--cmvn-stats", default=None,
+                    help="override frontend.cmvn_stats_path (for cmvn=global)")
     km.add_argument("--out", required=True)
     km.set_defaults(fn=cmd_kmeans)
 
