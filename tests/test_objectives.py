@@ -174,3 +174,53 @@ def test_ngram_table_save_load_roundtrip(tmp_path):
     for (i1, p1), (i2, p2) in zip(built, loaded):
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+# -------------------------------------------------- generator regularizers
+
+
+def test_smoothness_penalty_on_pre_merge_stream():
+    """gan.smoothness_weight penalizes ||p_t - p_{t+1}||^2 on the RAW
+    frame posteriors (wav2vec-U's anti-flicker term): a flickering
+    generator output must score a strictly higher penalty than a
+    piecewise-constant one, and the penalty must see the pre-merge
+    stream (post-merge both streams look identical)."""
+    import dataclasses
+
+    from uasr.config import Config, FrontendConfig, GANConfig, TrainConfig
+    from uasr.train import GANTrainer
+
+    cfg = Config(
+        name="sm",
+        frontend=FrontendConfig(num_mel_bins=8),
+        model=ModelConfig(classifier_hidden=8, classifier_layers=1),
+        gan=GANConfig(smoothness_weight=2.0, merge_repeats=True),
+        train=TrainConfig(),
+        vocab_size=5,
+    )
+    tr = GANTrainer.__new__(GANTrainer)  # only _aux_penalties is exercised
+    tr.cfg = cfg
+
+    B, T, V = 2, 6, 5
+    lengths = jnp.asarray([6, 4])
+    flicker = jnp.asarray(
+        np.stack([np.eye(V)[[1, 2, 1, 2, 1, 2]], np.eye(V)[[3, 4, 3, 4, 3, 4]]])
+    ).astype(jnp.float32)
+    constant = jnp.asarray(
+        np.stack([np.eye(V)[[1, 1, 1, 2, 2, 2]], np.eye(V)[[3, 3, 4, 4, 4, 4]]])
+    ).astype(jnp.float32)
+    aux_f, aux_c = {}, {}
+    lf = tr._aux_penalties(flicker, lengths, aux_f, 0.0,
+                           raw_probs=flicker, raw_len=lengths)
+    lc = tr._aux_penalties(constant, lengths, aux_c, 0.0,
+                           raw_probs=constant, raw_len=lengths)
+    assert float(lf) > float(lc) > 0.0
+    # hand value for the flicker stream: every valid adjacent pair differs
+    # in exactly two one-hot coordinates -> squared distance 2
+    assert np.isclose(float(aux_f["g_smooth"]), 2.0, atol=1e-6)
+    # padding beyond lengths must not contribute
+    dirty = flicker.at[1, 4:].set(7.0)
+    aux_d = {}
+    ld = tr._aux_penalties(dirty, lengths, aux_d, 0.0,
+                           raw_probs=dirty, raw_len=lengths)
+    assert np.isclose(float(ld), float(lf), atol=1e-6)

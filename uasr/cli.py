@@ -34,6 +34,9 @@ def _load_source(cfg, split: str):
             num_utts=cfg.data.synthetic_num_utts,
             num_phones=(cfg.vocab_size - 2) if cfg.vocab_size else 16,
             seed={"train": 0, "dev": 1, "test": 2}.get(split, 0),
+            syntax=cfg.data.synthetic_syntax,
+            min_len=cfg.data.synthetic_min_len,
+            max_len=cfg.data.synthetic_max_len,
         )
         return ("examples", examples), vocab
     vocab = load_vocab(cfg.data.vocab_path)
@@ -203,6 +206,7 @@ def _train_gan(cfg, source, vocab, with_eodm=False):
         _batches(cfg, source, seed=cfg.train.seed),
         text,
         with_eodm=with_eodm,
+        dev_batches_fn=_dev_batches_fn(cfg, vocab),
     )
     return 0
 
@@ -212,7 +216,8 @@ def _train_eodm(cfg, source, vocab):
 
     text = _load_text(cfg, source, vocab)
     run_eodm_training(
-        cfg, _batches(cfg, source, seed=cfg.train.seed), text
+        cfg, _batches(cfg, source, seed=cfg.train.seed), text,
+        dev_batches_fn=_dev_batches_fn(cfg, vocab),
     )
     return 0
 

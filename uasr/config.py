@@ -169,12 +169,22 @@ class GANConfig:
     # the Wasserstein estimate runs away
     real_label_smooth: float = 0.0
     adam_b1: float = 0.5  # low momentum for both GAN opts (WGAN-GP paper)
+    # apply train.lr_schedule's SHAPE (warmup/decay) to g_lr/d_lr: GAN
+    # phone discovery finds the right permutation early and then drifts
+    # off it if the lr stays high (measured on the synthetic Markov
+    # corpus: dev PER 0.30 at step 600 -> 0.64 at 1500 without decay)
+    use_lr_schedule: bool = False
     # push G's posteriors toward one-hot (removes the peakedness tell;
     # wav2vec-U's entropy penalty)
     entropy_weight: float = 0.0
     # maximize entropy of the batch-mean posterior (wav2vec-U's phoneme
     # diversity loss; prevents collapse to a constant output)
     diversity_weight: float = 0.0
+    # penalize ||p_t - p_{t+1}||^2 on the PRE-merge frame posteriors
+    # (wav2vec-U's smoothness penalty): without it the generator
+    # flickers between phones, over-segments the merged stream, and
+    # distribution matching drives PER up instead of down
+    smoothness_weight: float = 0.0
     d_weight_decay: float = 0.0  # bounds critic scale growth
     supervised_weight: float = 0.0  # semi-supervised CTC mix-in
     # wav2vec-U-style segmental preprocessing (uasr/ops/segment.py)
@@ -223,6 +233,11 @@ class DataConfig:
     loader_threads: int = 0  # native decoder threads; 0 = hardware default
     synthetic: bool = False  # generate synthetic data (tests / benches)
     synthetic_num_utts: int = 128
+    # iid = Zipf unigrams; markov = fixed sparse phonotactics — REQUIRED
+    # for unsupervised identifiability (see dataset.synthetic_phonotactics)
+    synthetic_syntax: str = "iid"
+    synthetic_min_len: int = 3
+    synthetic_max_len: int = 10
     num_epochs: int | None = None  # None = cycle until train.total_steps
 
 

@@ -272,10 +272,16 @@ class GeneratorBase:
             feats, flen = self._segment(feats, flen, batch)
         return feats, flen
 
-    def _gen_probs(self, g_params, batch: Batch):
+    def _gen_probs_full(self, g_params, batch: Batch):
+        """Returns (raw frame posteriors, raw lengths, post-merge probs,
+        post-merge lengths, post-merge logits). The raw view feeds the
+        smoothness penalty, which must see the frame stream BEFORE the
+        repeat merge erases the flicker it exists to punish."""
         feats, flen = self._gen_feats(batch)
         logits, out_len = self.gen.apply(g_params, feats, flen)
-        probs = jax.nn.softmax(logits, axis=-1)
+        raw_probs = jax.nn.softmax(logits, axis=-1)
+        raw_len = out_len
+        probs = raw_probs
         if self.cfg.gan.merge_repeats:
             from uasr.ops.segment import merge_repeats_drop_blank
 
@@ -287,6 +293,10 @@ class GeneratorBase:
                 probs, out_len, self.cfg.ctc.blank_id
             )
             logits = jnp.log(probs + 1e-8)
+        return raw_probs, raw_len, probs, out_len, logits
+
+    def _gen_probs(self, g_params, batch: Batch):
+        _, _, probs, out_len, logits = self._gen_probs_full(g_params, batch)
         return probs, out_len, logits
 
     def _entropy(self, probs, lengths):
@@ -296,8 +306,10 @@ class GeneratorBase:
         ent = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=-1)
         return jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1)
 
-    def _aux_penalties(self, probs, lengths, aux, loss):
-        """Entropy (peakiness) + diversity (anti-collapse) penalties."""
+    def _aux_penalties(self, probs, lengths, aux, loss,
+                       raw_probs=None, raw_len=None):
+        """Entropy (peakiness) + diversity (anti-collapse) + smoothness
+        (anti-flicker, on the pre-merge frame stream) penalties."""
         g = self.cfg.gan
         if g.entropy_weight > 0:
             ent = self._entropy(probs, lengths)
@@ -312,6 +324,16 @@ class GeneratorBase:
             div = -jnp.sum(mean_p * jnp.log(mean_p + 1e-8))
             aux["g_diversity"] = div
             loss = loss - g.diversity_weight * div
+        if g.smoothness_weight > 0:
+            p = probs if raw_probs is None else raw_probs
+            plen = lengths if raw_probs is None else raw_len
+            T = p.shape[1]
+            # pair (t, t+1) valid iff t+1 < len
+            pair_mask = jnp.arange(T - 1)[None, :] < (plen[:, None] - 1)
+            sq = jnp.sum((p[:, 1:] - p[:, :-1]) ** 2, axis=-1)
+            sm = jnp.sum(sq * pair_mask) / jnp.maximum(jnp.sum(pair_mask), 1)
+            aux["g_smooth"] = sm
+            loss = loss + g.smoothness_weight * sm
         return loss
 
     def evaluate_per(self, g_params, batches) -> float:
@@ -349,9 +371,21 @@ class GANTrainer(GeneratorBase):
             cfg.parallel.model_parallel
         )
         self.disc = PhoneDiscriminator(cfg.model)
-        self.g_opt = make_optimizer(cfg, lr=cfg.gan.g_lr,
+
+        def _lr(peak):
+            # gan.use_lr_schedule: reuse train.lr_schedule's shape with
+            # the GAN-specific peak rate
+            if not cfg.gan.use_lr_schedule:
+                return peak
+            import dataclasses
+
+            return make_schedule(
+                cfg.replace(train=dataclasses.replace(cfg.train, lr=peak))
+            )
+
+        self.g_opt = make_optimizer(cfg, lr=_lr(cfg.gan.g_lr),
                                     b1=cfg.gan.adam_b1, b2=0.9)
-        d_opt = make_optimizer(cfg, lr=cfg.gan.d_lr,
+        d_opt = make_optimizer(cfg, lr=_lr(cfg.gan.d_lr),
                                b1=cfg.gan.adam_b1, b2=0.9)
         if cfg.gan.d_weight_decay > 0:
             d_opt = optax.chain(
@@ -413,11 +447,14 @@ class GANTrainer(GeneratorBase):
         g_fn = bce_g_loss_fn if self.cfg.gan.objective == "bce" else g_loss_fn
 
         def loss_fn(g_params):
-            fake, fake_len, logits = self._gen_probs(g_params, audio)
+            raw_p, raw_len, fake, fake_len, logits = self._gen_probs_full(
+                g_params, audio
+            )
             score = self.disc.apply(state.d_params, fake, fake_len)
             loss = g_fn(score)
             aux = {"g_loss": loss}
-            loss = self._aux_penalties(fake, fake_len, aux, loss)
+            loss = self._aux_penalties(fake, fake_len, aux, loss,
+                                       raw_probs=raw_p, raw_len=raw_len)
             if sup_w > 0:  # semi-supervised CTC mix-in
                 sup = jnp.mean(
                     ctc_loss(
@@ -479,12 +516,15 @@ class EODMTrainer(GeneratorBase):
     def _loss(self, params, batch: Batch):
         from uasr.ops.eodm import eodm_loss
 
-        probs, out_len, logits = self._gen_probs(params, batch)
+        raw_p, raw_len, probs, out_len, logits = self._gen_probs_full(
+            params, batch
+        )
         loss = self.cfg.eodm.weight * eodm_loss(
             logits, out_len, self.tables, k_chunk=self.cfg.eodm.k_chunk
         )
         aux = {"eodm_loss": loss}
-        loss = self._aux_penalties(probs, out_len, aux, loss)
+        loss = self._aux_penalties(probs, out_len, aux, loss,
+                                   raw_probs=raw_p, raw_len=raw_len)
         return loss, aux
 
     def train_step(self, state: TrainState, batch: Batch):
@@ -638,7 +678,9 @@ def run_gan_training(
                     else g_loss_fn)
 
             def loss_fn(g_params):
-                probs, out_len, logits = trainer._gen_probs(g_params, audio)
+                raw_p, raw_len, probs, out_len, logits = (
+                    trainer._gen_probs_full(g_params, audio)
+                )
                 score = trainer.disc.apply(state.d_params, probs, out_len)
                 g_l = g_fn(score)
                 e_l = cfg.eodm.weight * eodm_loss(
@@ -646,7 +688,9 @@ def run_gan_training(
                 )
                 loss = g_l + e_l
                 aux = {"g_loss": g_l, "eodm_loss": e_l}
-                loss = trainer._aux_penalties(probs, out_len, aux, loss)
+                loss = trainer._aux_penalties(probs, out_len, aux, loss,
+                                              raw_probs=raw_p,
+                                              raw_len=raw_len)
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
