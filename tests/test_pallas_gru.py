@@ -21,7 +21,7 @@ def _reference_scan(xproj, wh, bh, tmask):
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
         h_new = (1.0 - z) * n + z * h
-        h_new = jnp.where(m[None, :, None], h_new, h)
+        h_new = jnp.where(m[:, :, None], h_new, h)
         return h_new, h_new
 
     G, B = xproj.shape[1], xproj.shape[2]
@@ -36,9 +36,13 @@ def _problem(T=12, G=2, B=4, H=8, seed=0):
     xproj = jnp.asarray(rng.randn(T, G, B, 3 * H) * 0.5, jnp.float32)
     wh = jnp.asarray(rng.randn(G, H, 3 * H) * 0.3, jnp.float32)
     bh = jnp.asarray(rng.randn(G, 3 * H) * 0.1, jnp.float32)
+    # per-group validity windows (the BiGRU's reversed stream masks a
+    # padding PREFIX, the forward stream a suffix — exercise both)
     lengths = np.array([T, T - 3, 5, 1][:B])
+    fwd = np.arange(T)[:, None] < lengths[None, :]
+    bwd = np.arange(T)[:, None] >= (T - lengths)[None, :]
     tmask = jnp.asarray(
-        np.arange(T)[:, None] < lengths[None, :], jnp.bool_
+        np.stack([fwd, bwd], axis=1)[:, :G], jnp.bool_
     )
     return xproj, wh, bh, tmask
 

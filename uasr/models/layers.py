@@ -88,12 +88,13 @@ class BiGRU(nn.Module):
     """Bidirectional GRU: concat of forward and length-aware backward.
 
     Fused single-scan design: the backward direction is folded into the
-    batch dimension (its input pre-reversed per utterance length), so one
-    `lax.scan` of T steps computes both directions — half the sequential
-    steps of the naive two-scan formulation, and each step's recurrent
-    matmul is a [2, B, H] x [2, H, 3H] batched GEMM that fills the MXU
-    better. The recurrence is latency-bound on TPU, so halving step count
-    is the single biggest BiGRU win (see BENCH history).
+    batch dimension (its input fully time-flipped, with a per-direction
+    validity mask absorbing the padding prefix), so one `lax.scan` of T
+    steps computes both directions — half the sequential steps of the
+    naive two-scan formulation, and each step's recurrent matmul is a
+    [2, B, H] x [2, H, 3H] batched GEMM that fills the MXU better. The
+    recurrence is latency-bound on TPU, so halving step count is the
+    single biggest BiGRU win (see BENCH history).
     """
 
     hidden: int
@@ -128,12 +129,15 @@ class BiGRU(nn.Module):
         bxd = bx.astype(self.dtype)
         bhd = bh.astype(self.dtype)
 
-        # reversed copy (within valid length) rides as extra batch rows
-        rev_idx = jnp.clip(
-            lengths[:, None] - 1 - jnp.arange(T)[None, :], 0, T - 1
-        )
-        x_rev = jnp.take_along_axis(x, rev_idx[:, :, None], axis=1)
-        x2 = jnp.stack([x, x_rev], axis=0)  # [2, B, T, D]
+        # reversed copy rides as extra batch rows. A full jnp.flip (one
+        # cheap lax.rev) replaces round-1's per-length take_along_axis:
+        # gathers cost ~4x a flip on TPU and their transpose is a
+        # scatter-add in the backward pass (measured 0.7 ms vs 0.2 ms
+        # fwd+bwd per use at B=128, T=200, H=512). The reversed stream
+        # instead gets its own validity window: its first T - len steps
+        # are padding, so its mask is t >= T - len and the carry stays
+        # at the zero init until real frames begin.
+        x2 = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # [2, B, T, D]
 
         # hoisted input projections: one batched MXU GEMM for all steps
         xproj = (
@@ -142,10 +146,14 @@ class BiGRU(nn.Module):
             + bxd[:, None, None, :]
         )
         xproj = jnp.moveaxis(xproj, 2, 0)  # [T, 2, B, 3H]
-        tmask = jnp.arange(T)[:, None] < lengths[None, :]  # [T, B]
+        tpos = jnp.arange(T)[:, None]
+        tmask = jnp.stack(
+            [tpos < lengths[None, :], tpos >= (T - lengths)[None, :]],
+            axis=1,
+        )  # [T, 2, B]
 
         def step(h, inp):
-            xp, m = inp  # xp: [2, B, 3H], m: [B]
+            xp, m = inp  # xp: [2, B, 3H], m: [2, B]
             hproj = (
                 jnp.einsum("gbh,gho->gbo", h, whd,
                            preferred_element_type=self.dtype)
@@ -157,7 +165,7 @@ class BiGRU(nn.Module):
             z = jax.nn.sigmoid(xz + hz)
             n = jnp.tanh(xn + r * hn)  # reset-after (cuDNN convention)
             h_new = (1.0 - z) * n + z * h
-            h_new = jnp.where(m[None, :, None], h_new, h)
+            h_new = jnp.where(m[:, :, None], h_new, h)
             return h_new, h_new
 
         if self.use_pallas:
@@ -173,10 +181,15 @@ class BiGRU(nn.Module):
             _, ys = jax.lax.scan(body, h0, (xproj, tmask), unroll=self.unroll)
         ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
         fwd = ys[0]
-        bwd = jnp.take_along_axis(ys[1], rev_idx[:, :, None], axis=1)
+        # un-reverse: state at flipped step u belongs to frame T-1-u,
+        # and the reversed stream's padding prefix is exactly zero
+        bwd = jnp.flip(ys[1], axis=1)
         out = jnp.concatenate([fwd, bwd], axis=-1)
         valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
-        return jnp.where(valid, out, 0.0).astype(jnp.float32)
+        # stay in the compute dtype: the f32 upcast between stacked
+        # layers cost ~0.2 ms/layer of pure HBM traffic under bf16;
+        # consumers (next BiGRU, f32 logits Dense) cast as they need
+        return jnp.where(valid, out, 0.0)
 
 
 class ConvBlock(nn.Module):

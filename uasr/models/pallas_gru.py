@@ -72,8 +72,8 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
         h_scr[...] = jnp.zeros_like(h_scr)
 
     G = h_scr.shape[0]
-    mf = mask_ref[0, 0][:, None]  # [B, 1] in {0, 1}
     for g in range(G):
+        mf = mask_ref[0, g][:, None]  # [B, 1] in {0, 1}
         h_prev = h_scr[g]
         # cast to the weight dtype (bf16 in production) so the MXU runs
         # native passes instead of promoted-f32 emulation — same
@@ -94,7 +94,7 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
 
 def _bwd_kernel(
     xp_ref,  # [1, G, B, 3H] at time t
-    mask_ref,  # [1, 1, B]
+    mask_ref,  # [1, G, B]
     hprev_ref,  # [1, G, B, H] = ys[t-1] (t=0 handled by @pl.when)
     wh_ref,  # [G, H, 3H]
     bh_ref,  # [G, 3H]
@@ -112,8 +112,8 @@ def _bwd_kernel(
 
     G, B, H = dh_scr.shape
     is_first = t_rev == T - 1  # actual t == 0
-    mf = mask_ref[0, 0][:, None]  # [B, 1]
     for g in range(G):
+        mf = mask_ref[0, g][:, None]  # [B, 1]
         h_prev_raw = jnp.where(
             is_first, jnp.zeros_like(hprev_ref[0, g]), hprev_ref[0, g]
         )
@@ -151,8 +151,9 @@ def _bwd_kernel(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def pallas_gru_scan(xproj, wh, bh, tmask, interpret=False):
     """Grouped GRU recurrence. xproj: [T, G, B, 3H] (input projections,
-    input bias already added); wh: [G, H, 3H]; bh: [G, 3H]; tmask: [T, B]
-    (1 = step active). Returns ys: [T, G, B, H]."""
+    input bias already added); wh: [G, H, 3H]; bh: [G, 3H]; tmask:
+    [T, G, B] (1 = step active; per-group so the time-reversed BiGRU
+    stream can carry its own validity window). Returns ys: [T, G, B, H]."""
     ys, _ = _fwd(xproj, wh, bh, tmask, interpret)
     return ys
 
@@ -161,7 +162,7 @@ def _fwd(xproj, wh, bh, tmask, interpret):
     T, G, B, H3 = xproj.shape
     H = H3 // 3
     BT = _batch_tile(B)
-    mask = tmask.astype(jnp.float32).reshape(T, 1, B)
+    mask = tmask.astype(jnp.float32)  # [T, G, B]
     # grid (batch tiles, time): time is the fast axis, so each tile runs
     # its full recurrence with the carry in scratch before the next tile
     # starts (scratch re-zeroed at t == 0)
@@ -171,7 +172,7 @@ def _fwd(xproj, wh, bh, tmask, interpret):
         in_specs=[
             pl.BlockSpec((1, G, BT, H3), lambda b, t: (t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BT), lambda b, t: (t, 0, b),
+            pl.BlockSpec((1, G, BT), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -202,14 +203,14 @@ def _bwd_rule(interpret, res, dy):
     T, G, B, H3 = xproj.shape
     H = H3 // 3
     BT = _batch_tile(B)
-    mask = tmask.astype(jnp.float32).reshape(T, 1, B)
+    mask = tmask.astype(jnp.float32)  # [T, G, B]
     dxp, dhproj = pl.pallas_call(
         _bwd_kernel,
         grid=(B // BT, T),
         in_specs=[
             pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BT), lambda b, t: (T - 1 - t, 0, b),
+            pl.BlockSpec((1, G, BT), lambda b, t: (T - 1 - t, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, G, BT, H),
