@@ -93,59 +93,58 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
 
 
 def _bwd_kernel(
-    xp_ref,  # [1, G, B, 3H] at time t
-    mask_ref,  # [1, G, B]
-    hprev_ref,  # [1, G, B, H] = ys[t-1] (t=0 handled by @pl.when)
+    KT,  # timesteps per grid step (bound via functools.partial)
+    xp_ref,  # [KT, G, B, 3H] at the tile's timesteps
+    mask_ref,  # [KT, G, B]
+    hprev_ref,  # [KT, G, B, H] = ys shifted one step (zeros at t = 0)
     wh_ref,  # [G, H, 3H]
     bh_ref,  # [G, 3H]
-    dy_ref,  # [1, G, B, H] upstream grad of ys[t]
-    dxp_ref,  # out [1, G, B, 3H]
-    dhproj_ref,  # out [1, G, B, 3H] (dwh/dbh reduced outside)
+    dy_ref,  # [KT, G, B, H] upstream grad of ys
+    dxp_ref,  # out [KT, G, B, 3H]
+    dhproj_ref,  # out [KT, G, B, 3H] (dwh/dbh reduced outside)
     dh_scr,  # [G, B, H] carried dL/dh_prev
 ):
-    t_rev = pl.program_id(1)  # 0 = last timestep
-    T = pl.num_programs(1)
+    t_rev = pl.program_id(1)  # 0 = last time tile
 
     @pl.when(t_rev == 0)
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     G, B, H = dh_scr.shape
-    is_first = t_rev == T - 1  # actual t == 0
-    for g in range(G):
-        mf = mask_ref[0, g][:, None]  # [B, 1]
-        h_prev_raw = jnp.where(
-            is_first, jnp.zeros_like(hprev_ref[0, g]), hprev_ref[0, g]
-        )
-        h_prev = h_prev_raw.astype(jnp.float32)
-        xp = xp_ref[0, g]
-        hproj = (
-            jnp.dot(h_prev_raw, wh_ref[g], preferred_element_type=jnp.float32)
-            + bh_ref[g, :][None, :]
-        )
-        r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
+    for k in reversed(range(KT)):
+        for g in range(G):
+            mf = mask_ref[k, g][:, None]  # [B, 1]
+            h_prev_raw = hprev_ref[k, g]
+            h_prev = h_prev_raw.astype(jnp.float32)
+            xp = xp_ref[k, g]
+            hproj = (
+                jnp.dot(h_prev_raw, wh_ref[g],
+                        preferred_element_type=jnp.float32)
+                + bh_ref[g, :][None, :]
+            )
+            r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
 
-        dh_total = dh_scr[g] + dy_ref[0, g]
-        dh_cand = dh_total * mf
-        dh_prev = dh_total * (1.0 - mf)
+            dh_total = dh_scr[g] + dy_ref[k, g]
+            dh_cand = dh_total * mf
+            dh_prev = dh_total * (1.0 - mf)
 
-        dz = dh_cand * (h_prev - n)
-        dn = dh_cand * (1.0 - z)
-        dh_prev = dh_prev + dh_cand * z
-        dn_pre = dn * (1.0 - n * n)
-        dhn = dn_pre * r
-        dr_pre = (dn_pre * hn) * r * (1.0 - r)
-        dz_pre = dz * z * (1.0 - z)
+            dz = dh_cand * (h_prev - n)
+            dn = dh_cand * (1.0 - z)
+            dh_prev = dh_prev + dh_cand * z
+            dn_pre = dn * (1.0 - n * n)
+            dhn = dn_pre * r
+            dr_pre = (dn_pre * hn) * r * (1.0 - r)
+            dz_pre = dz * z * (1.0 - z)
 
-        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-        dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-        dh_prev = dh_prev + jnp.dot(
-            dhproj.astype(wh_ref.dtype), wh_ref[g].T,
-            preferred_element_type=jnp.float32,
-        )
-        dxp_ref[0, g] = dxp.astype(dxp_ref.dtype)
-        dhproj_ref[0, g] = dhproj.astype(dhproj_ref.dtype)
-        dh_scr[g] = dh_prev
+            dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+            dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+            dh_prev = dh_prev + jnp.dot(
+                dhproj.astype(wh_ref.dtype), wh_ref[g].T,
+                preferred_element_type=jnp.float32,
+            )
+            dxp_ref[k, g] = dxp.astype(dxp_ref.dtype)
+            dhproj_ref[k, g] = dhproj.astype(dhproj_ref.dtype)
+            dh_scr[g] = dh_prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -198,55 +197,83 @@ def _fwd_rule(xproj, wh, bh, tmask, interpret):
     return ys, res
 
 
+def _pad_time(a, Tp):
+    """Zero-pad axis 0 (time) to length Tp."""
+    T = a.shape[0]
+    if T == Tp:
+        return a
+    return jnp.pad(a, [(0, Tp - T)] + [(0, 0)] * (a.ndim - 1))
+
+
+# timesteps per backward grid step. Padded steps carry mask 0 and dy 0,
+# so they contribute nothing and the dh carry flows through untouched.
+# Swept on v5e at B=128, T=200, H=512: isolated chained fwd+bwd ms/iter
+# KT=1 3.75, KT=2 3.53, KT=4 3.69, KT=8 3.61 — but END-TO-END the full
+# train step is flat-to-slightly-worse at KT=2 (57.7k vs 58.0k
+# audio-s/s), so the default stays 1; the tiling machinery is kept for
+# larger-T regimes.
+BWD_TIME_TILE = 1
+
+
 def _bwd_rule(interpret, res, dy):
     xproj, wh, bh, tmask, ys = res
     T, G, B, H3 = xproj.shape
     H = H3 // 3
     BT = _batch_tile(B)
-    mask = tmask.astype(jnp.float32)  # [T, G, B]
+    KT = min(BWD_TIME_TILE, T)
+    Tp = -(-T // KT) * KT
+    ntt = Tp // KT
+    # h_prev trajectory shifted one step (h_prev[t] = ys[t-1], zeros at
+    # t = 0) so every kernel block is tile-aligned
+    hprev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    xp = _pad_time(xproj, Tp)
+    mask = _pad_time(tmask.astype(jnp.float32), Tp)  # [Tp, G, B]
+    hprev_p = _pad_time(hprev, Tp)
+    dyp = _pad_time(dy, Tp)
     dxp, dhproj = pl.pallas_call(
-        _bwd_kernel,
-        grid=(B // BT, T),
+        functools.partial(_bwd_kernel, KT),
+        grid=(B // BT, ntt),
         in_specs=[
-            pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
+            pl.BlockSpec((KT, G, BT, H3), lambda b, t: (ntt - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, BT), lambda b, t: (T - 1 - t, 0, b),
+            pl.BlockSpec((KT, G, BT), lambda b, t: (ntt - 1 - t, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, G, BT, H),
-                lambda b, t: (jnp.maximum(T - 2 - t, 0), 0, b, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((KT, G, BT, H), lambda b, t: (ntt - 1 - t, 0, b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H3), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, BT, H), lambda b, t: (T - 1 - t, 0, b, 0),
+            pl.BlockSpec((KT, G, BT, H), lambda b, t: (ntt - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
+            pl.BlockSpec((KT, G, BT, H3), lambda b, t: (ntt - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, BT, H3), lambda b, t: (T - 1 - t, 0, b, 0),
+            pl.BlockSpec((KT, G, BT, H3), lambda b, t: (ntt - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, G, B, H3), xproj.dtype),
-            jax.ShapeDtypeStruct((T, G, B, H3), xproj.dtype),
+            jax.ShapeDtypeStruct((Tp, G, B, H3), xproj.dtype),
+            jax.ShapeDtypeStruct((Tp, G, B, H3), xproj.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
+        # KT > 1 blocks exceed the 16 MB default scoped-VMEM budget
+        # (v5e has 128 MB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(xproj, mask, ys, wh, bh, dy)
-    # weight grads as one large trajectory GEMM (outside the kernel)
-    h_prev_seq = jnp.concatenate(
-        [jnp.zeros_like(ys[:1]), ys[:-1]], axis=0
-    )  # [T, G, B, H]
+    )(xp, mask, hprev_p, wh, bh, dyp)
+    dhproj = dhproj[:T]
+    # weight grads as one large trajectory GEMM (outside the kernel;
+    # an in-kernel VMEM accumulator was measured slower — NOTES_ROUND2)
     dwh = jnp.einsum(
-        "tgbh,tgbo->gho", h_prev_seq, dhproj,
+        "tgbh,tgbo->gho", hprev, dhproj,
         preferred_element_type=jnp.float32,
     ).astype(wh.dtype)
     dbh = dhproj.sum(axis=(0, 2)).astype(bh.dtype)
-    return dxp.astype(xproj.dtype), dwh, dbh, None
+    return dxp[:T].astype(xproj.dtype), dwh, dbh, None
 
 
 pallas_gru_scan.defvjp(_fwd_rule, _bwd_rule)
