@@ -23,6 +23,29 @@ mount was empty; BASELINE.json is the binding spec).
 
 __version__ = "0.1.0"
 
+
+def _maybe_force_cpu() -> None:
+    """Pin jax to CPU when the caller asked for it via env.
+
+    ``JAX_PLATFORMS=cpu`` alone is NOT reliable in images whose
+    sitecustomize registers a TPU plugin and re-forces the platform
+    after env parsing; ``jax.config.update`` wins because it runs
+    later. Centralized here so every entry point (cli, tools.prepare,
+    tools.selftrain, tests' subprocesses) gets the same behavior.
+    """
+    import os
+
+    if (
+        os.environ.get("UASR_FORCE_CPU")
+        or os.environ.get("JAX_PLATFORMS") == "cpu"
+    ):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+_maybe_force_cpu()
+
 __all__ = [
     "Config",
     "load_config",
