@@ -144,7 +144,14 @@ def test_apply_overrides_sequences_and_scalars():
     assert cfg.data.bucket_boundaries == (2, 4, 8.5)
     assert cfg.eodm.ngram_orders == (2, 3, 4)
     assert cfg.train.total_steps == 7
-    assert cfg.frontend.cmvn == "none"
+    assert cfg.frontend.cmvn == "none"  # 'none' is a STRING here
+    # None-defaulted fields cast via the type annotation, not str
+    apply_overrides(cfg, ["data.num_epochs=3", "frontend.high_freq=7600"])
+    assert cfg.data.num_epochs == 3
+    assert cfg.frontend.high_freq == 7600.0
+    # and can be reset to None (Optional-annotated fields only)
+    apply_overrides(cfg, ["data.num_epochs=none"])
+    assert cfg.data.num_epochs is None
     try:
         apply_overrides(cfg, ["train.total_steps=abc"])
     except SystemExit:

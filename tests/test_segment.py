@@ -131,3 +131,20 @@ def test_gan_with_kmeans_segmenter():
     state, g_aux = g_step(state, a, jax.random.PRNGKey(2))
     assert np.isfinite(float(d_aux["d_loss"]))
     assert np.isfinite(float(g_aux["g_loss"]))
+
+
+def test_mode_filter_ignores_padding_votes():
+    """A short final phone run must survive the windowed majority vote
+    even when the padding frames past the utterance end quantize to a
+    different (zero-vector) cluster."""
+    from uasr.ops.segment import mode_filter
+
+    ids = jnp.asarray([[1, 1, 1, 2, 2, 0, 0, 0]], jnp.int32)
+    lengths = jnp.asarray([5], jnp.int32)
+    out = mode_filter(ids, num_clusters=3, radius=3, lengths=lengths)
+    np.testing.assert_array_equal(
+        np.asarray(out[0, :5]), np.array([1, 1, 1, 2, 2])
+    )
+    # without lengths, the padding cluster outvotes the 2-frame run
+    bad = mode_filter(ids, num_clusters=3, radius=3)
+    assert int(bad[0, 4]) == 0

@@ -36,7 +36,7 @@ def _maybe_force_cpu() -> None:
     import os
 
     if (
-        os.environ.get("UASR_FORCE_CPU")
+        os.environ.get("UASR_FORCE_CPU", "0") not in ("", "0")
         or os.environ.get("JAX_PLATFORMS") == "cpu"
     ):
         import jax

@@ -16,8 +16,7 @@ import sys
 
 import jax
 
-if os.environ.get("UASR_FORCE_CPU"):  # tests / machines without a TPU
-    jax.config.update("jax_platforms", "cpu")
+import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
 
 
 def _load_source(cfg, split: str):
@@ -55,7 +54,8 @@ def _load_source(cfg, split: str):
     return ("examples", examples), vocab
 
 
-def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True):
+def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True,
+             limit=None):
     from uasr.data.dataset import batch_iterator, prefetch
 
     if num_epochs == "cfg":
@@ -66,21 +66,19 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True):
     ]
     kind, payload = source
     if kind == "stream":
-        return prefetch(
-            payload.batches(
-                batch_size=cfg.data.batch_size,
-                max_audio_samples=max_samples,
-                max_label_len=cfg.data.max_label_len,
-                seed=seed,
-                shuffle_buffer=cfg.data.shuffle_buffer,
-                drop_remainder=drop_remainder,
-                num_epochs=num_epochs,
-                bucket_boundaries=boundaries,
-                decode_threads=cfg.data.loader_threads,
-            )
+        it = payload.batches(
+            batch_size=cfg.data.batch_size,
+            max_audio_samples=max_samples,
+            max_label_len=cfg.data.max_label_len,
+            seed=seed,
+            shuffle_buffer=cfg.data.shuffle_buffer,
+            drop_remainder=drop_remainder,
+            num_epochs=num_epochs,
+            bucket_boundaries=boundaries,
+            decode_threads=cfg.data.loader_threads,
         )
-    return prefetch(
-        batch_iterator(
+    else:
+        it = batch_iterator(
             payload,
             batch_size=cfg.data.batch_size,
             max_audio_samples=max_samples,
@@ -90,7 +88,11 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True):
             num_epochs=num_epochs,
             bucket_boundaries=boundaries,
         )
-    )
+    if limit is not None:
+        # cap BEFORE prefetch so the worker terminates instead of being
+        # abandoned mid-queue by an islice on the consumer side
+        it = itertools.islice(it, limit)
+    return prefetch(it)
 
 
 def main(argv=None):
@@ -145,9 +147,15 @@ def apply_overrides(cfg, overrides: list[str]) -> None:
             cur = getattr(obj, parts[-1])
         except AttributeError:
             raise SystemExit(f"--set {key}: no such config field") from None
-        cast = type(cur) if cur is not None else str
+        cast = type(cur) if cur is not None else _hint_cast(obj, parts[-1])
         try:
-            if cast is bool:
+            if val.lower() in ("none", "null") and (
+                cur is None or type(None) in _hint_args(obj, parts[-1])
+            ):
+                # only Optional-annotated fields: 'none' is a legitimate
+                # STRING value elsewhere (e.g. frontend.cmvn=none)
+                val = None
+            elif cast is bool:
                 val = val.lower() in ("1", "true", "yes")
             elif cast in (int, float):
                 val = cast(val)
@@ -158,6 +166,28 @@ def apply_overrides(cfg, overrides: list[str]) -> None:
                 f"--set {key}: cannot parse {val!r} as {cast.__name__}"
             ) from None
         object.__setattr__(obj, parts[-1], val)
+
+
+def _hint_args(obj, field: str) -> tuple:
+    """Resolved members of the field's type annotation (union-flattened)."""
+    import typing
+
+    try:
+        ann = typing.get_type_hints(type(obj)).get(field)
+    except Exception:
+        return ()
+    return typing.get_args(ann) or (ann,)
+
+
+def _hint_cast(obj, field: str):
+    """Cast for a field whose current value is None: the first non-None
+    member of its dataclass type annotation (so ``int | None = None``
+    fields get int, not str — a str '3' crashes later in e.g. the
+    epoch-count comparison of the batch iterator)."""
+    for t in _hint_args(obj, field):
+        if t is not type(None) and t in (bool, int, float, str, tuple, list):
+            return t
+    return str
 
 
 def _scalar(s: str):
@@ -178,10 +208,8 @@ def _dev_batches_fn(cfg, vocab):
     dev_source, _ = _load_source(cfg, "dev")
 
     def fn():
-        return itertools.islice(
-            _batches(cfg, dev_source, num_epochs=1, drop_remainder=False),
-            cfg.train.dev_eval_batches,
-        )
+        return _batches(cfg, dev_source, num_epochs=1, drop_remainder=False,
+                        limit=cfg.train.dev_eval_batches)
 
     return fn
 

@@ -341,29 +341,46 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
 
     Worker exceptions (bad wav, rate mismatch, ...) are re-raised in the
     consumer — the stream must fail loudly, not end early and
-    'successfully'."""
+    'successfully'. An abandoned consumer (islice cap, early loop exit,
+    generator GC) stops the worker: the put loop polls a stop flag that
+    the wrapper's GeneratorExit sets, so no thread stays blocked holding
+    decoded batches."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     _ERR = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # re-raised in the consumer
-            q.put((_ERR, e))
+            _put((_ERR, e))
         else:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
 
 
 # ----------------------------------------------------------------- CMVN

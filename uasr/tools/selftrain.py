@@ -13,13 +13,11 @@ teacher vs student PER on the dev split.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
 import jax
 
-if os.environ.get("UASR_FORCE_CPU"):
-    jax.config.update("jax_platforms", "cpu")
+import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
 
 
 def main(argv=None):
@@ -67,17 +65,41 @@ def main(argv=None):
     mgr = CheckpointManager(f"{args.teacher_dir}/ckpt", max_to_keep=1)
     first = next(_batches(cfg, ("examples", examples), num_epochs=1))
     if args.teacher_mode in ("gan", "eodm"):
-        tcfg = cfg.replace()
-        tcfg.model.encoder = "classifier"
-        gan = GANTrainer(tcfg)
-        text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
-        gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
-        restored = mgr.restore_latest(gstate)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
-        gstate, step = restored
-        label_fn = make_gan_label_fn(gan, gstate.g_params)
-        teacher_eval = lambda batches: gan.evaluate_per(gstate.g_params, batches)
+        # the teacher generator is a classifier regardless of the
+        # student recipe's model.encoder — deep-replace so the student
+        # keeps its own architecture (a shallow cfg.replace() would
+        # alias and mutate the shared ModelConfig)
+        import dataclasses
+
+        tcfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, encoder="classifier")
+        )
+        if args.teacher_mode == "gan":
+            gan = GANTrainer(tcfg)
+            text = TextBatch(np.ones((1, 2), np.int32),
+                             np.full((1,), 2, np.int32))
+            gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
+            restored = mgr.restore_latest(gstate)
+            if restored is None:
+                raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+            gstate, step = restored
+            gen, g_params = gan, gstate.g_params
+        else:
+            # EODM checkpoints are TrainState(step, params, opt), not
+            # GANState — restore with the matching trainer/template
+            # (the n-gram tables are irrelevant for labeling; a dummy
+            # sequence keeps construction cheap)
+            from uasr.train import EODMTrainer
+
+            eodm = EODMTrainer(tcfg, text_sequences=[[1, 2] * 8])
+            estate = eodm.init_state(jax.random.PRNGKey(0), first)
+            restored = mgr.restore_latest(estate)
+            if restored is None:
+                raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+            estate, step = restored
+            gen, g_params = eodm, estate.params
+        label_fn = make_gan_label_fn(gen, g_params)
+        teacher_eval = lambda batches: gen.evaluate_per(g_params, batches)
     else:
         tr = CTCTrainer(cfg)
         state = tr.init_state(jax.random.PRNGKey(0), first)

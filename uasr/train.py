@@ -565,6 +565,19 @@ class PreemptionGuard:
         if prev is not None:
             signal.signal(signum, prev)
 
+    def close(self):
+        """Restore the previous handlers. Training loops call this on
+        normal completion so sequential runs in one process (e.g.
+        self-training rounds) don't chain stale guards — each stale link
+        would swallow one Ctrl-C."""
+        for sig, prev in self._prev.items():
+            try:
+                if signal.getsignal(sig) == self._handle:
+                    signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        self._prev = {}
+
 
 # -------------------------------------------------------------- loops
 
@@ -630,6 +643,7 @@ def run_ctc_training(
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
+    guard.close()
     ckpt.close()
     writer.close()
     return trainer, state
@@ -740,6 +754,7 @@ def run_gan_training(
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
+    guard.close()
     ckpt.close()
     writer.close()
     return trainer, state
@@ -780,9 +795,14 @@ def run_eodm_training(
             )
             log_stdout(step, "train", eodm_loss=float(aux["eodm_loss"]))
             t0 = time.time()
+        if dev_batches_fn and step % cfg.train.eval_every == 0:
+            per = trainer.evaluate_per(state.params, dev_batches_fn())
+            writer.write(step, "dev", per=per)
+            log_stdout(step, "dev", per=per)
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
+    guard.close()
     ckpt.close()
     writer.close()
     return trainer, state
