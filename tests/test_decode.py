@@ -102,3 +102,92 @@ def test_beam_respects_lengths():
     got = list(np.asarray(ids[1, : int(out_len[1])]))
     ref = list(np.asarray(ids2[0, : int(len2[0])]))
     assert got == ref
+
+
+# -------------------------------------------------- shallow LM fusion
+
+
+def _brute_force_best_lm(logp, lm_logp, w, bonus, blank=0):
+    """Exact argmax of log P_ctc(l|x) + w*log P_lm(l) + bonus*|l| by
+    enumeration (tiny shapes)."""
+    T, V = logp.shape
+    probs = {}
+    for path in itertools.product(range(V), repeat=T):
+        p = float(np.exp(sum(logp[t, c] for t, c in enumerate(path))))
+        out, prev = [], -1
+        for c in path:
+            if c != prev and c != blank:
+                out.append(c)
+            prev = c
+        key = tuple(out)
+        probs[key] = probs.get(key, 0.0) + p
+    def fused(kv):
+        seq, p = kv
+        lm = 0.0
+        prev = V  # start-of-sequence row
+        for c in seq:
+            lm += float(lm_logp[prev, c])
+            prev = c
+        return np.log(p) + w * lm + bonus * len(seq)
+    best = max(probs.items(), key=fused)
+    return list(best[0]), fused(best)
+
+
+def test_beam_lm_fusion_matches_brute_force():
+    from uasr.ops.lm import build_bigram_lm
+
+    T, V = 5, 4
+    # a biased LM: after 2 always 3, never 1
+    lm = build_bigram_lm(
+        [[2, 3, 2, 3], [3, 2, 3], [2, 3]], V, add_k=0.1, exclude=(0,)
+    )
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(1, T, V).astype(np.float32) * 1.5
+        logp = np.log(
+            np.exp(logits[0]) / np.exp(logits[0]).sum(-1, keepdims=True)
+        )
+        for w, bonus in ((0.7, 0.0), (1.0, 0.5)):
+            ref_seq, ref_s = _brute_force_best_lm(logp, lm, w, bonus)
+            ids, out_len, score = ctc_beam_search_decode(
+                jnp.asarray(logits), jnp.array([T]), beam_width=16,
+                blank_id=0, lm_logp=jnp.asarray(lm), lm_weight=w,
+                lm_bonus=bonus,
+            )
+            got = list(np.asarray(ids[0, : int(out_len[0])]))
+            assert got == ref_seq, (seed, w, bonus, got, ref_seq)
+            # fused beam score <= exact fused posterior score, and tight
+            assert float(score[0]) <= ref_s + 1e-4
+            np.testing.assert_allclose(float(score[0]), ref_s, rtol=5e-2,
+                                       atol=5e-2)
+
+
+def test_beam_lm_weight_zero_is_plain_beam():
+    rng = np.random.RandomState(7)
+    logits = jnp.asarray(rng.randn(2, 6, 5).astype(np.float32))
+    lens = jnp.asarray([6, 4])
+    lm = jnp.asarray(rng.randn(6, 5).astype(np.float32))
+    a = ctc_beam_search_decode(logits, lens, beam_width=8)
+    b = ctc_beam_search_decode(logits, lens, beam_width=8,
+                               lm_logp=lm, lm_weight=0.0)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_bigram_lm_builder_properties():
+    from uasr.ops.lm import build_bigram_lm, sequence_logprob
+
+    V = 6
+    lm = build_bigram_lm([[1, 2, 3], [1, 2]], V, add_k=0.5, exclude=(0,))
+    assert lm.shape == (V + 1, V)
+    # rows are distributions
+    np.testing.assert_allclose(np.exp(lm).sum(axis=1), 1.0, rtol=1e-5)
+    # observed transition beats unseen one from the same history
+    assert lm[1, 2] > lm[1, 4]
+    # start row favors the observed first token
+    assert lm[V, 1] > lm[V, 3]
+    # blank column is (near) impossible everywhere
+    assert np.all(lm[:, 0] < -40)
+    # host-side scorer agrees with manual chain
+    s = sequence_logprob(lm, [1, 2, 3])
+    np.testing.assert_allclose(s, lm[V, 1] + lm[1, 2] + lm[2, 3], rtol=1e-6)

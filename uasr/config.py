@@ -151,6 +151,11 @@ class CTCConfig:
     beam_width: int = 8
     use_beam: bool = False
     use_pallas: bool = False  # Pallas forward-backward kernels (TPU)
+    # shallow-fusion phoneme LM for beam decoding (uasr/ops/lm.py;
+    # built by `prepare lm` from the unpaired text corpus)
+    lm_path: str | None = None
+    lm_weight: float = 0.5
+    lm_bonus: float = 0.0  # per-token bonus countering LM length penalty
 
 
 @dataclass

@@ -33,6 +33,11 @@ def run_inference(
     """Decode + score. Returns {"per": float, "rtf": float, ...}."""
     fe = trainer.frontend_state
     fcfg = cfg.frontend
+    lm_logp = None
+    if cfg.ctc.use_beam and cfg.ctc.lm_path:
+        from uasr.ops.lm import load_lm
+
+        lm_logp = jnp.asarray(load_lm(cfg.ctc.lm_path))
 
     @jax.jit
     def decode_batch(params, batch: Batch):
@@ -46,7 +51,9 @@ def run_inference(
         logits, out_len = trainer.model.apply(params, feats, flen)
         if cfg.ctc.use_beam:
             hyps, hyp_len, _ = ctc_beam_search_decode(
-                logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id
+                logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,
+                lm_logp=lm_logp, lm_weight=cfg.ctc.lm_weight,
+                lm_bonus=cfg.ctc.lm_bonus,
             )
         else:
             hyps, hyp_len = ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)

@@ -97,6 +97,9 @@ def ctc_beam_search_decode(
     beam_width: int = 8,
     blank_id: int = 0,
     prune: int | None = None,
+    lm_logp: jax.Array | None = None,
+    lm_weight: float = 1.0,
+    lm_bonus: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Vectorized CTC prefix beam search, fully on device.
 
@@ -114,11 +117,26 @@ def ctc_beam_search_decode(
         extension can only lose mass that merging would have added to an
         already-surviving prefix, so sequence choice is unaffected in
         practice and exact whenever prune >= V.
+
+    Shallow n-gram LM fusion (the decoding mode the unsupervised
+    lineage — EODM / wav2vec-U — scores and selects models with; the
+    reference's host decoder had no LM hook): `lm_logp` is a
+    [V + 1, V] table of token log-probabilities, row `h` =
+    log P(next | prev token h), row V = the start-of-sequence
+    (unigram) distribution — `uasr.ops.lm.build_bigram_lm` /
+    `prepare lm` produce it. Each prefix EXTENSION adds
+    `lm_weight * lm_logp[last, c] + lm_bonus` to the candidate score
+    (the bonus counters the LM's per-token length penalty); stay
+    candidates add nothing, so the fused score of a prefix is
+    log P_ctc + lm_weight * log P_lm + lm_bonus * len, applied exactly
+    once per emitted token on every alignment path.
     """
     B, T, V = logits.shape
     W = beam_width
     P = min(V, 2 * W) if prune is None else min(V, max(prune, 1))
     logp = jax.nn.log_softmax(logits, axis=-1)
+    if lm_logp is not None:
+        lm_logp = lm_logp.astype(jnp.float32)
 
     init = _BeamState(
         last=jnp.full((B, W), -1, jnp.int32),
@@ -153,7 +171,11 @@ def ctc_beam_search_decode(
             state.p_b[..., None],
             _logaddexp(state.p_b, state.p_nb)[..., None],
         )
-        ext_pnb = base + lp_t[:, None, :]
+        ext_score = lp_t[:, None, :]
+        if lm_logp is not None:
+            hist = jnp.where(state.last >= 0, state.last, V)  # [B, W]
+            ext_score = ext_score + lm_weight * lm_logp[hist] + lm_bonus
+        ext_pnb = base + ext_score
         ext_pnb = jnp.where(not_blank[None, None, :], ext_pnb, NEG)
 
         # ---- per-beam prune to the top-P symbols: [B, W, P]

@@ -7,6 +7,8 @@ SURVEY.md §3.5):
                                        --config recipe.yaml --out cmvn.npz
   python -m uasr.tools.prepare ngrams  --text phones.txt --vocab vocab.txt \
                                        --orders 2,3 --top-k 1000 --out ngrams.npz
+  python -m uasr.tools.prepare lm      --text phones.txt --vocab vocab.txt \
+                                       --out lm.npz   # shallow-fusion bigram
   python -m uasr.tools.prepare synth   --out-dir data/synth --num-utts 128
 
 `lists` joins Kaldi-style wav.scp (utt_id wav_path) and text
@@ -90,6 +92,23 @@ def cmd_ngrams(args):
         print(f"order {order}: kept {len(tab.ids)} n-grams")
     np.savez(args.out, **payload)
     print(f"wrote n-gram tables -> {args.out}")
+
+
+def cmd_lm(args):
+    """Bigram shallow-fusion LM from the unpaired text corpus
+    (`ctc.lm_path` + `ctc.use_beam` consume it at decode time)."""
+    from uasr.data.dataset import TextDataset
+    from uasr.ops.lm import build_bigram_lm, save_lm
+    from uasr.vocab import BLK, load_vocab
+
+    vocab = load_vocab(args.vocab)
+    seqs = TextDataset.from_file(args.text, vocab).sequences
+    blank = vocab.tokens.index(BLK) if BLK in vocab.tokens else 0
+    logp = build_bigram_lm(
+        seqs, len(vocab), add_k=args.add_k, exclude=(blank,)
+    )
+    save_lm(args.out, logp)
+    print(f"wrote bigram LM [{logp.shape[0]}x{logp.shape[1]}] -> {args.out}")
 
 
 def cmd_kmeans(args):
@@ -191,6 +210,13 @@ def main(argv=None):
     n.add_argument("--top-k", type=int, default=1000)
     n.add_argument("--out", required=True)
     n.set_defaults(fn=cmd_ngrams)
+
+    lm = sub.add_parser("lm")
+    lm.add_argument("--text", required=True)
+    lm.add_argument("--vocab", required=True)
+    lm.add_argument("--add-k", type=float, default=0.5)
+    lm.add_argument("--out", required=True)
+    lm.set_defaults(fn=cmd_lm)
 
     km = sub.add_parser("kmeans")
     km.add_argument("--list", required=True)
