@@ -267,8 +267,17 @@ def _infer(cfg, source, vocab):
     from uasr.infer import run_inference
     from uasr.train import CTCTrainer, GANTrainer, TrainState
 
+    ckpt_dir = f"{cfg.model_dir}/ckpt"
+    if cfg.train.restore_best:
+        best = f"{cfg.model_dir}/best_ckpt"
+        if not os.path.isdir(best):
+            raise SystemExit(
+                f"train.restore_best: no {best} — was the run trained "
+                "with gan.select_lm_path (unsupervised selection)?"
+            )
+        ckpt_dir = best
     mgr = CheckpointManager(
-        f"{cfg.model_dir}/ckpt", max_to_keep=cfg.train.keep_checkpoints
+        ckpt_dir, max_to_keep=cfg.train.keep_checkpoints
     )
     first = next(_batches(cfg, source, num_epochs=1, drop_remainder=False))
     mode = cfg.train.mode

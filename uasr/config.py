@@ -190,6 +190,10 @@ class GANConfig:
     # flickers between phones, over-segments the merged stream, and
     # distribution matching drives PER up instead of down
     smoothness_weight: float = 0.0
+    # label-free checkpoint selection (train.UnsupSelector): LM score +
+    # usage-KL of dev transcriptions; best kept in model_dir/best_ckpt
+    select_lm_path: str | None = None  # lm.npz from `prepare lm`
+    select_kl_weight: float = 1.0
     d_weight_decay: float = 0.0  # bounds critic scale growth
     supervised_weight: float = 0.0  # semi-supervised CTC mix-in
     # wav2vec-U-style segmental preprocessing (uasr/ops/segment.py)
@@ -263,6 +267,9 @@ class TrainConfig:
     seed: int = 0
     dev_eval_batches: int = 50  # cap on periodic dev-eval batches
     tensorboard: bool = False  # also export scalars via tf.summary
+    # infer restores model_dir/best_ckpt (written by the unsupervised
+    # LM selector, gan.select_lm_path) instead of the latest checkpoint
+    restore_best: bool = False
 
 
 @dataclass

@@ -54,13 +54,24 @@ def build_bigram_lm(
     return logp.astype(np.float32)
 
 
-def save_lm(path: str, logp: np.ndarray) -> None:
-    np.savez(path, logp=logp)
+def save_lm(path: str, logp: np.ndarray, unigram: np.ndarray | None = None
+            ) -> None:
+    payload = {"logp": logp}
+    if unigram is not None:
+        payload["unigram"] = unigram
+    np.savez(path, **payload)
 
 
 def load_lm(path: str) -> np.ndarray:
     with np.load(path) as z:
         return z["logp"].astype(np.float32)
+
+
+def load_unigram(path: str) -> np.ndarray | None:
+    with np.load(path) as z:
+        if "unigram" not in z:
+            return None
+        return z["unigram"].astype(np.float32)
 
 
 def sequence_logprob(logp: np.ndarray, seq) -> float:
@@ -71,3 +82,61 @@ def sequence_logprob(logp: np.ndarray, seq) -> float:
         total += float(logp[prev, int(tok)])
         prev = int(tok)
     return total
+
+
+def build_unigram(
+    sequences, vocab_size: int, add_k: float = 0.5,
+    exclude: tuple[int, ...] = (),
+) -> np.ndarray:
+    """Smoothed unigram distribution of the text corpus -> [V] float32."""
+    counts = np.zeros(vocab_size, np.float64)
+    for seq in sequences:
+        for tok in seq:
+            t = int(tok)
+            if 0 <= t < vocab_size:
+                counts[t] += 1.0
+    counts += add_k
+    for e in exclude:
+        if 0 <= e < vocab_size:
+            counts[e] = 1e-20
+    return (counts / counts.sum()).astype(np.float32)
+
+
+def unsup_selection_score(
+    hyps, hyp_lens, lm_logp: np.ndarray, unigram: np.ndarray,
+    kl_weight: float = 1.0,
+) -> dict:
+    """Label-free validation metric (wav2vec-U model selection): mean LM
+    token log-prob of the decoded hypotheses MINUS kl_weight * KL(token
+    usage || text unigram). Higher = better. The KL term blocks the
+    degenerate optimum of the LM term alone (always emitting the single
+    most probable phone string); together they track PER without any
+    transcripts.
+
+    hyps: [N, T] int array (or list of sequences), hyp_lens: [N].
+    Returns {"score", "lm_logprob_per_token", "usage_kl", "tokens"}.
+    """
+    V = lm_logp.shape[1]
+    total_lp, total_tok = 0.0, 0
+    counts = np.zeros(V, np.float64)
+    for i in range(len(hyps)):
+        seq = [int(c) for c in np.asarray(hyps[i])[: int(hyp_lens[i])]]
+        total_lp += sequence_logprob(lm_logp, seq)
+        total_tok += len(seq)
+        for c in seq:
+            counts[c] += 1.0
+    if total_tok == 0:
+        # an always-silent model must never win selection
+        return {"score": -1e9, "lm_logprob_per_token": -1e9,
+                "usage_kl": float("inf"), "tokens": 0}
+    mean_lp = total_lp / total_tok
+    usage = (counts + 1e-9) / (counts.sum() + 1e-9 * V)
+    kl = float(np.sum(
+        usage * (np.log(usage) - np.log(np.maximum(unigram, 1e-12)))
+    ))
+    return {
+        "score": float(mean_lp - kl_weight * kl),
+        "lm_logprob_per_token": float(mean_lp),
+        "usage_kl": kl,
+        "tokens": int(total_tok),
+    }

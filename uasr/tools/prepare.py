@@ -98,7 +98,7 @@ def cmd_lm(args):
     """Bigram shallow-fusion LM from the unpaired text corpus
     (`ctc.lm_path` + `ctc.use_beam` consume it at decode time)."""
     from uasr.data.dataset import TextDataset
-    from uasr.ops.lm import build_bigram_lm, save_lm
+    from uasr.ops.lm import build_bigram_lm, build_unigram, save_lm
     from uasr.vocab import BLK, load_vocab
 
     vocab = load_vocab(args.vocab)
@@ -107,8 +107,10 @@ def cmd_lm(args):
     logp = build_bigram_lm(
         seqs, len(vocab), add_k=args.add_k, exclude=(blank,)
     )
-    save_lm(args.out, logp)
-    print(f"wrote bigram LM [{logp.shape[0]}x{logp.shape[1]}] -> {args.out}")
+    uni = build_unigram(seqs, len(vocab), add_k=args.add_k, exclude=(blank,))
+    save_lm(args.out, logp, unigram=uni)
+    print(f"wrote bigram LM [{logp.shape[0]}x{logp.shape[1]}] + unigram "
+          f"-> {args.out}")
 
 
 def cmd_kmeans(args):

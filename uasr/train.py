@@ -336,6 +336,28 @@ class GeneratorBase:
             loss = loss + g.smoothness_weight * sm
         return loss
 
+    def decode_hyps(self, g_params, batches):
+        """Greedy hypotheses for a stream of audio batches — label-free
+        (feeds unsupervised LM-based model selection). Returns
+        (list of per-utterance [T] id arrays, lens [N])."""
+        if not hasattr(self, "_dec_jit"):
+
+            def _dec(params, batch: Batch):
+                probs, out_len, logits = self._gen_probs(params, batch)
+                return ctc_greedy_decode(
+                    logits, out_len, self.cfg.ctc.blank_id
+                )
+
+            self._dec_jit = jax.jit(_dec)
+        hyps, lens = [], []
+        for b in batches:
+            h, hl = self._dec_jit(g_params, Batch(*map(jnp.asarray, b)))
+            h, hl = np.asarray(h), np.asarray(hl)
+            for i in range(h.shape[0]):  # per-utterance (batch T varies)
+                hyps.append(h[i])
+                lens.append(int(hl[i]))
+        return hyps, np.asarray(lens)
+
     def evaluate_per(self, g_params, batches) -> float:
         """Frame/segment posteriors -> greedy collapse -> PER vs labels."""
         if not hasattr(self, "_eval_jit"):
@@ -541,6 +563,50 @@ class EODMTrainer(GeneratorBase):
         return self._jit["train"]
 
 
+class UnsupSelector:
+    """Label-free checkpoint selection (wav2vec-U's validation trick):
+    score dev-set GREEDY transcriptions by mean LM token log-prob minus
+    KL(token usage || text unigram) — computable with zero transcripts —
+    and keep the best-scoring checkpoint under `model_dir/best_ckpt`.
+    The reference had no model selection beyond keep-latest; for
+    unsupervised runs PER is unobservable, so this metric IS the
+    stopping/selection criterion."""
+
+    def __init__(self, cfg: Config):
+        import os
+
+        from uasr.ops.lm import load_lm, load_unigram
+
+        self.lm = load_lm(cfg.gan.select_lm_path)
+        uni = load_unigram(cfg.gan.select_lm_path)
+        if uni is None:  # older lm.npz without the unigram: start row
+            uni = np.exp(self.lm[-1])
+        self.unigram = uni
+        self.kl_weight = cfg.gan.select_kl_weight
+        self.best = -np.inf
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.model_dir, "best_ckpt"), max_to_keep=1
+        )
+
+    def score(self, trainer, g_params, batches) -> dict:
+        from uasr.ops.lm import unsup_selection_score
+
+        hyps, lens = trainer.decode_hyps(g_params, batches)
+        return unsup_selection_score(
+            hyps, lens, self.lm, self.unigram, self.kl_weight
+        )
+
+    def update(self, score: float, step: int, state) -> bool:
+        if score > self.best:
+            self.best = score
+            self.ckpt.save(step, state)
+            return True
+        return False
+
+    def close(self):
+        self.ckpt.close()
+
+
 class PreemptionGuard:
     """Preemption-safe checkpointing (SURVEY.md §5 "Failure detection"):
     on SIGTERM/SIGINT the training loop finishes the current step, saves,
@@ -724,6 +790,7 @@ def run_gan_training(
         g_step = trainer.jitted("g_step")
     d_step = trainer.jitted("d_step")
 
+    selector = UnsupSelector(cfg) if cfg.gan.select_lm_path else None
     guard = PreemptionGuard()
     mesh = trainer.mesh
     t0 = time.time()
@@ -748,14 +815,25 @@ def run_gan_training(
             t0 = time.time()
         if dev_batches_fn and step % cfg.train.eval_every == 0:
             per = trainer.evaluate_per(state.g_params, dev_batches_fn())
-            writer.write(step, "dev", per=per)
-            log_stdout(step, "dev", per=per)
+            extra = {}
+            if selector is not None:
+                sel = selector.score(trainer, state.g_params,
+                                     dev_batches_fn())
+                extra = {"unsup_score": sel["score"],
+                         "unsup_lm_lp": sel["lm_logprob_per_token"],
+                         "unsup_usage_kl": sel["usage_kl"]}
+                if selector.update(sel["score"], step, state):
+                    extra["unsup_best"] = sel["score"]
+            writer.write(step, "dev", per=per, **extra)
+            log_stdout(step, "dev", per=per, **extra)
             t0 = time.time()
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
     guard.close()
     ckpt.close()
+    if selector is not None:
+        selector.close()
     writer.close()
     return trainer, state
 
