@@ -859,6 +859,7 @@ def run_eodm_training(
         state, start = restored
         log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
+    selector = UnsupSelector(cfg) if cfg.gan.select_lm_path else None
     guard = PreemptionGuard()
     t0 = time.time()
     for batch in audio_it:
@@ -875,12 +876,21 @@ def run_eodm_training(
             t0 = time.time()
         if dev_batches_fn and step % cfg.train.eval_every == 0:
             per = trainer.evaluate_per(state.params, dev_batches_fn())
-            writer.write(step, "dev", per=per)
-            log_stdout(step, "dev", per=per)
+            extra = {}
+            if selector is not None:
+                sel = selector.score(trainer, state.params, dev_batches_fn())
+                extra = {"unsup_score": sel["score"],
+                         "unsup_lm_lp": sel["lm_logprob_per_token"],
+                         "unsup_usage_kl": sel["usage_kl"]}
+                selector.update(sel["score"], step, state)
+            writer.write(step, "dev", per=per, **extra)
+            log_stdout(step, "dev", per=per, **extra)
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
     guard.close()
     ckpt.close()
+    if selector is not None:
+        selector.close()
     writer.close()
     return trainer, state
