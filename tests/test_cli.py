@@ -195,3 +195,25 @@ def test_cli_streaming_train_from_disk(tmp_path):
     )
     assert r2.returncode == 0, (r2.stderr[-3000:], r2.stdout[-500:])
     assert "PER=" in r2.stdout
+
+
+@pytest.mark.slow
+def test_cli_streaming_cmvn_recipe_trains(tmp_path):
+    """BASELINE config #4 (AISHELL streaming-CMVN): the chunked causal
+    frontend trains end-to-end through the CLI on synthetic stand-in
+    data and resumes from its checkpoint."""
+    md = str(tmp_path / "exp")
+    args = ["-c", "configs/aishell_streaming.yaml", "--mode", "train",
+            "--set", f"model_dir={md}",
+            "--set", "data.synthetic=true",
+            "--set", "data.synthetic_num_utts=16",
+            "--set", "data.batch_size=8",  # divisible by the 8-dev test mesh
+            "--set", "data.max_audio_seconds=2.0",
+            "--set", "train.total_steps=6",
+            "--set", "train.eval_every=100",
+            "--set", "vocab_size=8"]
+    r = _run_cli(args, tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli(args, tmp_path)  # resume path
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "restored_step=6" in r.stdout, r.stdout[-2000:]
