@@ -115,3 +115,60 @@ def test_gan_selector_tracks_best_checkpoint(tmp_path):
         os.path.join(cfg.model_dir, "metrics.jsonl"))]
     dev = [ln for ln in lines if ln.get("tag") == "dev"]
     assert any("unsup_score" in ln for ln in dev), dev
+
+
+def test_selector_best_score_survives_restart(tmp_path):
+    """A resumed run must not clobber best_ckpt with a worse checkpoint:
+    the best score persists in best_ckpt/score.json."""
+    import json
+    import os
+
+    from uasr.config import Config, FrontendConfig, GANConfig, TrainConfig
+    from uasr.train import UnsupSelector
+
+    rng = np.random.RandomState(0)
+    corpus = _corpus(rng, n=30)
+    lm = build_bigram_lm(corpus, 6, exclude=(0,))
+    uni = build_unigram(corpus, 6, exclude=(0,))
+    lm_path = str(tmp_path / "lm.npz")
+    save_lm(lm_path, lm, unigram=uni)
+    cfg = Config(
+        name="sel2", model_dir=str(tmp_path / "exp"),
+        frontend=FrontendConfig(num_mel_bins=8),
+        gan=GANConfig(select_lm_path=lm_path),
+        train=TrainConfig(), vocab_size=6,
+    )
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    s1 = UnsupSelector(cfg)
+    assert s1.update(0.5, 3, {"dummy": np.zeros(2)})
+    assert not s1.update(0.2, 4, {"dummy": np.zeros(2)})
+    s1.close()
+    # "restart": a fresh selector restores the recorded best
+    s2 = UnsupSelector(cfg)
+    assert s2.best == 0.5
+    assert not s2.update(0.3, 5, {"dummy": np.zeros(2)})
+    s2.close()
+    rec = json.load(open(os.path.join(cfg.model_dir, "best_ckpt",
+                                      "score.json")))
+    assert rec == {"score": 0.5, "step": 3}
+
+
+def test_selector_rejects_mismatched_lm(tmp_path):
+    from uasr.config import Config, FrontendConfig, GANConfig, TrainConfig
+    from uasr.train import UnsupSelector
+
+    lm = build_bigram_lm([[1, 2]], 4, exclude=(0,))  # [5, 4] table
+    lm_path = str(tmp_path / "lm.npz")
+    save_lm(lm_path, lm)
+    cfg = Config(
+        name="selbad", model_dir=str(tmp_path / "exp"),
+        frontend=FrontendConfig(num_mel_bins=8),
+        gan=GANConfig(select_lm_path=lm_path),
+        train=TrainConfig(), vocab_size=9,  # mismatch
+    )
+    try:
+        UnsupSelector(cfg)
+    except ValueError as e:
+        assert "does not match" in str(e)
+    else:
+        raise AssertionError("shape mismatch not rejected")

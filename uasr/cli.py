@@ -294,7 +294,7 @@ def _infer(cfg, source, vocab):
         gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
         restored = mgr.restore_latest(gstate)
         if restored is None:
-            raise SystemExit(f"no checkpoint under {cfg.model_dir}/ckpt")
+            raise SystemExit(f"no checkpoint under {ckpt_dir}")
         gstate, step = restored
         trainer = CTCTrainer(cfg)  # build_model('classifier') == G
         state = TrainState(
@@ -309,7 +309,7 @@ def _infer(cfg, source, vocab):
         state = trainer.init_state(jax.random.PRNGKey(0), first)
         restored = mgr.restore_latest(state)
         if restored is None:
-            raise SystemExit(f"no checkpoint under {cfg.model_dir}/ckpt")
+            raise SystemExit(f"no checkpoint under {ckpt_dir}")
         state, step = restored
     res = run_inference(
         cfg, trainer, state,

@@ -37,7 +37,16 @@ def run_inference(
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
 
-        lm_logp = jnp.asarray(load_lm(cfg.ctc.lm_path))
+        lm_logp = load_lm(cfg.ctc.lm_path)
+        V = cfg.dim_output
+        if lm_logp.shape != (V + 1, V):
+            # a silent mismatch would clip out-of-bounds gathers on
+            # device and decode garbage — fail loudly instead
+            raise ValueError(
+                f"ctc.lm_path table shape {lm_logp.shape} does not match "
+                f"the model vocabulary ([{V + 1}, {V}] expected)"
+            )
+        lm_logp = jnp.asarray(lm_logp)
 
     @jax.jit
     def decode_batch(params, batch: Batch):

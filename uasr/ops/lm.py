@@ -59,7 +59,10 @@ def save_lm(path: str, logp: np.ndarray, unigram: np.ndarray | None = None
     payload = {"logp": logp}
     if unigram is not None:
         payload["unigram"] = unigram
-    np.savez(path, **payload)
+    # write to the EXACT path given (np.savez appends '.npz' to bare
+    # string paths, silently diverging from what configs reference)
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
 
 
 def load_lm(path: str) -> np.ndarray:

@@ -573,20 +573,36 @@ class UnsupSelector:
     stopping/selection criterion."""
 
     def __init__(self, cfg: Config):
+        import json
         import os
 
         from uasr.ops.lm import load_lm, load_unigram
 
         self.lm = load_lm(cfg.gan.select_lm_path)
+        V = cfg.dim_output
+        if self.lm.shape != (V + 1, V):
+            raise ValueError(
+                f"gan.select_lm_path table shape {self.lm.shape} does not "
+                f"match the model vocabulary ([{V + 1}, {V}] expected) — "
+                "was the LM built with `prepare lm` on this recipe's vocab?"
+            )
         uni = load_unigram(cfg.gan.select_lm_path)
         if uni is None:  # older lm.npz without the unigram: start row
             uni = np.exp(self.lm[-1])
         self.unigram = uni
         self.kl_weight = cfg.gan.select_kl_weight
-        self.best = -np.inf
         self.ckpt = CheckpointManager(
             os.path.join(cfg.model_dir, "best_ckpt"), max_to_keep=1
         )
+        # the best score survives preemption/resume — otherwise a
+        # resumed run's first (worse) eval would clobber best_ckpt
+        self._score_path = os.path.join(
+            cfg.model_dir, "best_ckpt", "score.json"
+        )
+        self.best = -np.inf
+        if os.path.exists(self._score_path):
+            with open(self._score_path) as f:
+                self.best = float(json.load(f)["score"])
 
     def score(self, trainer, g_params, batches) -> dict:
         from uasr.ops.lm import unsup_selection_score
@@ -598,8 +614,12 @@ class UnsupSelector:
 
     def update(self, score: float, step: int, state) -> bool:
         if score > self.best:
+            import json
+
             self.best = score
             self.ckpt.save(step, state)
+            with open(self._score_path, "w") as f:
+                json.dump({"score": score, "step": int(step)}, f)
             return True
         return False
 
@@ -620,9 +640,17 @@ class PreemptionGuard:
         if threading.current_thread() is threading.main_thread():
             for sig in (signal.SIGTERM, signal.SIGINT):
                 try:
-                    self._prev[sig] = signal.signal(sig, self._handle)
+                    prev = signal.signal(sig, self._handle)
                 except (ValueError, OSError):
-                    pass
+                    continue
+                # unwind a stale guard left by an earlier run in this
+                # process that exited via an exception (close() never
+                # ran): inherit ITS saved handler instead of chaining,
+                # so Ctrl-C never traverses dead guards
+                owner = getattr(prev, "__self__", None)
+                if isinstance(owner, PreemptionGuard):
+                    prev = owner._prev.get(sig, signal.SIG_DFL)
+                self._prev[sig] = prev
 
     def _handle(self, signum, frame):
         self.triggered = True
@@ -791,6 +819,11 @@ def run_gan_training(
     d_step = trainer.jitted("d_step")
 
     selector = UnsupSelector(cfg) if cfg.gan.select_lm_path else None
+    if selector is not None and dev_batches_fn is None:
+        raise ValueError(
+            "gan.select_lm_path is set but there is no dev split to score "
+            "(set data.dev_list) — selection would be silently inert"
+        )
     guard = PreemptionGuard()
     mesh = trainer.mesh
     t0 = time.time()
@@ -814,11 +847,14 @@ def run_gan_training(
             log_stdout(step, "train", **scalars)
             t0 = time.time()
         if dev_batches_fn and step % cfg.train.eval_every == 0:
-            per = trainer.evaluate_per(state.g_params, dev_batches_fn())
+            # materialize once: PER and the selector share the stream
+            # (dev is capped by train.dev_eval_batches upstream)
+            dev = (list(dev_batches_fn()) if selector is not None
+                   else dev_batches_fn())
+            per = trainer.evaluate_per(state.g_params, dev)
             extra = {}
             if selector is not None:
-                sel = selector.score(trainer, state.g_params,
-                                     dev_batches_fn())
+                sel = selector.score(trainer, state.g_params, dev)
                 extra = {"unsup_score": sel["score"],
                          "unsup_lm_lp": sel["lm_logprob_per_token"],
                          "unsup_usage_kl": sel["usage_kl"]}
@@ -860,6 +896,11 @@ def run_eodm_training(
         log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
     selector = UnsupSelector(cfg) if cfg.gan.select_lm_path else None
+    if selector is not None and dev_batches_fn is None:
+        raise ValueError(
+            "gan.select_lm_path is set but there is no dev split to score "
+            "(set data.dev_list) — selection would be silently inert"
+        )
     guard = PreemptionGuard()
     t0 = time.time()
     for batch in audio_it:
@@ -875,16 +916,19 @@ def run_eodm_training(
             log_stdout(step, "train", eodm_loss=float(aux["eodm_loss"]))
             t0 = time.time()
         if dev_batches_fn and step % cfg.train.eval_every == 0:
-            per = trainer.evaluate_per(state.params, dev_batches_fn())
+            dev = (list(dev_batches_fn()) if selector is not None
+                   else dev_batches_fn())
+            per = trainer.evaluate_per(state.params, dev)
             extra = {}
             if selector is not None:
-                sel = selector.score(trainer, state.params, dev_batches_fn())
+                sel = selector.score(trainer, state.params, dev)
                 extra = {"unsup_score": sel["score"],
                          "unsup_lm_lp": sel["lm_logprob_per_token"],
                          "unsup_usage_kl": sel["usage_kl"]}
                 selector.update(sel["score"], step, state)
             writer.write(step, "dev", per=per, **extra)
             log_stdout(step, "dev", per=per, **extra)
+            t0 = time.time()
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
