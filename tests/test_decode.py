@@ -191,3 +191,66 @@ def test_bigram_lm_builder_properties():
     # host-side scorer agrees with manual chain
     s = sequence_logprob(lm, [1, 2, 3])
     np.testing.assert_allclose(s, lm[V, 1] + lm[1, 2] + lm[2, 3], rtol=1e-6)
+
+
+def test_beam_trigram_lm_matches_brute_force():
+    from uasr.ops.lm import build_trigram_lm, sequence_logprob
+
+    T, V = 5, 4
+    lm3 = build_trigram_lm(
+        [[2, 3, 2, 3, 1], [3, 2, 3, 1], [1, 2, 3]], V, add_k=0.1,
+        exclude=(0,),
+    )
+
+    def fused_best(logp, w, bonus):
+        probs = {}
+        for path in itertools.product(range(V), repeat=T):
+            p = float(np.exp(sum(logp[t, c] for t, c in enumerate(path))))
+            out, prev = [], -1
+            for c in path:
+                if c != prev and c != 0:
+                    out.append(c)
+                prev = c
+            probs[tuple(out)] = probs.get(tuple(out), 0.0) + p
+        def fused(kv):
+            seq, p = kv
+            return (np.log(p) + w * sequence_logprob(lm3, seq)
+                    + bonus * len(seq))
+        best = max(probs.items(), key=fused)
+        return list(best[0]), fused(best)
+
+    for seed in range(6):
+        rng = np.random.RandomState(seed + 20)
+        logits = rng.randn(1, T, V).astype(np.float32) * 1.5
+        logp = np.log(
+            np.exp(logits[0]) / np.exp(logits[0]).sum(-1, keepdims=True)
+        )
+        ref_seq, ref_s = fused_best(logp, 0.8, 0.3)
+        ids, out_len, score = ctc_beam_search_decode(
+            jnp.asarray(logits), jnp.array([T]), beam_width=16,
+            blank_id=0, lm_logp=jnp.asarray(lm3), lm_weight=0.8,
+            lm_bonus=0.3,
+        )
+        got = list(np.asarray(ids[0, : int(out_len[0])]))
+        assert got == ref_seq, (seed, got, ref_seq)
+        np.testing.assert_allclose(float(score[0]), ref_s, rtol=5e-2,
+                                   atol=5e-2)
+
+
+def test_trigram_lm_builder_properties():
+    from uasr.ops.lm import build_trigram_lm, sequence_logprob
+
+    V = 5
+    lm = build_trigram_lm([[1, 2, 3], [1, 2, 4]], V, add_k=0.5,
+                          exclude=(0,))
+    assert lm.shape == (V + 1, V + 1, V)
+    np.testing.assert_allclose(np.exp(lm).sum(axis=2), 1.0, rtol=1e-5)
+    # observed trigram (1,2)->3 beats unseen (1,2)->1
+    assert lm[1, 2, 3] > lm[1, 2, 1]
+    # start-start row favors the observed first token
+    assert lm[V, V, 1] > lm[V, V, 3]
+    assert np.all(lm[:, :, 0] < -40)  # blank column impossible
+    s = sequence_logprob(lm, [1, 2, 3])
+    np.testing.assert_allclose(
+        s, lm[V, V, 1] + lm[V, 1, 2] + lm[1, 2, 3], rtol=1e-6
+    )

@@ -39,12 +39,13 @@ def run_inference(
 
         lm_logp = load_lm(cfg.ctc.lm_path)
         V = cfg.dim_output
-        if lm_logp.shape != (V + 1, V):
+        if lm_logp.shape not in ((V + 1, V), (V + 1, V + 1, V)):
             # a silent mismatch would clip out-of-bounds gathers on
             # device and decode garbage — fail loudly instead
             raise ValueError(
                 f"ctc.lm_path table shape {lm_logp.shape} does not match "
-                f"the model vocabulary ([{V + 1}, {V}] expected)"
+                f"the model vocabulary ([{V + 1}, {V}] bigram or "
+                f"[{V + 1}, {V + 1}, {V}] trigram expected)"
             )
         lm_logp = jnp.asarray(lm_logp)
 

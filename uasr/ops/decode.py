@@ -53,6 +53,7 @@ def ctc_greedy_decode(
 
 class _BeamState(NamedTuple):
     last: jax.Array  # [B, W] last symbol (-1 if empty)
+    last2: jax.Array  # [B, W] second-to-last symbol (trigram LM history)
     hash1: jax.Array  # [B, W] rolling hashes of the prefix
     hash2: jax.Array
     p_b: jax.Array  # [B, W] log prob of prefix ending in blank
@@ -120,12 +121,13 @@ def ctc_beam_search_decode(
 
     Shallow n-gram LM fusion (the decoding mode the unsupervised
     lineage — EODM / wav2vec-U — scores and selects models with; the
-    reference's host decoder had no LM hook): `lm_logp` is a
-    [V + 1, V] table of token log-probabilities, row `h` =
-    log P(next | prev token h), row V = the start-of-sequence
-    (unigram) distribution — `uasr.ops.lm.build_bigram_lm` /
-    `prepare lm` produce it. Each prefix EXTENSION adds
-    `lm_weight * lm_logp[last, c] + lm_bonus` to the candidate score
+    reference's host decoder had no LM hook): `lm_logp` is a bigram
+    [V + 1, V] or trigram [V + 1, V + 1, V] table of token
+    log-probabilities (history index V = start-of-sequence) —
+    `uasr.ops.lm.build_bigram_lm` / `build_trigram_lm` / `prepare lm`
+    produce them; the beam carries (last2, last) so the trigram history
+    is exact per prefix. Each prefix EXTENSION adds
+    `lm_weight * logP(c | history) + lm_bonus` to the candidate score
     (the bonus counters the LM's per-token length penalty); stay
     candidates add nothing, so the fused score of a prefix is
     log P_ctc + lm_weight * log P_lm + lm_bonus * len, applied exactly
@@ -140,6 +142,7 @@ def ctc_beam_search_decode(
 
     init = _BeamState(
         last=jnp.full((B, W), -1, jnp.int32),
+        last2=jnp.full((B, W), -1, jnp.int32),
         hash1=jnp.zeros((B, W), jnp.uint32),
         hash2=jnp.zeros((B, W), jnp.uint32),
         # only beam 0 starts alive (empty prefix, p_b = 1)
@@ -174,7 +177,12 @@ def ctc_beam_search_decode(
         ext_score = lp_t[:, None, :]
         if lm_logp is not None:
             hist = jnp.where(state.last >= 0, state.last, V)  # [B, W]
-            ext_score = ext_score + lm_weight * lm_logp[hist] + lm_bonus
+            if lm_logp.ndim == 2:  # bigram [V+1, V]
+                lm_row = lm_logp[hist]
+            else:  # trigram [V+1, V+1, V]
+                hist2 = jnp.where(state.last2 >= 0, state.last2, V)
+                lm_row = lm_logp[hist2, hist]
+            ext_score = ext_score + lm_weight * lm_row + lm_bonus
         ext_pnb = base + ext_score
         ext_pnb = jnp.where(not_blank[None, None, :], ext_pnb, NEG)
 
@@ -241,11 +249,14 @@ def ctc_beam_search_decode(
         new_h2 = take(h2)
 
         last_w = jnp.take_along_axis(state.last, new_parent, 1)
+        last2_w = jnp.take_along_axis(state.last2, new_parent, 1)
         is_ext = new_char >= 0
         new_last = jnp.where(is_ext, new_char, last_w)
+        new_last2 = jnp.where(is_ext, last_w, last2_w)
 
         new_state = _BeamState(
             last=new_last,
+            last2=new_last2,
             hash1=new_h1,
             hash2=new_h2,
             p_b=new_pb,

@@ -77,13 +77,51 @@ def load_unigram(path: str) -> np.ndarray | None:
         return z["unigram"].astype(np.float32)
 
 
+def build_trigram_lm(
+    sequences,
+    vocab_size: int,
+    add_k: float = 0.5,
+    exclude: tuple[int, ...] = (),
+) -> np.ndarray:
+    """Count-based add-k trigram LM -> [V + 1, V + 1, V] float32
+    log-probs: row (h2, h1) = log P(next | prev2 = h2, prev = h1), with
+    index V = start-of-sequence in either history slot. Dense is the
+    right call at phoneme vocabulary sizes (V = 40: ~270 KB f32)."""
+    V = vocab_size
+    counts = np.zeros((V + 1, V + 1, V), np.float64)
+    for seq in sequences:
+        h2, h1 = V, V
+        for tok in seq:
+            t = int(tok)
+            if not (0 <= t < V):
+                continue
+            counts[h2, h1, t] += 1.0
+            h2, h1 = h1, t
+    counts += add_k
+    keep = np.ones(V, bool)
+    for e in exclude:
+        if 0 <= e < V:
+            keep[e] = False
+    counts[:, :, ~keep] = 1e-20
+    logp = np.log(counts) - np.log(counts.sum(axis=2, keepdims=True))
+    return logp.astype(np.float32)
+
+
 def sequence_logprob(logp: np.ndarray, seq) -> float:
-    """Host-side log P_lm(seq) (tests / model selection scoring)."""
-    V = logp.shape[1]
-    total, prev = 0.0, V
-    for tok in seq:
-        total += float(logp[prev, int(tok)])
-        prev = int(tok)
+    """Host-side log P_lm(seq) for a bigram [V+1, V] or trigram
+    [V+1, V+1, V] table (tests / model selection scoring)."""
+    V = logp.shape[-1]
+    total = 0.0
+    if logp.ndim == 2:
+        prev = V
+        for tok in seq:
+            total += float(logp[prev, int(tok)])
+            prev = int(tok)
+    else:
+        h2, h1 = V, V
+        for tok in seq:
+            total += float(logp[h2, h1, int(tok)])
+            h2, h1 = h1, int(tok)
     return total
 
 
@@ -117,9 +155,11 @@ def unsup_selection_score(
     transcripts.
 
     hyps: [N, T] int array (or list of sequences), hyp_lens: [N].
+    `lm_logp` may be a bigram or trigram table (sequence_logprob
+    dispatches on rank).
     Returns {"score", "lm_logprob_per_token", "usage_kl", "tokens"}.
     """
-    V = lm_logp.shape[1]
+    V = lm_logp.shape[-1]
     total_lp, total_tok = 0.0, 0
     counts = np.zeros(V, np.float64)
     for i in range(len(hyps)):

@@ -95,21 +95,23 @@ def cmd_ngrams(args):
 
 
 def cmd_lm(args):
-    """Bigram shallow-fusion LM from the unpaired text corpus
-    (`ctc.lm_path` + `ctc.use_beam` consume it at decode time)."""
+    """Shallow-fusion n-gram LM (order 2 or 3) from the unpaired text
+    corpus (`ctc.lm_path` + `ctc.use_beam` consume it at decode time;
+    `gan.select_lm_path` for unsupervised model selection)."""
     from uasr.data.dataset import TextDataset
-    from uasr.ops.lm import build_bigram_lm, build_unigram, save_lm
+    from uasr.ops.lm import (
+        build_bigram_lm, build_trigram_lm, build_unigram, save_lm,
+    )
     from uasr.vocab import BLK, load_vocab
 
     vocab = load_vocab(args.vocab)
     seqs = TextDataset.from_file(args.text, vocab).sequences
     blank = vocab.tokens.index(BLK) if BLK in vocab.tokens else 0
-    logp = build_bigram_lm(
-        seqs, len(vocab), add_k=args.add_k, exclude=(blank,)
-    )
+    build = {2: build_bigram_lm, 3: build_trigram_lm}[args.order]
+    logp = build(seqs, len(vocab), add_k=args.add_k, exclude=(blank,))
     uni = build_unigram(seqs, len(vocab), add_k=args.add_k, exclude=(blank,))
     save_lm(args.out, logp, unigram=uni)
-    print(f"wrote bigram LM [{logp.shape[0]}x{logp.shape[1]}] + unigram "
+    print(f"wrote {args.order}-gram LM {list(logp.shape)} + unigram "
           f"-> {args.out}")
 
 
@@ -216,6 +218,7 @@ def main(argv=None):
     lm = sub.add_parser("lm")
     lm.add_argument("--text", required=True)
     lm.add_argument("--vocab", required=True)
+    lm.add_argument("--order", type=int, default=2, choices=[2, 3])
     lm.add_argument("--add-k", type=float, default=0.5)
     lm.add_argument("--out", required=True)
     lm.set_defaults(fn=cmd_lm)

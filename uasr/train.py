@@ -580,15 +580,17 @@ class UnsupSelector:
 
         self.lm = load_lm(cfg.gan.select_lm_path)
         V = cfg.dim_output
-        if self.lm.shape != (V + 1, V):
+        if self.lm.shape not in ((V + 1, V), (V + 1, V + 1, V)):
             raise ValueError(
                 f"gan.select_lm_path table shape {self.lm.shape} does not "
-                f"match the model vocabulary ([{V + 1}, {V}] expected) — "
-                "was the LM built with `prepare lm` on this recipe's vocab?"
+                f"match the model vocabulary ([{V + 1}, {V}] bigram or "
+                f"[{V + 1}, {V + 1}, {V}] trigram expected) — was the LM "
+                "built with `prepare lm` on this recipe's vocab?"
             )
         uni = load_unigram(cfg.gan.select_lm_path)
         if uni is None:  # older lm.npz without the unigram: start row
-            uni = np.exp(self.lm[-1])
+            uni = np.exp(self.lm[V] if self.lm.ndim == 2
+                         else self.lm[V, V])
         self.unigram = uni
         self.kl_weight = cfg.gan.select_kl_weight
         self.ckpt = CheckpointManager(
