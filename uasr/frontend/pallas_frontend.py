@@ -226,6 +226,11 @@ def _pallas_log_mel(
             bytes_accessed=chunks.size * 4 + B * n_blocks * block_frames * M * 4,
             transcendentals=B * n_blocks * block_frames * M,
         ),
+        # grid steps are independent utterance blocks — let Mosaic
+        # schedule them without sequential-dependence constraints
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(
         chunks,
