@@ -217,3 +217,39 @@ def test_cli_streaming_cmvn_recipe_trains(tmp_path):
     r = _run_cli(args, tmp_path)  # resume path
     assert r.returncode == 0, r.stderr[-2000:]
     assert "restored_step=6" in r.stdout, r.stdout[-2000:]
+
+
+def _run_export(args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, "-m", "uasr.tools.export", *args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+
+
+@pytest.mark.slow
+def test_export_serving_artifact_roundtrip(tmp_path):
+    """uasr.tools.export freezes the full on-device inference pipeline
+    (frontend -> encoder -> decode) into a StableHLO artifact whose
+    deserialized call matches the live forward bit-for-bit."""
+    md = str(tmp_path / "exp")
+    r = _run_cli(["-c", "configs/synthetic_smoke.yaml", "--mode", "train",
+                  "--set", f"model_dir={md}",
+                  "--set", "train.total_steps=5",
+                  "--set", "train.save_every=5"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "serve")
+    r = _run_export(["-c", "configs/synthetic_smoke.yaml", "--out", out,
+                     "--batch", "4", "--seconds", "2",
+                     "--platforms", "cpu", "--check",
+                     "--set", f"model_dir={md}"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "check ok" in r.stderr, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "model.stablehlo"))
+    assert os.path.isdir(os.path.join(out, "params"))
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["audio_shape"] == [4, 32000]
+    assert meta["decode"] == "greedy"
+    assert meta["checkpoint_step"] == 5

@@ -1,0 +1,223 @@
+"""Serving export: the jitted inference function as a portable
+StableHLO artifact.
+
+  python -m uasr.tools.export -c recipe.yaml --out exp/serve \
+      [--batch 8] [--seconds 8.0] [--platforms cpu,tpu] [--check]
+
+Writes:
+  <out>/model.stablehlo — `jax.export` serialization of
+      fn(params, audio [B, L] f32, lengths [B] i32) -> (ids, out_len)
+      (greedy, or beam + shallow-fusion LM per the recipe's ctc.*),
+      lowered for every requested platform;
+  <out>/params/        — Orbax checkpoint of the restored parameters;
+  <out>/meta.json      — shapes, vocab size, decode settings.
+
+A serving process needs only jax + orbax:
+
+  from jax import export
+  exp = export.deserialize(open("model.stablehlo", "rb").read())
+  ids, n = exp.call(params, audio, lengths)
+
+The reference had no serving story at all (SURVEY.md §3.4 decoded on
+the host inside the eval loop); this freezes the full on-device
+pipeline — frontend, encoder, decode — into one artifact with a stable
+calling convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+
+import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
+
+
+def build_infer_fn(cfg):
+    """(params, audio [B, L], lengths [B]) -> (ids [B, T'], out_len [B]).
+
+    Mirrors uasr.infer.run_inference's decode_batch (reference `--mode
+    infer`), minus the scoring."""
+    import jax.numpy as jnp
+
+    from uasr.frontend.features import (
+        compute_features, frontend_state_from_config,
+    )
+    from uasr.models import build_model
+    from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
+
+    fe = frontend_state_from_config(cfg.frontend)
+    model = build_model(cfg.model, cfg.dim_output)
+    lm_logp = None
+    if cfg.ctc.use_beam and cfg.ctc.lm_path:
+        from uasr.ops.lm import load_lm
+
+        lm_logp = jnp.asarray(load_lm(cfg.ctc.lm_path))
+
+    def fn(params, audio, lengths):
+        feats, flen = compute_features(audio, lengths, fe, cfg.frontend)
+        logits, out_len = model.apply(params, feats, flen)
+        if cfg.ctc.use_beam:
+            ids, n, _ = ctc_beam_search_decode(
+                logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,
+                lm_logp=lm_logp, lm_weight=cfg.ctc.lm_weight,
+                lm_bonus=cfg.ctc.lm_bonus,
+            )
+            return ids, n
+        return ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+
+    return fn, model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("uasr.tools.export", description=__doc__)
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--check", action="store_true",
+                   help="deserialize and run vs the live fn")
+    p.add_argument("--set", action="append", default=[])
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from jax import export as jexport
+
+    from uasr.checkpoint import CheckpointManager
+    from uasr.cli import apply_overrides
+    from uasr.config import load_config
+
+    cfg = load_config(args.config)
+    apply_overrides(cfg, args.set)
+    if cfg.vocab_size is None:
+        raise SystemExit("recipe must pin vocab_size for export")
+    if cfg.train.mode in ("gan", "eodm", "gan+eodm"):
+        cfg.model.encoder = "classifier"  # serve the generator
+
+    fn, model = build_infer_fn(cfg)
+    B = args.batch
+    L = int(args.seconds * cfg.frontend.sample_rate)
+    a_spec = jax.ShapeDtypeStruct((B, L), jax.numpy.float32)
+    l_spec = jax.ShapeDtypeStruct((B,), jax.numpy.int32)
+
+    # restore trained params (best_ckpt honored via train.restore_best)
+    dummy_a = np.zeros((B, L), np.float32)
+    dummy_l = np.full((B,), L, np.int32)
+    from uasr.frontend.features import (
+        compute_features, frontend_state_from_config,
+    )
+
+    fe = frontend_state_from_config(cfg.frontend)
+    feats, flen = compute_features(
+        jax.numpy.asarray(dummy_a), jax.numpy.asarray(dummy_l),
+        fe, cfg.frontend,
+    )
+    params = model.init(jax.random.PRNGKey(0), feats, flen)
+    sub = "best_ckpt" if cfg.train.restore_best else "ckpt"
+    mgr = CheckpointManager(os.path.join(cfg.model_dir, sub), max_to_keep=1)
+    # checkpoints store a full TrainState / GANState; restore the
+    # matching template and pull the model params out of it
+    restored_params, step = _restore_params(cfg, mgr, params)
+    mgr.close()
+
+    exp = jexport.export(
+        jax.jit(fn), platforms=args.platforms.split(","),
+    )(params, a_spec, l_spec)
+    os.makedirs(args.out, exist_ok=True)
+    blob = exp.serialize()
+    with open(os.path.join(args.out, "model.stablehlo"), "wb") as f:
+        f.write(blob)
+
+    pmgr = CheckpointManager(os.path.join(args.out, "params"), max_to_keep=1)
+    pmgr.save(step, restored_params)
+    pmgr.close()
+
+    ids_shape = jax.eval_shape(fn, params, a_spec, l_spec)
+    meta = {
+        "audio_shape": [B, L],
+        "sample_rate": cfg.frontend.sample_rate,
+        "vocab_size": cfg.dim_output,
+        "decode": "beam" if cfg.ctc.use_beam else "greedy",
+        "beam_width": cfg.ctc.beam_width if cfg.ctc.use_beam else None,
+        "lm_path": cfg.ctc.lm_path if cfg.ctc.use_beam else None,
+        "platforms": args.platforms.split(","),
+        "checkpoint_step": int(step),
+        "output_shapes": [list(s.shape) for s in ids_shape],
+    }
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"exported step-{step} model ({len(blob)} bytes, "
+          f"platforms {args.platforms}) -> {args.out}", file=sys.stderr)
+
+    if args.check:
+        import numpy as np
+
+        reloaded = jexport.deserialize(blob)
+        rng = np.random.RandomState(0)
+        audio = (rng.randn(B, L) * 0.1).astype(np.float32)
+        lens = np.full((B,), L, np.int32)
+        got = reloaded.call(restored_params, audio, lens)
+        want = jax.jit(fn)(restored_params, audio, lens)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        print("check ok: deserialized artifact matches the live forward",
+              file=sys.stderr)
+    return 0
+
+
+def _restore_params(cfg, mgr, params_template):
+    """Restore model params out of whichever state type the run saved."""
+    import jax.numpy as jnp
+
+    from uasr.train import TrainState
+
+    mode = cfg.train.mode
+    if mode in ("gan", "gan+eodm"):
+        # generator params live in GANState.g_params; build a template
+        # with matching structure (opt states restored then discarded)
+        restored = mgr.restore_latest(_gan_template(cfg, params_template))
+        if restored is None:
+            raise SystemExit(f"no checkpoint to export under {mgr.directory}")
+        gstate, step = restored
+        return gstate.g_params, step
+    from uasr.train import make_optimizer
+
+    opt = make_optimizer(cfg)  # pytree structure must match the run's
+    state = TrainState(jnp.zeros((), jnp.int32), params_template,
+                       opt.init(params_template))
+    restored = mgr.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint to export under {mgr.directory}")
+    st, step = restored
+    return st.params, step
+
+
+def _gan_template(cfg, g_params):
+    import numpy as np
+
+    from uasr.data.dataset import Batch, TextBatch
+    from uasr.train import GANTrainer
+
+    gan = GANTrainer(cfg)
+    B = 2
+    L = int(0.5 * cfg.frontend.sample_rate)
+    rng = np.random.RandomState(0)
+    batch = Batch(
+        audio=(rng.randn(B, L) * 0.1).astype(np.float32),
+        audio_lengths=np.full((B,), L, np.int32),
+        labels=np.ones((B, 4), np.int32),
+        label_lengths=np.full((B,), 4, np.int32),
+    )
+    text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
+    import jax as _jax
+
+    return gan.init_state(_jax.random.PRNGKey(0), batch, text)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
