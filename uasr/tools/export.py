@@ -55,7 +55,17 @@ def build_infer_fn(cfg):
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
 
-        lm_logp = jnp.asarray(load_lm(cfg.ctc.lm_path))
+        lm_logp = load_lm(cfg.ctc.lm_path)
+        V = cfg.dim_output
+        if lm_logp.shape not in ((V + 1, V), (V + 1, V + 1, V)):
+            # same loud check as infer.py — never bake a mismatched
+            # table into a serving artifact
+            raise ValueError(
+                f"ctc.lm_path table shape {lm_logp.shape} does not match "
+                f"the model vocabulary ([{V + 1}, {V}] bigram or "
+                f"[{V + 1}, {V + 1}, {V}] trigram expected)"
+            )
+        lm_logp = jnp.asarray(lm_logp)
 
     def fn(params, audio, lengths):
         feats, flen = compute_features(audio, lengths, fe, cfg.frontend)
@@ -69,7 +79,7 @@ def build_infer_fn(cfg):
             return ids, n
         return ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
 
-    return fn, model
+    return fn, model, fe
 
 
 def main(argv=None):
@@ -99,7 +109,7 @@ def main(argv=None):
     if cfg.train.mode in ("gan", "eodm", "gan+eodm"):
         cfg.model.encoder = "classifier"  # serve the generator
 
-    fn, model = build_infer_fn(cfg)
+    fn, model, fe = build_infer_fn(cfg)
     B = args.batch
     L = int(args.seconds * cfg.frontend.sample_rate)
     a_spec = jax.ShapeDtypeStruct((B, L), jax.numpy.float32)
@@ -108,18 +118,23 @@ def main(argv=None):
     # restore trained params (best_ckpt honored via train.restore_best)
     dummy_a = np.zeros((B, L), np.float32)
     dummy_l = np.full((B,), L, np.int32)
-    from uasr.frontend.features import (
-        compute_features, frontend_state_from_config,
-    )
+    from uasr.frontend.features import compute_features
 
-    fe = frontend_state_from_config(cfg.frontend)
     feats, flen = compute_features(
         jax.numpy.asarray(dummy_a), jax.numpy.asarray(dummy_l),
         fe, cfg.frontend,
     )
     params = model.init(jax.random.PRNGKey(0), feats, flen)
     sub = "best_ckpt" if cfg.train.restore_best else "ckpt"
-    mgr = CheckpointManager(os.path.join(cfg.model_dir, sub), max_to_keep=1)
+    ckpt_dir = os.path.join(cfg.model_dir, sub)
+    if cfg.train.restore_best and not os.path.isdir(ckpt_dir):
+        # check BEFORE CheckpointManager's makedirs side effect, which
+        # would defeat cli._infer's same guard on a later run
+        raise SystemExit(
+            f"train.restore_best: no {ckpt_dir} — was the run trained "
+            "with gan.select_lm_path (unsupervised selection)?"
+        )
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
     # checkpoints store a full TrainState / GANState; restore the
     # matching template and pull the model params out of it
     restored_params, step = _restore_params(cfg, mgr, params)
@@ -155,8 +170,6 @@ def main(argv=None):
           f"platforms {args.platforms}) -> {args.out}", file=sys.stderr)
 
     if args.check:
-        import numpy as np
-
         reloaded = jexport.deserialize(blob)
         rng = np.random.RandomState(0)
         audio = (rng.randn(B, L) * 0.1).astype(np.float32)
@@ -180,7 +193,7 @@ def _restore_params(cfg, mgr, params_template):
     if mode in ("gan", "gan+eodm"):
         # generator params live in GANState.g_params; build a template
         # with matching structure (opt states restored then discarded)
-        restored = mgr.restore_latest(_gan_template(cfg, params_template))
+        restored = mgr.restore_latest(_gan_template(cfg))
         if restored is None:
             raise SystemExit(f"no checkpoint to export under {mgr.directory}")
         gstate, step = restored
@@ -197,7 +210,7 @@ def _restore_params(cfg, mgr, params_template):
     return st.params, step
 
 
-def _gan_template(cfg, g_params):
+def _gan_template(cfg):
     import numpy as np
 
     from uasr.data.dataset import Batch, TextBatch
