@@ -75,6 +75,37 @@ def test_gradients_match_reference():
         )
 
 
+import pytest
+
+
+@pytest.mark.parametrize("kt", [2, 4])
+def test_bwd_time_tiling_matches_reference(kt, monkeypatch):
+    """The KT>1 backward tiling (padding, reversed in-tile loop, shifted
+    hprev blocks) stays correct even while the shipped default is KT=1 —
+    T=13 is deliberately non-divisible by both tile sizes (ADVICE r2)."""
+    import uasr.models.pallas_gru as mod
+
+    monkeypatch.setattr(mod, "BWD_TIME_TILE", kt)
+    xproj, wh, bh, tmask = _problem(T=13, seed=3)
+    rng = np.random.RandomState(4)
+    w_out = jnp.asarray(
+        rng.randn(*_reference_scan(xproj, wh, bh, tmask).shape), jnp.float32
+    )
+
+    def loss_ref(xp, w, b):
+        return jnp.sum(_reference_scan(xp, w, b, tmask) * w_out)
+
+    def loss_pal(xp, w, b):
+        return jnp.sum(pallas_gru_scan(xp, w, b, tmask, True) * w_out)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xproj, wh, bh)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(xproj, wh, bh)
+    for a, b, name in zip(g_pal, g_ref, ["dxproj", "dwh", "dbh"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3, err_msg=name
+        )
+
+
 def test_t_equals_one():
     xproj, wh, bh, tmask = _problem(T=1, B=2)
     ref = _reference_scan(xproj, wh, bh, tmask)

@@ -265,7 +265,9 @@ def _load_text(cfg, source, vocab):
 def _infer(cfg, source, vocab):
     from uasr.checkpoint import CheckpointManager
     from uasr.infer import run_inference
-    from uasr.train import CTCTrainer, GANTrainer, TrainState
+    from uasr.train import (
+        CTCTrainer, GANTrainer, GeneratorInfer, TrainState,
+    )
 
     ckpt_dir = f"{cfg.model_dir}/ckpt"
     if cfg.train.restore_best:
@@ -281,6 +283,15 @@ def _infer(cfg, source, vocab):
     )
     first = next(_batches(cfg, source, num_epochs=1, drop_remainder=False))
     mode = cfg.train.mode
+    logits_fn = None
+    if mode in ("gan", "gan+eodm", "eodm"):
+        # decode through the SAME representation chain the checkpoint
+        # trained and dev-eval'd on: frontend -> optional k-means
+        # segmentation -> classifier -> optional repeat merge. A raw
+        # frame-rate model.apply here would silently score a different
+        # input than training saw (round-2 VERDICT item 1).
+        cfg.model.encoder = "classifier"
+        logits_fn = GeneratorInfer(cfg).logits_fn
     if mode in ("gan", "gan+eodm"):
         # GAN-trained runs checkpoint a GANState; restore it and decode
         # the generator's posteriors (reference: greedy collapse of G)
@@ -288,7 +299,6 @@ def _infer(cfg, source, vocab):
 
         from uasr.data.dataset import TextBatch
 
-        cfg.model.encoder = "classifier"
         gan = GANTrainer(cfg)
         text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
         gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
@@ -303,8 +313,6 @@ def _infer(cfg, source, vocab):
         )
     else:
         # ctc and eodm both checkpoint a TrainState over their model
-        if mode == "eodm":
-            cfg.model.encoder = "classifier"
         trainer = CTCTrainer(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), first)
         restored = mgr.restore_latest(state)
@@ -315,10 +323,15 @@ def _infer(cfg, source, vocab):
         cfg, trainer, state,
         _batches(cfg, source, num_epochs=1, drop_remainder=False),
         vocab=vocab,
+        fold_timit=cfg.ctc.fold_timit,
         hyp_path=f"{cfg.model_dir}/hyp.txt",
+        logits_fn=logits_fn,
+    )
+    folded = (
+        f" PER_folded={res['per_folded']:.4f}" if "per_folded" in res else ""
     )
     print(
-        f"step {step}: PER={res['per']:.4f} RTF={res['rtf']:.4f} "
+        f"step {step}: PER={res['per']:.4f}{folded} RTF={res['rtf']:.4f} "
         f"({res['audio_seconds']:.1f}s audio)"
     )
     mgr.close()

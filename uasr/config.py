@@ -156,6 +156,10 @@ class CTCConfig:
     lm_path: str | None = None
     lm_weight: float = 0.5
     lm_bonus: float = 0.0  # per-token bonus countering LM length penalty
+    # score `--mode infer` in the folded TIMIT 61->39 phone space too
+    # (reference folds before PER, SURVEY.md §3.4); reports per_folded
+    # alongside the raw PER. Vocab tokens must be TIMIT phone names.
+    fold_timit: bool = False
 
 
 @dataclass

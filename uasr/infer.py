@@ -29,8 +29,14 @@ def run_inference(
     vocab: Vocab | None = None,
     fold_timit: bool = False,
     hyp_path: str | None = None,
+    logits_fn=None,
 ) -> dict:
-    """Decode + score. Returns {"per": float, "rtf": float, ...}."""
+    """Decode + score. Returns {"per": float, "rtf": float, ...}.
+
+    `logits_fn(params, audio, lengths) -> (logits, out_len)` overrides
+    the default frontend+encoder forward — GAN/EODM runs pass
+    `GeneratorInfer.logits_fn` so decoding sees the same segment/merge
+    representation the checkpoint trained on."""
     fe = trainer.frontend_state
     fcfg = cfg.frontend
     lm_logp = None
@@ -55,10 +61,15 @@ def run_inference(
         from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
         from uasr.ops.edit_distance import batch_edit_distance
 
-        feats, flen = compute_features(
-            batch.audio, batch.audio_lengths, fe, fcfg
-        )
-        logits, out_len = trainer.model.apply(params, feats, flen)
+        if logits_fn is not None:
+            logits, out_len = logits_fn(
+                params, batch.audio, batch.audio_lengths
+            )
+        else:
+            feats, flen = compute_features(
+                batch.audio, batch.audio_lengths, fe, fcfg
+            )
+            logits, out_len = trainer.model.apply(params, feats, flen)
         if cfg.ctc.use_beam:
             hyps, hyp_len, _ = ctc_beam_search_decode(
                 logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,

@@ -258,10 +258,12 @@ def _bwd_rule(interpret, res, dy):
             jax.ShapeDtypeStruct((Tp, G, B, H3), xproj.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
-        # KT > 1 blocks exceed the 16 MB default scoped-VMEM budget
-        # (v5e has 128 MB physical)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+        # KT > 1 blocks exceed the 16 MB default scoped-VMEM budget;
+        # only raise it then (requesting 100 MB unconditionally would
+        # fail on pre-v5e parts whose physical VMEM is smaller)
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if KT > 1 else pltpu.CompilerParams()
         ),
         interpret=interpret,
     )(xp, mask, hprev_p, wh, bh, dyp)

@@ -40,7 +40,13 @@ def build_infer_fn(cfg):
     """(params, audio [B, L], lengths [B]) -> (ids [B, T'], out_len [B]).
 
     Mirrors uasr.infer.run_inference's decode_batch (reference `--mode
-    infer`), minus the scoring."""
+    infer`), minus the scoring. GAN/EODM recipes export the FULL trained
+    pathway — frontend -> optional k-means segmentation -> classifier ->
+    optional repeat merge (train.GeneratorInfer) — so the serving
+    artifact decodes the same representation the checkpoint trained on.
+
+    Returns (fn, init_params) where init_params(rng, audio, lengths)
+    builds a parameter template through the same chain."""
     import jax.numpy as jnp
 
     from uasr.frontend.features import (
@@ -51,6 +57,11 @@ def build_infer_fn(cfg):
 
     fe = frontend_state_from_config(cfg.frontend)
     model = build_model(cfg.model, cfg.dim_output)
+    gen_infer = None
+    if cfg.train.mode in ("gan", "eodm", "gan+eodm"):
+        from uasr.train import GeneratorInfer
+
+        gen_infer = GeneratorInfer(cfg)
     lm_logp = None
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
@@ -68,8 +79,11 @@ def build_infer_fn(cfg):
         lm_logp = jnp.asarray(lm_logp)
 
     def fn(params, audio, lengths):
-        feats, flen = compute_features(audio, lengths, fe, cfg.frontend)
-        logits, out_len = model.apply(params, feats, flen)
+        if gen_infer is not None:
+            logits, out_len = gen_infer.logits_fn(params, audio, lengths)
+        else:
+            feats, flen = compute_features(audio, lengths, fe, cfg.frontend)
+            logits, out_len = model.apply(params, feats, flen)
         if cfg.ctc.use_beam:
             ids, n, _ = ctc_beam_search_decode(
                 logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,
@@ -79,7 +93,15 @@ def build_infer_fn(cfg):
             return ids, n
         return ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
 
-    return fn, model, fe
+    def init_params(rng, audio, lengths):
+        if gen_infer is not None:
+            return gen_infer.init_params(rng, audio, lengths)
+        feats, flen = compute_features(
+            jnp.asarray(audio), jnp.asarray(lengths), fe, cfg.frontend
+        )
+        return model.init(rng, feats, flen)
+
+    return fn, init_params
 
 
 def main(argv=None):
@@ -105,11 +127,19 @@ def main(argv=None):
     cfg = load_config(args.config)
     apply_overrides(cfg, args.set)
     if cfg.vocab_size is None:
-        raise SystemExit("recipe must pin vocab_size for export")
+        if cfg.data.vocab_path:
+            from uasr.vocab import load_vocab
+
+            cfg = cfg.replace(vocab_size=len(load_vocab(cfg.data.vocab_path)))
+        else:
+            raise SystemExit(
+                "recipe must pin vocab_size (or set data.vocab_path) "
+                "for export"
+            )
     if cfg.train.mode in ("gan", "eodm", "gan+eodm"):
         cfg.model.encoder = "classifier"  # serve the generator
 
-    fn, model, fe = build_infer_fn(cfg)
+    fn, init_params = build_infer_fn(cfg)
     B = args.batch
     L = int(args.seconds * cfg.frontend.sample_rate)
     a_spec = jax.ShapeDtypeStruct((B, L), jax.numpy.float32)
@@ -118,13 +148,7 @@ def main(argv=None):
     # restore trained params (best_ckpt honored via train.restore_best)
     dummy_a = np.zeros((B, L), np.float32)
     dummy_l = np.full((B,), L, np.int32)
-    from uasr.frontend.features import compute_features
-
-    feats, flen = compute_features(
-        jax.numpy.asarray(dummy_a), jax.numpy.asarray(dummy_l),
-        fe, cfg.frontend,
-    )
-    params = model.init(jax.random.PRNGKey(0), feats, flen)
+    params = init_params(jax.random.PRNGKey(0), dummy_a, dummy_l)
     sub = "best_ckpt" if cfg.train.restore_best else "ckpt"
     ckpt_dir = os.path.join(cfg.model_dir, sub)
     if cfg.train.restore_best and not os.path.isdir(ckpt_dir):
@@ -134,7 +158,12 @@ def main(argv=None):
             f"train.restore_best: no {ckpt_dir} — was the run trained "
             "with gan.select_lm_path (unsupervised selection)?"
         )
-    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+    # match the training run's retention: this manager never saves, but
+    # a max_to_keep below the run's would garbage-collect real
+    # checkpoints if a save were ever added here (ADVICE r2)
+    mgr = CheckpointManager(
+        ckpt_dir, max_to_keep=max(cfg.train.keep_checkpoints, 1)
+    )
     # checkpoints store a full TrainState / GANState; restore the
     # matching template and pull the model params out of it
     restored_params, step = _restore_params(cfg, mgr, params)

@@ -563,6 +563,50 @@ class EODMTrainer(GeneratorBase):
         return self._jit["train"]
 
 
+class GeneratorInfer(GeneratorBase):
+    """Inference-side view of the unsupervised generator pathway.
+
+    GAN/EODM checkpoints are trained and dev-eval'd on the FULL chain
+    (frontend -> optional k-means segmentation -> PhoneClassifier ->
+    optional repeat merge, `GeneratorBase._gen_probs_full`); decoding a
+    restored checkpoint on anything else — e.g. the raw classifier over
+    frame-rate features — scores a representation the model never saw.
+    This class exposes that exact chain as a jit-friendly
+    ``(params, audio, lengths) -> (logits, out_len)`` for
+    `uasr.infer.run_inference` and `uasr.tools.export`, so train-loop
+    PER, `--mode infer` PER, and the serving artifact agree
+    (reference `--mode infer` decodes the trained model's own outputs,
+    SURVEY.md §3.4)."""
+
+    def __init__(self, cfg: Config, centroids=None):
+        self._init_generator(cfg, centroids)
+
+    def logits_fn(self, params, audio, lengths):
+        B = audio.shape[0]
+        batch = Batch(
+            audio=audio,
+            audio_lengths=lengths,
+            labels=jnp.zeros((B, 1), jnp.int32),
+            label_lengths=jnp.zeros((B,), jnp.int32),
+        )
+        _, _, _, out_len, logits = self._gen_probs_full(params, batch)
+        return logits, out_len
+
+    def init_params(self, rng, audio, lengths):
+        """Init classifier params through the same feature chain (shapes
+        stay D-invariant under segment pooling, but one pathway = zero
+        drift)."""
+        B = np.shape(audio)[0]
+        batch = Batch(
+            audio=jnp.asarray(audio),
+            audio_lengths=jnp.asarray(lengths),
+            labels=jnp.zeros((B, 1), jnp.int32),
+            label_lengths=jnp.zeros((B,), jnp.int32),
+        )
+        feats, flen = self._gen_feats(batch)
+        return self.gen.init(rng, feats, flen)
+
+
 class UnsupSelector:
     """Label-free checkpoint selection (wav2vec-U's validation trick):
     score dev-set GREEDY transcriptions by mean LM token log-prob minus
@@ -620,6 +664,11 @@ class UnsupSelector:
 
             self.best = score
             self.ckpt.save(step, state)
+            # commit the checkpoint BEFORE recording the score: a hard
+            # kill between the two would otherwise persist a best score
+            # with no checkpoint behind it, and the resumed run would
+            # never re-save until the phantom score was beaten
+            self.ckpt.wait()
             with open(self._score_path, "w") as f:
                 json.dump({"score": score, "step": int(step)}, f)
             return True
@@ -927,7 +976,8 @@ def run_eodm_training(
                 extra = {"unsup_score": sel["score"],
                          "unsup_lm_lp": sel["lm_logprob_per_token"],
                          "unsup_usage_kl": sel["usage_kl"]}
-                selector.update(sel["score"], step, state)
+                if selector.update(sel["score"], step, state):
+                    extra["unsup_best"] = sel["score"]
             writer.write(step, "dev", per=per, **extra)
             log_stdout(step, "dev", per=per, **extra)
             t0 = time.time()
