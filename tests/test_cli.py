@@ -97,6 +97,7 @@ def test_wav2vecu_stretch_recipe_runs(tmp_path):
     r = _run_cli(
         ["-c", recipe, "--mode", "train",
          "--set", f"model_dir={model_dir}",
+         "--set", "data.feature_cache=none",  # audio stand-in pathway
          "--set", f"data.train_list={train_list}",
          "--set", f"data.text_path={text}",
          "--set", f"data.vocab_path={vocab}",
@@ -160,6 +161,7 @@ def test_segmental_infer_and_export_match_train_eval(tmp_path):
     common = [
         "-c", recipe,
         "--set", f"model_dir={model_dir}",
+        "--set", "data.feature_cache=none",  # audio pathway variant
         "--set", "train.mode=gan",  # no n-gram table needed
         "--set", f"data.train_list={train_list}",
         "--set", f"data.dev_list={dev_list}",
@@ -213,6 +215,120 @@ def test_segmental_infer_and_export_match_train_eval(tmp_path):
                                "--check"])
     assert r3.returncode == 0, r3.stderr[-3000:]
     assert "check ok" in r3.stderr, r3.stderr[-2000:]
+
+
+def _run_selftrain(args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, "-m", "uasr.tools.selftrain", *args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+
+
+@pytest.mark.slow
+def test_ssl_feature_recipe_end_to_end(tmp_path):
+    """BASELINE config #5's actual input: external SSL features imported
+    into a cache (`prepare import-features`), segmenter centroids fit in
+    that feature space, gan+eodm trained FROM THE RECIPE over the cache,
+    decoded with --mode infer, and refined by the selftrain tool over
+    the same cache (round-2 VERDICT item 2)."""
+    import math
+
+    import numpy as np
+
+    from uasr.data.io import read_wav
+
+    data = str(tmp_path / "data")
+    r = _run_prepare(["synth", "--out-dir", data, "--num-utts", "24"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    train_list = os.path.join(data, "train.tsv")
+    vocab = os.path.join(data, "vocab.txt")
+    text = os.path.join(data, "text.txt")
+
+    # stand-in "SSL" features: 10 ms frames of the waveform projected to
+    # D=16 through a fixed random matrix (content-bearing, frame-rate)
+    feat_dir = str(tmp_path / "feats")
+    os.makedirs(feat_dir)
+    proj = np.random.RandomState(0).randn(160, 16).astype(np.float32)
+    with open(train_list) as f:
+        for ln in f:
+            utt, wav, _ = ln.rstrip("\n").split("\t")
+            audio, _sr = read_wav(wav)
+            T = len(audio) // 160
+            feats = audio[: T * 160].reshape(T, 160) @ proj
+            np.save(os.path.join(feat_dir, f"{utt}.npy"), feats)
+
+    cache = str(tmp_path / "cache")
+    r = _run_prepare(["import-features", "--features", feat_dir,
+                      "--list", train_list, "--vocab", vocab,
+                      "--out", cache])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    recipe = "configs/wav2vecu_pod_stretch.yaml"
+    km = os.path.join(data, "kmeans.npz")
+    r = _run_prepare(["kmeans", "--config", recipe, "--feature-cache",
+                      cache, "--clusters", "8", "--iters", "3",
+                      "--max-utts", "10", "--out", km])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    model_dir = str(tmp_path / "exp")
+    common = [
+        "-c", recipe,
+        "--set", f"model_dir={model_dir}",
+        "--set", f"data.feature_cache={cache}",
+        "--set", f"data.dev_feature_cache={cache}",
+        "--set", f"data.test_feature_cache={cache}",
+        "--set", f"data.vocab_path={vocab}",
+        "--set", f"data.text_path={text}",
+        "--set", "data.max_frames=64",
+        "--set", "data.batch_size=4",
+        "--set", "data.max_label_len=16",
+        "--set", f"gan.centroids_path={km}",
+        "--set", "gan.max_segments=32",
+        "--set", "eodm.top_k=32",
+        "--set", "eodm.k_chunk=16",
+        "--set", "model.classifier_hidden=32",
+        "--set", "model.classifier_layers=2",
+        "--set", "model.disc_channels=16",
+        "--set", "model.disc_layers=2",
+        "--set", "parallel.model_parallel=2",
+    ]
+    r = _run_cli(
+        common + ["--mode", "train",
+                  "--set", "train.total_steps=3",
+                  "--set", "train.log_every=1",
+                  "--set", "train.save_every=3",
+                  "--set", "train.eval_every=3",
+                  "--set", "train.dev_eval_batches=2"],
+        tmp_path,
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-1000:])
+    with open(os.path.join(model_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    train_recs = [rec for rec in recs if rec["tag"] == "train"]
+    assert train_recs, recs
+    for rec in train_recs:
+        for k in ("g_loss", "d_loss", "eodm_loss"):
+            if k in rec:
+                assert math.isfinite(rec[k]), rec
+    # the frontend was actually bypassed: dev eval ran on cached feats
+    assert any(rec["tag"] == "dev" for rec in recs), recs
+
+    r2 = _run_cli(common + ["--mode", "infer"], tmp_path)
+    assert r2.returncode == 0, (r2.stderr[-3000:], r2.stdout[-500:])
+    assert "PER=" in r2.stdout
+
+    r3 = _run_selftrain(
+        common + ["--teacher-dir", model_dir, "--teacher-mode", "gan",
+                  "--rounds", "1", "--student-steps", "2",
+                  "--set", "train.eval_every=100",
+                  "--set", "train.save_every=2",
+                  "--set", "train.total_steps=2"],
+    )
+    assert r3.returncode == 0, (r3.stderr[-3000:], r3.stdout[-500:])
+    assert "student PER=" in r3.stdout, r3.stdout
 
 
 @pytest.mark.slow

@@ -37,6 +37,36 @@ def test_scan_lengths_header_only(corpus):
         assert ds.num_samples[i] == len(audio)
 
 
+def test_length_sidecar_skips_header_scan(corpus, monkeypatch):
+    """With a `.lens` cache next to the list, construction opens ZERO
+    wav files (round-2 VERDICT item 7: the startup header scan costs
+    minutes at LibriSpeech scale); lengths match the true scan."""
+    import wave
+
+    from uasr.data.loader import write_length_sidecar
+
+    list_path, examples, vocab = corpus
+    ref = StreamingASRDataset.from_file(list_path, vocab)
+    side = write_length_sidecar(list_path)
+    try:
+        def _no_open(*a, **k):
+            raise AssertionError("wave.open called despite .lens cache")
+
+        monkeypatch.setattr(wave, "open", _no_open)
+        ds = StreamingASRDataset.from_file(list_path, vocab)
+        np.testing.assert_array_equal(ds.num_samples, ref.num_samples)
+        monkeypatch.undo()
+        # incomplete sidecar -> falls back to the header scan
+        with open(side) as f:
+            lines = f.readlines()
+        with open(side, "w") as f:
+            f.writelines(lines[1:])
+        ds2 = StreamingASRDataset.from_file(list_path, vocab)
+        np.testing.assert_array_equal(ds2.num_samples, ref.num_samples)
+    finally:
+        os.remove(side)
+
+
 def test_stream_matches_materialized(corpus):
     """Same seed + params -> identical batches to batch_iterator over the
     decoded corpus (modulo PCM16 round-trip, exact by construction)."""

@@ -22,11 +22,30 @@ import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
 def _load_source(cfg, split: str):
     """Data source for a split: ("examples", list) for synthetic /
     materialized corpora, ("stream", StreamingASRDataset) when
-    data.streaming — disk-backed, flat RSS, native per-batch decode.
+    data.streaming — disk-backed, flat RSS, native per-batch decode,
+    ("features", FeatureCache) when the split has a precomputed-feature
+    cache (external SSL features — the wav2vec-U input).
     Returns (source, vocab)."""
     from uasr.data.dataset import ASRDataset, make_synthetic_dataset
     from uasr.vocab import load_vocab
 
+    cache_dir = {
+        "train": cfg.data.feature_cache,
+        "dev": cfg.data.dev_feature_cache,
+        "test": cfg.data.test_feature_cache,
+    }.get(split)
+    if cache_dir:
+        from uasr.data.cache import FeatureCache
+
+        if cfg.data.vocab_path is None:
+            raise SystemExit(
+                f"data.{'' if split == 'train' else split + '_'}"
+                "feature_cache needs data.vocab_path (tokens for "
+                "text/scoring)"
+            )
+        return ("features", FeatureCache(cache_dir)), load_vocab(
+            cfg.data.vocab_path
+        )
     if cfg.data.synthetic:
         # distinct seed per split so dev/test are held-out strings
         examples, vocab = make_synthetic_dataset(
@@ -65,7 +84,19 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True,
         int(s * cfg.frontend.sample_rate) for s in cfg.data.bucket_boundaries
     ]
     kind, payload = source
-    if kind == "stream":
+    if kind == "features":
+        from uasr.data.cache import feature_batch_iterator
+
+        it = feature_batch_iterator(
+            payload,
+            batch_size=cfg.data.batch_size,
+            max_frames=cfg.data.max_frames,
+            max_label_len=cfg.data.max_label_len,
+            seed=seed,
+            num_epochs=num_epochs,
+            drop_remainder=drop_remainder,
+        )
+    elif kind == "stream":
         it = payload.batches(
             batch_size=cfg.data.batch_size,
             max_audio_samples=max_samples,
@@ -78,15 +109,19 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True,
             decode_threads=cfg.data.loader_threads,
         )
     else:
+        # materialized examples may hold [T, D] features (selftrain over
+        # an SSL cache) — lengths are then frames, not samples
+        is_feats = bool(payload) and getattr(payload[0][0], "ndim", 1) == 2
         it = batch_iterator(
             payload,
             batch_size=cfg.data.batch_size,
-            max_audio_samples=max_samples,
+            max_audio_samples=cfg.data.max_frames if is_feats
+            else max_samples,
             max_label_len=cfg.data.max_label_len,
             seed=seed,
             drop_remainder=drop_remainder,
             num_epochs=num_epochs,
-            bucket_boundaries=boundaries,
+            bucket_boundaries=() if is_feats else boundaries,
         )
     if limit is not None:
         # cap BEFORE prefetch so the worker terminates instead of being
@@ -203,7 +238,8 @@ def _scalar(s: str):
 
 
 def _dev_batches_fn(cfg, vocab):
-    if cfg.data.dev_list is None and not cfg.data.synthetic:
+    if (cfg.data.dev_list is None and cfg.data.dev_feature_cache is None
+            and not cfg.data.synthetic):
         return None
     dev_source, _ = _load_source(cfg, "dev")
 
@@ -259,6 +295,8 @@ def _load_text(cfg, source, vocab):
     kind, payload = source
     if kind == "stream":
         return [ids for ids in payload.labels if ids]
+    if kind == "features":
+        return [list(ids) for _, _, ids in payload if len(ids)]
     return [ids for _, ids in payload if ids]
 
 

@@ -234,6 +234,14 @@ class DataConfig:
     train_list: str | None = None  # csv/scp of (utt_id, wav_path, transcript)
     dev_list: str | None = None
     test_list: str | None = None
+    # precomputed-feature sources (wav2vec-U stretch: external SSL
+    # features imported with `prepare import-features`); when set for a
+    # split, batches carry [B, T, D] features and the frontend is
+    # bypassed (uasr/data/cache.py)
+    feature_cache: str | None = None
+    dev_feature_cache: str | None = None
+    test_feature_cache: str | None = None
+    max_frames: int = 1024  # frame cap for precomputed-feature batches
     text_path: str | None = None  # unpaired phone text (GAN / EODM)
     vocab_path: str | None = None
     batch_size: int = 16

@@ -102,6 +102,8 @@ def feature_batch_iterator(
     max_label_len: int,
     seed: int = 0,
     num_epochs: int | None = None,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
 ):
     """Padded feature batches straight from a cache (the wav2vec-U
     stretch path: train the GAN on external SSL features). Yields
@@ -115,21 +117,30 @@ def feature_batch_iterator(
     D = cache.example(0)[1].shape[1]
     rng = np.random.RandomState(seed)
     epoch = 0
+
+    def _make(idxs):
+        B = len(idxs)
+        feats = np.zeros((B, max_frames, D), np.float32)
+        flen = np.zeros((B,), np.int32)
+        labels = np.zeros((B, max_label_len), np.int32)
+        llen = np.zeros((B,), np.int32)
+        for j, i in enumerate(idxs):
+            _, f, ids = cache.example(int(i))
+            n = min(len(f), max_frames)
+            feats[j, :n] = f[:n]
+            flen[j] = n
+            u = min(len(ids), max_label_len)
+            labels[j, :u] = ids[:u]
+            llen[j] = u
+        return Batch(feats, flen, labels, llen)
+
     while num_epochs is None or epoch < num_epochs:
         order = np.arange(len(cache))
-        rng.shuffle(order)
-        for s in range(0, len(order) - batch_size + 1, batch_size):
-            feats = np.zeros((batch_size, max_frames, D), np.float32)
-            flen = np.zeros((batch_size,), np.int32)
-            labels = np.zeros((batch_size, max_label_len), np.int32)
-            llen = np.zeros((batch_size,), np.int32)
-            for j, i in enumerate(order[s : s + batch_size]):
-                _, f, ids = cache.example(int(i))
-                n = min(len(f), max_frames)
-                feats[j, :n] = f[:n]
-                flen[j] = n
-                u = min(len(ids), max_label_len)
-                labels[j, :u] = ids[:u]
-                llen[j] = u
-            yield Batch(feats, flen, labels, llen)
+        if shuffle:
+            rng.shuffle(order)
+        stop = len(order) if not drop_remainder else (
+            len(order) - batch_size + 1
+        )
+        for s in range(0, max(stop, 0), batch_size):
+            yield _make(order[s : s + batch_size])
         epoch += 1

@@ -298,7 +298,10 @@ def batch_iterator(
 
 def _make_batch(exs, audio_len: int, max_label_len: int) -> Batch:
     B = len(exs)
-    audio = np.zeros((B, audio_len), np.float32)
+    # examples may hold raw audio [L] or precomputed features [T, D]
+    # (self-training over an SSL feature cache); pad either along axis 0
+    feat_dims = np.shape(exs[0][0])[1:]
+    audio = np.zeros((B, audio_len, *feat_dims), np.float32)
     a_len = np.zeros((B,), np.int32)
     labels = np.zeros((B, max_label_len), np.int32)
     l_len = np.zeros((B,), np.int32)

@@ -50,6 +50,43 @@ def scan_lengths(
     return ns, sr
 
 
+def read_length_sidecar(path: str) -> dict[str, tuple[int, int]] | None:
+    """`<list>.lens` length cache (written by `prepare lists/synth/
+    scan-lengths`): `utt_id<TAB>num_samples<TAB>sample_rate` per line.
+    Returns None when the sidecar doesn't exist; malformed lines fail
+    loudly (a silently-skipped entry would trigger a full rescan)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    table: dict[str, tuple[int, int]] = {}
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            parts = ln.split("\t")
+            if len(parts) != 3:
+                raise ValueError(f"{path}: malformed length-cache line {ln!r}")
+            table[parts[0]] = (int(parts[1]), int(parts[2]))
+    return table
+
+
+def write_length_sidecar(list_path: str, scan_threads: int = 16) -> str:
+    """Header-scan every wav in `list_path` ONCE and persist the result
+    next to it; later `StreamingASRDataset.from_file` calls skip the
+    scan entirely."""
+    from uasr.data.io import read_utterance_list
+
+    utts = read_utterance_list(list_path)
+    ns, sr = scan_lengths([u.wav_path for u in utts], scan_threads)
+    out = list_path + ".lens"
+    with open(out, "w") as f:
+        for u, n, r in zip(utts, ns, sr):
+            f.write(f"{u.utt_id}\t{int(n)}\t{int(r)}\n")
+    return out
+
+
 class StreamingASRDataset:
     """Utterance list + vocab -> streamed `Batch`es, flat RSS.
 
@@ -63,12 +100,20 @@ class StreamingASRDataset:
         vocab: Vocab,
         sample_rate: int = 16000,
         scan_threads: int = 16,
+        scanned: tuple[np.ndarray, np.ndarray] | None = None,
     ):
         self.utts = utts
         self.vocab = vocab
         self.sample_rate = sample_rate
-        paths = [u.wav_path for u in utts]
-        self.num_samples, rates = scan_lengths(paths, scan_threads)
+        if scanned is not None:
+            # precomputed (num_samples, rates) — e.g. the `.lens`
+            # sidecar written at prep time; skips the per-file header
+            # scan that costs minutes of serial I/O at the 1M-utterance
+            # scale on every run
+            self.num_samples, rates = scanned
+        else:
+            paths = [u.wav_path for u in utts]
+            self.num_samples, rates = scan_lengths(paths, scan_threads)
         bad = np.nonzero(rates != sample_rate)[0]
         if len(bad):
             raise ValueError(
@@ -83,7 +128,15 @@ class StreamingASRDataset:
     ) -> "StreamingASRDataset":
         from uasr.data.io import read_utterance_list
 
-        return cls(read_utterance_list(path), vocab, sample_rate, **kw)
+        utts = read_utterance_list(path)
+        if "scanned" not in kw:
+            table = read_length_sidecar(path + ".lens")
+            if table is not None and all(u.utt_id in table for u in utts):
+                kw["scanned"] = (
+                    np.asarray([table[u.utt_id][0] for u in utts], np.int64),
+                    np.asarray([table[u.utt_id][1] for u in utts], np.int32),
+                )
+        return cls(utts, vocab, sample_rate, **kw)
 
     def __len__(self) -> int:
         return len(self.utts)

@@ -37,7 +37,6 @@ def run_inference(
     the default frontend+encoder forward — GAN/EODM runs pass
     `GeneratorInfer.logits_fn` so decoding sees the same segment/merge
     representation the checkpoint trained on."""
-    fe = trainer.frontend_state
     fcfg = cfg.frontend
     lm_logp = None
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
@@ -65,9 +64,15 @@ def run_inference(
             logits, out_len = logits_fn(
                 params, batch.audio, batch.audio_lengths
             )
+        elif jnp.ndim(batch.audio) == 3:
+            # precomputed features (SSL cache): frontend bypassed
+            logits, out_len = trainer.model.apply(
+                params, batch.audio, batch.audio_lengths
+            )
         else:
             feats, flen = compute_features(
-                batch.audio, batch.audio_lengths, fe, fcfg
+                batch.audio, batch.audio_lengths, trainer.frontend_state,
+                fcfg,
             )
             logits, out_len = trainer.model.apply(params, feats, flen)
         if cfg.ctc.use_beam:
@@ -95,7 +100,18 @@ def run_inference(
         hyps, hyp_len, e, t = decode_batch(state.params, db)
         jax.block_until_ready(hyps)
         wall += time.time() - t0
-        audio_sec += float(np.sum(b.audio_lengths)) / cfg.frontend.sample_rate
+        if np.ndim(b.audio) == 3:
+            # feature batches: lengths are frames; approximate seconds
+            # by the recipe's frame shift (external SSL features carry
+            # no sample count)
+            audio_sec += (
+                float(np.sum(b.audio_lengths))
+                * cfg.frontend.frame_shift_ms / 1000.0
+            )
+        else:
+            audio_sec += (
+                float(np.sum(b.audio_lengths)) / cfg.frontend.sample_rate
+            )
         errs += int(e)
         total += int(t)
         if vocab is not None and (hyp_f is not None or fold_timit):

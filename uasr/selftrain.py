@@ -43,15 +43,13 @@ def make_gan_label_fn(gan_trainer, g_params):
 
 
 def make_ctc_label_fn(ctc_trainer: CTCTrainer, params):
-    """(audio Batch) -> (hyps, hyp_lens, confidence) from a CTC model."""
-    from uasr.frontend.features import compute_features
+    """(audio Batch) -> (hyps, hyp_lens, confidence) from a CTC model.
+    Precomputed-feature batches ([B, T, D]) bypass the frontend via the
+    trainer's `_feats` branch."""
 
     @jax.jit
     def fn(batch: Batch):
-        feats, flen = compute_features(
-            batch.audio, batch.audio_lengths, ctc_trainer.frontend_state,
-            ctc_trainer.cfg.frontend,
-        )
+        feats, flen = ctc_trainer._feats(batch.audio, batch.audio_lengths)
         logits, out_len = ctc_trainer.model.apply(params, feats, flen)
         hyps, hyp_len = ctc_greedy_decode(
             logits, out_len, ctc_trainer.cfg.ctc.blank_id
@@ -126,7 +124,11 @@ def self_train(
     omit for the fully-unsupervised wav2vec-U flavor. Returns the last
     student and per-round stats.
     """
-    max_samples = int(cfg.data.max_audio_seconds * cfg.frontend.sample_rate)
+    # feature examples ([T, D]) are measured in frames, audio in samples
+    max_samples = (
+        cfg.data.max_frames if np.ndim(unlabeled[0][0]) == 2
+        else int(cfg.data.max_audio_seconds * cfg.frontend.sample_rate)
+    )
     history = []
     trainer = state = None
     for r in range(rounds):

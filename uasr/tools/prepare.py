@@ -10,6 +10,10 @@ SURVEY.md §3.5):
   python -m uasr.tools.prepare lm      --text phones.txt --vocab vocab.txt \
                                        --out lm.npz   # shallow-fusion bigram
   python -m uasr.tools.prepare synth   --out-dir data/synth --num-utts 128
+  python -m uasr.tools.prepare import-features --features w2v/ \
+                                       --list train.tsv --vocab vocab.txt \
+                                       --out cache/   # SSL feature cache
+  python -m uasr.tools.prepare scan-lengths --list train.tsv  # .lens cache
 
 `lists` joins Kaldi-style wav.scp (utt_id wav_path) and text
 (utt_id tokens...) into the TSV utterance lists the datasets read.
@@ -61,6 +65,21 @@ def cmd_lists(args):
             f.write(f"{utt}\t{wav}\t{texts.get(utt, '')}\n")
             n += 1
     print(f"wrote {n} utterances -> {args.out}")
+    if not args.no_lens:
+        from uasr.data.loader import write_length_sidecar
+
+        side = write_length_sidecar(args.out)
+        print(f"wrote length cache -> {side}")
+
+
+def cmd_scan_lengths(args):
+    """Build the `<list>.lens` length cache for an existing utterance
+    list: one header scan now, zero file opens at every later training
+    startup (streaming loader)."""
+    from uasr.data.loader import write_length_sidecar
+
+    side = write_length_sidecar(args.list, scan_threads=args.threads)
+    print(f"wrote length cache -> {side}")
 
 
 def cmd_cmvn(args):
@@ -131,10 +150,27 @@ def cmd_kmeans(args):
     from uasr.vocab import load_vocab
 
     cfg = load_config(args.config)
-    vocab = load_vocab(args.vocab)
-    ds = ASRDataset.from_file(args.list, vocab, cfg.frontend.sample_rate)
     # --clusters overrides the recipe's gan.kmeans_clusters
     clusters = args.clusters or cfg.gan.kmeans_clusters
+    if args.feature_cache:
+        # SSL-feature recipes: fit in the cache's feature space — the
+        # exact arrays the trainer quantizes (`data.feature_cache`)
+        from uasr.data.cache import FeatureCache
+
+        cache = FeatureCache(args.feature_cache)
+        frames = [cache.example(i)[1]
+                  for i in range(min(len(cache), args.max_utts))]
+        feats = np.concatenate(frames, axis=0).astype(np.float32)
+        cents = kmeans_fit(feats, clusters, iters=args.iters, seed=args.seed)
+        np.savez(args.out, centroids=cents)
+        print(f"fit {clusters} centroids on {len(feats)} cached frames "
+              f"-> {args.out}")
+        return
+    if not args.list or not args.vocab:
+        raise SystemExit("kmeans needs --list and --vocab "
+                         "(or --feature-cache)")
+    vocab = load_vocab(args.vocab)
+    ds = ASRDataset.from_file(args.list, vocab, cfg.frontend.sample_rate)
     fcfg = cfg.frontend
     if cfg.gan.segment_on_raw:
         fcfg = dataclasses.replace(fcfg, cmvn="none")
@@ -154,6 +190,49 @@ def cmd_kmeans(args):
     cents = kmeans_fit(feats, clusters, iters=args.iters, seed=args.seed)
     np.savez(args.out, centroids=cents)
     print(f"fit {clusters} centroids on {len(feats)} frames -> {args.out}")
+
+
+def cmd_import_features(args):
+    """Import externally-computed features (SSL/wav2vec representations
+    — wav2vec-U's actual input, BASELINE config #5) into the uasr
+    feature cache consumed by `data.feature_cache`. Accepts a directory
+    of per-utterance `<utt_id>.npy` [T, D] arrays or one `.npz` keyed by
+    utterance id; labels (for scoring only) come from the TSV list's
+    transcript column."""
+    from uasr.data.cache import write_cache
+    from uasr.vocab import load_vocab
+
+    vocab = load_vocab(args.vocab) if args.vocab else None
+    utts: list[tuple[str, str]] = []
+    with open(args.list) as f:
+        for ln in f:
+            parts = ln.rstrip("\n").split("\t")
+            if parts and parts[0]:
+                utts.append((parts[0], parts[2] if len(parts) > 2 else ""))
+    npz = np.load(args.features) if os.path.isfile(args.features) else None
+
+    def gen():
+        for utt, text in utts:
+            if npz is not None:
+                if utt not in npz.files:
+                    raise SystemExit(
+                        f"--features npz has no array for utterance {utt!r}"
+                    )
+                feat = npz[utt]
+            else:
+                path = os.path.join(args.features, f"{utt}.npy")
+                if not os.path.exists(path):
+                    raise SystemExit(f"missing feature file {path}")
+                feat = np.load(path)
+            if feat.ndim != 2:
+                raise SystemExit(
+                    f"features for {utt!r} must be [T, D], got {feat.shape}"
+                )
+            ids = vocab.encode(text.split()) if (vocab and text) else []
+            yield utt, feat, ids
+
+    write_cache(args.out, gen(), shard_size=args.shard_size)
+    print(f"imported features for {len(utts)} utterances -> {args.out}")
 
 
 def cmd_synth(args):
@@ -176,6 +255,10 @@ def cmd_synth(args):
         f.write("\n".join(lines[n_dev:]) + "\n")
     with open(os.path.join(args.out_dir, "dev.tsv"), "w") as f:
         f.write("\n".join(lines[:n_dev]) + "\n")
+    from uasr.data.loader import write_length_sidecar
+
+    for split in ("train.tsv", "dev.tsv"):
+        write_length_sidecar(os.path.join(args.out_dir, split))
     with open(os.path.join(args.out_dir, "vocab.txt"), "w") as f:
         f.write("\n".join(vocab.tokens) + "\n")
     with open(os.path.join(args.out_dir, "text.txt"), "w") as f:
@@ -198,7 +281,14 @@ def main(argv=None):
     ls.add_argument("--wav-scp", required=True)
     ls.add_argument("--text")
     ls.add_argument("--out", required=True)
+    ls.add_argument("--no-lens", action="store_true",
+                    help="skip writing the <out>.lens length cache")
     ls.set_defaults(fn=cmd_lists)
+
+    sl = sub.add_parser("scan-lengths")
+    sl.add_argument("--list", required=True)
+    sl.add_argument("--threads", type=int, default=16)
+    sl.set_defaults(fn=cmd_scan_lengths)
 
     c = sub.add_parser("cmvn")
     c.add_argument("--list", required=True)
@@ -224,8 +314,11 @@ def main(argv=None):
     lm.set_defaults(fn=cmd_lm)
 
     km = sub.add_parser("kmeans")
-    km.add_argument("--list", required=True)
-    km.add_argument("--vocab", required=True)
+    km.add_argument("--list")
+    km.add_argument("--vocab")
+    km.add_argument("--feature-cache", default=None,
+                    help="fit on cached SSL features instead of the "
+                         "frontend chain (--list/--vocab unused)")
     km.add_argument("--config", required=True)
     km.add_argument("--clusters", type=int, default=0,
                     help="0 -> recipe's gan.kmeans_clusters")
@@ -236,6 +329,19 @@ def main(argv=None):
                     help="override frontend.cmvn_stats_path (for cmvn=global)")
     km.add_argument("--out", required=True)
     km.set_defaults(fn=cmd_kmeans)
+
+    imp = sub.add_parser("import-features")
+    imp.add_argument("--features", required=True,
+                     help="directory of <utt_id>.npy [T, D] files, or "
+                          "one .npz keyed by utterance id")
+    imp.add_argument("--list", required=True,
+                     help="TSV utterance list (utt_id\\twav\\ttranscript)")
+    imp.add_argument("--vocab", default=None,
+                     help="token table for encoding transcripts "
+                          "(omit for fully-unsupervised caches)")
+    imp.add_argument("--shard-size", type=int, default=512)
+    imp.add_argument("--out", required=True)
+    imp.set_defaults(fn=cmd_import_features)
 
     s = sub.add_parser("synth")
     s.add_argument("--out-dir", required=True)

@@ -51,7 +51,11 @@ def main(argv=None):
     if cfg.vocab_size is None:
         cfg = cfg.replace(vocab_size=len(vocab))
     kind, payload = source
-    if kind != "examples":
+    if kind == "features":
+        # SSL feature cache: materialize (feat [T, D], ids) directly —
+        # the trainers' 3-dim branch bypasses the frontend
+        payload = [(f, list(ids)) for _, f, ids in payload]
+    elif kind != "examples":
         # materialize for repeated labeling passes (self-training rereads
         # the corpus every round; stream-once is the wrong tradeoff here)
         payload = [
@@ -117,7 +121,8 @@ def main(argv=None):
         dev_source, _ = _load_source(cfg, "dev")
         return _batches(cfg, dev_source, num_epochs=1, drop_remainder=False)
 
-    has_dev = cfg.data.synthetic or cfg.data.dev_list is not None
+    has_dev = (cfg.data.synthetic or cfg.data.dev_list is not None
+               or cfg.data.dev_feature_cache is not None)
     teacher_per = teacher_eval(dev_batches_fn()) if has_dev else float("nan")
 
     gold = []

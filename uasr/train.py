@@ -111,17 +111,34 @@ class CTCTrainer:
             cfg.parallel.model_parallel
         )
         self.model = build_model(cfg.model, cfg.dim_output)
-        self.frontend_state = frontend_state_from_config(cfg.frontend)
+        self._frontend_state = None
         self.optimizer = make_optimizer(cfg)
         self._jit_cache: dict = {}
 
-    def init_state(self, rng: jax.Array, example: Batch) -> TrainState:
-        feats, flen = compute_features(
-            jnp.asarray(example.audio),
-            jnp.asarray(example.audio_lengths),
-            self.frontend_state,
-            self.cfg.frontend,
+    @property
+    def frontend_state(self):
+        """Lazy: feature-cache runs (SSL input) never touch the audio
+        frontend, so its artifacts (e.g. global-CMVN stats files) must
+        not be required to exist for them."""
+        if self._frontend_state is None:
+            self._frontend_state = frontend_state_from_config(
+                self.cfg.frontend
+            )
+        return self._frontend_state
+
+    def _feats(self, audio, lengths):
+        """[B, L] raw audio -> on-device frontend; [B, T, D] precomputed
+        features (SSL cache, wav2vec-U stretch) pass through unchanged
+        with `lengths` as frame counts."""
+        if jnp.ndim(audio) == 3:
+            return jnp.asarray(audio), jnp.asarray(lengths)
+        return compute_features(
+            jnp.asarray(audio), jnp.asarray(lengths),
+            self.frontend_state, self.cfg.frontend,
         )
+
+    def init_state(self, rng: jax.Array, example: Batch) -> TrainState:
+        feats, flen = self._feats(example.audio, example.audio_lengths)
         params = self.model.init(rng, feats, flen)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -131,9 +148,7 @@ class CTCTrainer:
 
     def _loss(self, params, batch: Batch, rng):
         fcfg = self.cfg.frontend
-        feats, flen = compute_features(
-            batch.audio, batch.audio_lengths, self.frontend_state, fcfg
-        )
+        feats, flen = self._feats(batch.audio, batch.audio_lengths)
         if fcfg.specaug_time_masks or fcfg.specaug_freq_masks:
             feats = spec_augment(rng, feats, flen, fcfg)
         logits, out_len = self.model.apply(params, feats, flen)
@@ -164,10 +179,7 @@ class CTCTrainer:
     def eval_step(self, params, batch: Batch):
         """Greedy decode + edit distance fully on device -> (errors,
         ref tokens). PER = sum(err)/sum(ref)."""
-        feats, flen = compute_features(
-            batch.audio, batch.audio_lengths, self.frontend_state,
-            self.cfg.frontend,
-        )
+        feats, flen = self._feats(batch.audio, batch.audio_lengths)
         logits, out_len = self.model.apply(params, feats, flen)
         if self.cfg.ctc.use_beam:
             hyps, hyp_len, _ = ctc_beam_search_decode(
@@ -222,7 +234,7 @@ class GeneratorBase:
     def _init_generator(self, cfg: Config, centroids=None):
         self.cfg = cfg
         self.gen = PhoneClassifier(cfg.model, cfg.dim_output)
-        self.frontend_state = frontend_state_from_config(cfg.frontend)
+        self._frontend_state = None
         # wav2vec-U-style segmental preprocessing (SURVEY.md stretch
         # config): k-means centroids quantize frames; segments pool at
         # cluster changes before the generator
@@ -238,6 +250,15 @@ class GeneratorBase:
                 raise ValueError(
                     "gan.segmenter=kmeans needs centroids (path or array)"
                 )
+
+    @property
+    def frontend_state(self):
+        """Lazy for the same reason as CTCTrainer.frontend_state."""
+        if self._frontend_state is None:
+            self._frontend_state = frontend_state_from_config(
+                self.cfg.frontend
+            )
+        return self._frontend_state
 
     def _segment(self, feats, flen, batch: Batch):
         from uasr.ops.segment import kmeans_segment_frontend
