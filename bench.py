@@ -122,6 +122,62 @@ def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
     return audio_sec / dt / n_chips, float(aux["ctc_loss"])
 
 
+def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
+               merge_impl="pairwise"):
+    """On-device decode throughput (frontend + encoder + greedy/beam),
+    the BASELINE.md '×realtime' rows — chained iterations inside one
+    jitted lax.scan so the axon tunnel cannot serve cached dispatches."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.frontend.features import compute_features
+    from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
+    from uasr.train import CTCTrainer
+
+    cfg = _bench_cfg()
+    batch = _make_batch(B, seconds)
+    trainer = CTCTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    params = state.params
+    audio = jnp.asarray(batch.audio)
+    lens = jnp.asarray(batch.audio_lengths)
+
+    def body(a, _):
+        feats, flen = compute_features(
+            a, lens, trainer.frontend_state, cfg.frontend
+        )
+        logits, out_len = trainer.model.apply(params, feats, flen)
+        if mode == "greedy":
+            ids, n = ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+        else:
+            ids, n, _sc = ctc_beam_search_decode(
+                logits, out_len, beam_width, cfg.ctc.blank_id,
+                merge_impl=merge_impl,
+            )
+        # data dependency so scan iterations cannot be elided
+        return a + 0.0 * n.sum().astype(a.dtype), n.sum()
+
+    @jax.jit
+    def loop(a):
+        _, ns = jax.lax.scan(body, a, None, length=iters)
+        return ns
+
+    ns = loop(audio)
+    jax.block_until_ready(ns)  # compile + warm
+    t0 = time.time()
+    ns = loop(audio)
+    jax.block_until_ready(ns)
+    dt = (time.time() - t0) / iters
+    return {
+        "mode": mode if mode == "greedy" else f"beam{beam_width}:{merge_impl}",
+        "ms_per_batch": round(dt * 1e3, 2),
+        "x_realtime": round(B * seconds / dt, 0),
+        "rtf": round(dt / (B * seconds), 8),
+    }
+
+
 def run_stages(B=128, seconds=8.0, iters=20):
     """Per-stage ms breakdown of the train step (frontend / encoder fwd /
     CTC / backward / optimizer) — prints one line per stage to stderr and
@@ -232,7 +288,19 @@ def main():
                    help="per-stage ms breakdown instead of the JSON line")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--decode", choices=["greedy", "beam"], default=None,
+                   help="decode throughput instead of the train JSON line")
+    p.add_argument("--beam-width", type=int, default=8)
+    p.add_argument("--merge-impl", default="pairwise",
+                   choices=["pairwise", "sort"])
     args = p.parse_args()
+
+    if args.decode:
+        print(json.dumps(run_decode(
+            B=args.batch, seconds=args.seconds, mode=args.decode,
+            beam_width=args.beam_width, merge_impl=args.merge_impl,
+        )))
+        return
 
     if args.stages:
         print(json.dumps(run_stages(B=args.batch, seconds=args.seconds)))

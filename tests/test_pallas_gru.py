@@ -79,6 +79,19 @@ import pytest
 
 
 @pytest.mark.parametrize("kt", [2, 4])
+def test_fwd_time_tiling_matches_reference(kt, monkeypatch):
+    """Forward KT>1 tiling (in-tile loop + padded tail steps) at a T not
+    divisible by the tile."""
+    import uasr.models.pallas_gru as mod
+
+    monkeypatch.setattr(mod, "FWD_TIME_TILE", kt)
+    xproj, wh, bh, tmask = _problem(T=13, seed=5)
+    ref = _reference_scan(xproj, wh, bh, tmask)
+    got = pallas_gru_scan(xproj, wh, bh, tmask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("kt", [2, 4])
 def test_bwd_time_tiling_matches_reference(kt, monkeypatch):
     """The KT>1 backward tiling (padding, reversed in-tile loop, shifted
     hprev blocks) stays correct even while the shipped default is KT=1 —

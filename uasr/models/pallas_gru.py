@@ -64,7 +64,7 @@ def _batch_tile(B: int, cap: int = 128) -> int:
     return bt
 
 
-def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
+def _fwd_kernel(KT, xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -72,24 +72,26 @@ def _fwd_kernel(xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
         h_scr[...] = jnp.zeros_like(h_scr)
 
     G = h_scr.shape[0]
-    for g in range(G):
-        mf = mask_ref[0, g][:, None]  # [B, 1] in {0, 1}
-        h_prev = h_scr[g]
-        # cast to the weight dtype (bf16 in production) so the MXU runs
-        # native passes instead of promoted-f32 emulation — same
-        # precision as the XLA scan reference, ~6x faster dots
-        hproj = (
-            jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[g],
-                    preferred_element_type=jnp.float32)
-            + bh_ref[g, :][None, :]
-        )
-        _, _, _, _, h_cand = _gates_2d(xp_ref[0, g], hproj, h_prev)
-        h_new = mf * h_cand + (1.0 - mf) * h_prev
-        h_store = h_new.astype(ys_ref.dtype)
-        # round the carry to the output dtype so the backward pass (which
-        # recomputes gates from the stored ys) sees the exact fwd values
-        ys_ref[0, g] = h_store
-        h_scr[g] = h_store.astype(jnp.float32)
+    for k in range(KT):  # KT timesteps per grid step (padded steps have
+        for g in range(G):  # mask 0 -> carry flows through untouched)
+            mf = mask_ref[k, g][:, None]  # [B, 1] in {0, 1}
+            h_prev = h_scr[g]
+            # cast to the weight dtype (bf16 in production) so the MXU
+            # runs native passes instead of promoted-f32 emulation —
+            # same precision as the XLA scan reference, ~6x faster dots
+            hproj = (
+                jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[g],
+                        preferred_element_type=jnp.float32)
+                + bh_ref[g, :][None, :]
+            )
+            _, _, _, _, h_cand = _gates_2d(xp_ref[k, g], hproj, h_prev)
+            h_new = mf * h_cand + (1.0 - mf) * h_prev
+            h_store = h_new.astype(ys_ref.dtype)
+            # round the carry to the output dtype so the backward pass
+            # (which recomputes gates from the stored ys) sees the exact
+            # fwd values
+            ys_ref[k, g] = h_store
+            h_scr[g] = h_store.astype(jnp.float32)
 
 
 def _bwd_kernel(
@@ -161,34 +163,43 @@ def _fwd(xproj, wh, bh, tmask, interpret):
     T, G, B, H3 = xproj.shape
     H = H3 // 3
     BT = _batch_tile(B)
-    mask = tmask.astype(jnp.float32)  # [T, G, B]
+    KT = min(FWD_TIME_TILE, T)
+    Tp = -(-T // KT) * KT
+    ntt = Tp // KT
+    mask = _pad_time(tmask.astype(jnp.float32), Tp)  # [Tp, G, B]
+    xp = _pad_time(xproj, Tp)
     # grid (batch tiles, time): time is the fast axis, so each tile runs
     # its full recurrence with the carry in scratch before the next tile
     # starts (scratch re-zeroed at t == 0)
     ys = pl.pallas_call(
-        _fwd_kernel,
-        grid=(B // BT, T),
+        functools.partial(_fwd_kernel, KT),
+        grid=(B // BT, ntt),
         in_specs=[
-            pl.BlockSpec((1, G, BT, H3), lambda b, t: (t, 0, b, 0),
+            pl.BlockSpec((KT, G, BT, H3), lambda b, t: (t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, BT), lambda b, t: (t, 0, b),
+            pl.BlockSpec((KT, G, BT), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H3), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, G, BT, H), lambda b, t: (t, 0, b, 0),
+        out_specs=pl.BlockSpec((KT, G, BT, H), lambda b, t: (t, 0, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, G, B, H), xproj.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tp, G, B, H), xproj.dtype),
         scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * G * B * H * H3,
             bytes_accessed=(xproj.size + T * G * B * H) * xproj.dtype.itemsize,
             transcendentals=3 * T * G * B * H,
         ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if KT > 1 else pltpu.CompilerParams()
+        ),
         interpret=interpret,
-    )(xproj, mask, wh, bh)
+    )(xp, mask, wh, bh)
+    ys = ys[:T]
     return ys, (xproj, wh, bh, tmask, ys)
 
 
@@ -205,14 +216,18 @@ def _pad_time(a, Tp):
     return jnp.pad(a, [(0, Tp - T)] + [(0, 0)] * (a.ndim - 1))
 
 
-# timesteps per backward grid step. Padded steps carry mask 0 and dy 0,
-# so they contribute nothing and the dh carry flows through untouched.
-# Swept on v5e at B=128, T=200, H=512: isolated chained fwd+bwd ms/iter
-# KT=1 3.75, KT=2 3.53, KT=4 3.69, KT=8 3.61 — but END-TO-END the full
-# train step is flat-to-slightly-worse at KT=2 (57.7k vs 58.0k
-# audio-s/s), so the default stays 1; the tiling machinery is kept for
-# larger-T regimes.
-BWD_TIME_TILE = 1
+# timesteps per grid step (fwd / bwd kernels). Padded steps carry mask 0
+# (and dy 0), so they contribute nothing and the carry flows through
+# untouched. Swept on v5e at B=128, T=200, H=512 (round 2, bwd only):
+# isolated chained fwd+bwd ms/iter KT=1 3.75, KT=2 3.53, KT=4 3.69,
+# KT=8 3.61 — but END-TO-END the full train step was flat-to-slightly-
+# worse at bwd KT=2 (57.7k vs 58.0k audio-s/s). Both kernels now tile
+# (UASR_GRU_FWD_KT / UASR_GRU_BWD_KT env overrides for sweeps); see
+# BASELINE.md for the round-3 end-to-end sweep results.
+import os as _os
+
+FWD_TIME_TILE = int(_os.environ.get("UASR_GRU_FWD_KT", "1"))
+BWD_TIME_TILE = int(_os.environ.get("UASR_GRU_BWD_KT", "1"))
 
 
 def _bwd_rule(interpret, res, dy):

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 NEG = -1e30
 _HASH_MULT = jnp.uint32(2654435761)  # Knuth multiplicative hash
 
+# unroll factor of the beam time scans (the per-iteration while-loop
+# bookkeeping is a measurable cost at the beam step's tiny tensor
+# sizes); env override for sweeps
+import os as _os
+
+_BEAM_UNROLL = int(_os.environ.get("UASR_BEAM_UNROLL", "1"))
+
 
 def ctc_greedy_decode(
     logits: jax.Array, lengths: jax.Array, blank_id: int = 0
@@ -92,6 +99,30 @@ def _segmented_logaddexp_to_first(values, first):
     return tuple(rev(s) for s in scanned[:-1])
 
 
+def _pairwise_merge_first(h1, h2, pb, pnb):
+    """Duplicate-prefix merge WITHOUT a sort: K is small (W + W*P), so
+    an all-pairs [B, K, K] hash-equality matrix + masked log-sum-exp is
+    a handful of fused VPU passes, vs the multi-operand bitonic sort's
+    ~O(log^2 K) sequential stages that dominate the beam step's latency
+    on TPU (each scan step is latency-bound at these tensor sizes).
+
+    Returns (pb', pnb', first) where the merged mass sits at the FIRST
+    occurrence of each duplicate group and later occurrences are NEG."""
+    K = h1.shape[1]
+    eq = (h1[:, :, None] == h1[:, None, :]) & (h2[:, :, None] == h2[:, None, :])
+    tri = jnp.arange(K)[None, :] < jnp.arange(K)[:, None]  # j < i
+    first = ~jnp.any(eq & tri[None], axis=2)
+
+    def merge(p):
+        pe = jnp.where(eq, p[:, None, :], NEG)  # [B, K(i), K(j)]
+        m = jnp.max(pe, axis=2)
+        m_safe = jnp.maximum(m, NEG)
+        s = jnp.sum(jnp.exp(pe - m_safe[..., None]), axis=2)
+        return jnp.where(m <= NEG, NEG, m_safe + jnp.log(s))
+
+    return merge(pb), merge(pnb), first
+
+
 def ctc_beam_search_decode(
     logits: jax.Array,
     lengths: jax.Array,
@@ -101,6 +132,7 @@ def ctc_beam_search_decode(
     lm_logp: jax.Array | None = None,
     lm_weight: float = 1.0,
     lm_bonus: float = 0.0,
+    merge_impl: str = "fold",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Vectorized CTC prefix beam search, fully on device.
 
@@ -186,6 +218,48 @@ def ctc_beam_search_decode(
         ext_pnb = base + ext_score
         ext_pnb = jnp.where(not_blank[None, None, :], ext_pnb, NEG)
 
+        if merge_impl == "fold":
+            # ---- O(W^2) exact merge BEFORE pruning/flattening.
+            # Distinct live beams have distinct prefixes, so the ONLY
+            # possible duplicate among candidates is ext(w, c) colliding
+            # with stay(w') where prefix_w + c == prefix_w' — and then
+            # necessarily c == last[w']. Fold that ext mass into the
+            # stay and NEG the ext entry; every remaining candidate is
+            # unique and the sort/merge machinery disappears from the
+            # step. (Also more exact than merging after the top-P prune:
+            # folded mass can never be pruned away.)
+            c_p = jnp.maximum(state.last, 0).astype(jnp.uint32)  # [B, W']
+            h1_f = state.hash1[:, :, None] * _HASH_MULT + (c_p[:, None, :] + 1)
+            h2_f = (state.hash2[:, :, None] * jnp.uint32(40503)
+                    + (c_p[:, None, :] + 7))
+            match = (
+                (h1_f == state.hash1[:, None, :])
+                & (h2_f == state.hash2[:, None, :])
+                & (state.last[:, None, :] >= 0)
+            )  # [B, W(src), W'(dst)]
+            gathered = jnp.take_along_axis(
+                ext_pnb,
+                jnp.broadcast_to(c_p[:, None, :].astype(jnp.int32),
+                                 (B, W, W)),
+                axis=2,
+            )  # ext_pnb[b, w, last[w']]
+            contrib = jnp.where(match, gathered, NEG)
+            m = jnp.max(contrib, axis=1)  # [B, W']
+            m_safe = jnp.maximum(m, NEG)
+            fold_mass = jnp.where(
+                m <= NEG, NEG,
+                m_safe + jnp.log(
+                    jnp.sum(jnp.exp(contrib - m_safe[:, None, :]), axis=1)
+                ),
+            )
+            stay_pnb = _logaddexp(stay_pnb, fold_mass)
+            # remove the folded entries from the ext pool
+            folded_c = jnp.einsum(
+                "bwu,buv->bwv", match.astype(jnp.float32),
+                jax.nn.one_hot(c_p.astype(jnp.int32), V),
+            )
+            ext_pnb = jnp.where(folded_c > 0, NEG, ext_pnb)
+
         # ---- per-beam prune to the top-P symbols: [B, W, P]
         if P < V:
             ext_pnb, ext_sym = jax.lax.top_k(ext_pnb, P)
@@ -217,24 +291,47 @@ def ctc_beam_search_decode(
             axis=1,
         )
 
-        # ---- merge duplicates: one multi-operand sort by hash, then a
-        # segmented log-sum-exp scan over the contiguous hash runs
-        h1, h2, pb, pnb, parent, char = jax.lax.sort(
-            (cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char),
-            dimension=1,
-            num_keys=1,
-        )
-        prev_h1 = jnp.pad(h1, ((0, 0), (1, 0)))[:, :K]
-        prev_h2 = jnp.pad(h2, ((0, 0), (1, 0)))[:, :K]
-        first = (
-            (h1 != prev_h1)
-            | (h2 != prev_h2)
-            | (jnp.arange(K)[None, :] == 0)
-        )
-        m_pb, m_pnb = _segmented_logaddexp_to_first((pb, pnb), first)
-        # representative = first element of segment; others get NEG
-        pb = jnp.where(first, m_pb, NEG)
-        pnb = jnp.where(first, m_pnb, NEG)
+        # ---- merge duplicates. "fold" (default): duplicates were
+        # already folded above — just make dead candidates' hashes
+        # unique sentinels so top-W can never resurrect a duplicate of
+        # a live prefix through a shared stale hash (dead beams /
+        # NEG'd ext slots keep hash bytes of real prefixes).
+        # "pairwise": all-pairs hash equality + masked log-sum-exp.
+        # "sort": multi-operand sort by hash + segmented log-sum-exp
+        # scan over contiguous hash runs (round-2 design, kept as the
+        # reference implementation for the equivalence tests).
+        if merge_impl == "fold":
+            dead = _logaddexp(cand_pb, cand_pnb) < (0.5 * NEG)
+            k_idx = jnp.arange(K, dtype=jnp.uint32)[None, :]
+            h1 = jnp.where(dead, jnp.uint32(0x80000000) + k_idx, cand_h1)
+            h2 = jnp.where(dead, jnp.uint32(0xC0000000) + k_idx, cand_h2)
+            pb, pnb = cand_pb, cand_pnb
+            parent, char = cand_parent, cand_char
+        elif merge_impl == "pairwise":
+            m_pb, m_pnb, first = _pairwise_merge_first(
+                cand_h1, cand_h2, cand_pb, cand_pnb
+            )
+            pb = jnp.where(first, m_pb, NEG)
+            pnb = jnp.where(first, m_pnb, NEG)
+            h1, h2 = cand_h1, cand_h2
+            parent, char = cand_parent, cand_char
+        else:
+            h1, h2, pb, pnb, parent, char = jax.lax.sort(
+                (cand_h1, cand_h2, cand_pb, cand_pnb, cand_parent, cand_char),
+                dimension=1,
+                num_keys=1,
+            )
+            prev_h1 = jnp.pad(h1, ((0, 0), (1, 0)))[:, :K]
+            prev_h2 = jnp.pad(h2, ((0, 0), (1, 0)))[:, :K]
+            first = (
+                (h1 != prev_h1)
+                | (h2 != prev_h2)
+                | (jnp.arange(K)[None, :] == 0)
+            )
+            m_pb, m_pnb = _segmented_logaddexp_to_first((pb, pnb), first)
+            # representative = first element of segment; others get NEG
+            pb = jnp.where(first, m_pb, NEG)
+            pnb = jnp.where(first, m_pnb, NEG)
 
         # ---- top-W by total score
         total = _logaddexp(pb, pnb)
@@ -276,7 +373,8 @@ def ctc_beam_search_decode(
         return merged, (out_parent, out_char)
 
     state, (parents, chars) = jax.lax.scan(
-        step, init, (jnp.moveaxis(logp, 1, 0), jnp.arange(T))
+        step, init, (jnp.moveaxis(logp, 1, 0), jnp.arange(T)),
+        unroll=min(_BEAM_UNROLL, T),
     )
     best = jnp.argmax(_logaddexp(state.p_b, state.p_nb), axis=1)  # [B]
 
@@ -287,7 +385,8 @@ def ctc_beam_search_decode(
         nxt = jnp.take_along_axis(parent_t, idx[:, None], 1)[:, 0]
         return nxt, c
 
-    _, path_chars = jax.lax.scan(back, best, (parents, chars), reverse=True)
+    _, path_chars = jax.lax.scan(back, best, (parents, chars), reverse=True,
+                                 unroll=min(_BEAM_UNROLL, T))
     path = path_chars.T  # [B, T]; char emitted at step t, -1 = none
 
     # compact: drop -1 entries, left-align (same scatter trick as greedy)
