@@ -122,6 +122,45 @@ def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
     return audio_sec / dt / n_chips, float(aux["ctc_loss"])
 
 
+def run_tpu_chained(B=128, seconds=8.0, iters=40):
+    """Train throughput with ALL iters chained inside ONE jitted
+    lax.scan launch — no per-step dispatch on the measurement path at
+    all. On a directly-attached TPU this should match run_tpu's
+    pipelined-dispatch number; through the axon tunnel it isolates the
+    chip from any residual per-launch cost."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.data.dataset import Batch
+    from uasr.train import CTCTrainer
+
+    cfg = _bench_cfg()
+    batch = _make_batch(B, seconds)
+    trainer = CTCTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    db = Batch(*map(jnp.asarray, batch))
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def steps(s):
+        def body(s, _):
+            s2, aux = trainer.train_step(s, db, rng)
+            return s2, aux["ctc_loss"]
+
+        s, losses = jax.lax.scan(body, s, None, length=iters)
+        return s, losses
+
+    state, losses = steps(state)  # compile + warm
+    jax.block_until_ready(losses)
+    t0 = time.time()
+    state, losses = steps(state)
+    jax.block_until_ready(losses)
+    dt = time.time() - t0
+    return B * seconds * iters / dt / jax.device_count(), float(losses[-1])
+
+
 def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
                merge_impl="pairwise"):
     """On-device decode throughput (frontend + encoder + greedy/beam),
@@ -151,6 +190,12 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
         logits, out_len = trainer.model.apply(params, feats, flen)
         if mode == "greedy":
             ids, n = ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+        elif merge_impl == "pallas":
+            from uasr.ops.pallas_beam import ctc_beam_search_decode_pallas
+
+            ids, n, _sc = ctc_beam_search_decode_pallas(
+                logits, out_len, beam_width, cfg.ctc.blank_id
+            )
         else:
             ids, n, _sc = ctc_beam_search_decode(
                 logits, out_len, beam_width, cfg.ctc.blank_id,
@@ -288,11 +333,13 @@ def main():
                    help="per-stage ms breakdown instead of the JSON line")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--chained", action="store_true",
+                   help="all bench iters inside one jitted scan launch")
     p.add_argument("--decode", choices=["greedy", "beam"], default=None,
                    help="decode throughput instead of the train JSON line")
     p.add_argument("--beam-width", type=int, default=8)
-    p.add_argument("--merge-impl", default="pairwise",
-                   choices=["pairwise", "sort"])
+    p.add_argument("--merge-impl", default="fold",
+                   choices=["fold", "pairwise", "sort", "pallas"])
     args = p.parse_args()
 
     if args.decode:
@@ -317,7 +364,10 @@ def main():
               file=sys.stderr)
         return
 
-    thr, loss = run_tpu(B=args.batch, seconds=args.seconds)
+    if args.chained:
+        thr, loss = run_tpu_chained(B=args.batch, seconds=args.seconds)
+    else:
+        thr, loss = run_tpu(B=args.batch, seconds=args.seconds)
     base = BASELINE_AUDIO_SEC_PER_SEC
     if base is None and os.path.exists(_BASELINE_FILE):
         with open(_BASELINE_FILE) as f:

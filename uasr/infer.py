@@ -76,11 +76,21 @@ def run_inference(
             )
             logits, out_len = trainer.model.apply(params, feats, flen)
         if cfg.ctc.use_beam:
-            hyps, hyp_len, _ = ctc_beam_search_decode(
-                logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,
-                lm_logp=lm_logp, lm_weight=cfg.ctc.lm_weight,
-                lm_bonus=cfg.ctc.lm_bonus,
-            )
+            if lm_logp is None and jax.default_backend() not in ("cpu",):
+                # whole-recursion Pallas kernel: exact (prune >= V
+                # semantics), ~6x the XLA scan on v5e. LM fusion needs
+                # per-beam dynamic LM-table gathers and stays on XLA.
+                from uasr.ops.pallas_beam import ctc_beam_search_decode_pallas
+
+                hyps, hyp_len, _ = ctc_beam_search_decode_pallas(
+                    logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id
+                )
+            else:
+                hyps, hyp_len, _ = ctc_beam_search_decode(
+                    logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,
+                    lm_logp=lm_logp, lm_weight=cfg.ctc.lm_weight,
+                    lm_bonus=cfg.ctc.lm_bonus,
+                )
         else:
             hyps, hyp_len = ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
         dist = batch_edit_distance(

@@ -178,7 +178,30 @@ def _frontend():
     return "; ".join(out)
 
 
-CHECKS = {"gru": _gru, "ctc": _ctc, "frontend": _frontend}
+def _beam():
+    import jax
+    import jax.numpy as jnp
+
+    from uasr.ops.decode import ctc_beam_search_decode
+    from uasr.ops.pallas_beam import ctc_beam_search_decode_pallas
+
+    B, T, V, W = 16, 48, 32, 8
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(B, T, V) * 2.0, jnp.float32)
+    lengths = jnp.asarray(rng.randint(1, T + 1, B), jnp.int32)
+    p = jax.jit(lambda lg: ctc_beam_search_decode_pallas(
+        lg, lengths, W, 0))(logits)
+    r = jax.jit(lambda lg: ctc_beam_search_decode(
+        lg, lengths, W, 0, prune=V, merge_impl="fold"))(logits)
+    ids_eq = bool(jnp.all(p[0] == r[0]))
+    len_eq = bool(jnp.all(p[1] == r[1]))
+    dsc = float(jnp.max(jnp.abs(p[2] - r[2])))
+    assert ids_eq and len_eq, "beam ids/lengths differ from XLA beam"
+    assert dsc <= 1e-4, f"beam score max|Δ|={dsc}"
+    return f"ids/len exact, score max|Δ|={dsc:.1e}"
+
+
+CHECKS = {"gru": _gru, "ctc": _ctc, "frontend": _frontend, "beam": _beam}
 
 
 def main(argv=None):
