@@ -23,6 +23,19 @@ def _audio(n, seed=0):
     ).astype(np.float32)
 
 
+def _assert_close_live_bins(got, ref, atol=1e-4, floor=-10.0, loose=2e-2):
+    """Fused-preemph rounding differs from the XLA path's sequential f32
+    preemph+window at near-silent bins (log amplifies cancellation noise
+    there; the folded f64 bases are the MORE oracle-faithful side — see
+    test_fused_closer_to_oracle_than_xla). Tight on live bins, bounded
+    everywhere."""
+    got, ref = np.asarray(got), np.asarray(ref)
+    d = np.abs(got - ref)
+    live = ref > floor
+    assert d[live].max() < atol, f"live-bin max dev {d[live].max():.2e}"
+    assert d.max() < loose, f"silent-bin max dev {d.max():.2e}"
+
+
 def test_pallas_matches_xla_path():
     cfg = FrontendConfig(num_mel_bins=64)
     state = make_frontend_state(cfg)
@@ -31,7 +44,27 @@ def test_pallas_matches_xla_path():
     ref = log_mel_frontend(audio, state, cfg)
     got = pallas_log_mel_frontend(audio, state, cfg, interpret=True)
     assert got.shape == ref.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    _assert_close_live_bins(got, ref)
+
+
+def test_fused_closer_to_oracle_than_xla():
+    """The folded f64 bases must not cost fidelity: on every test signal
+    the fused path's worst deviation from the float64 oracle is at least
+    as small as the XLA f32 path's."""
+    cfg = FrontendConfig(num_mel_bins=64)
+    state = make_frontend_state(cfg)
+    for seed in range(2):
+        sig = _audio(16000, seed)
+        ref = oracle.oracle_fbank(sig.astype(np.float64), cfg)
+        a = jnp.asarray(sig)[None]
+        xla = np.asarray(log_mel_frontend(a, state, cfg))[0, : len(ref)]
+        fus = np.asarray(
+            pallas_log_mel_frontend(a, state, cfg, interpret=True)
+        )[0, : len(ref)]
+        e_xla = np.abs(xla - ref).max()
+        e_fus = np.abs(fus - ref).max()
+        assert e_fus <= e_xla * 1.1 + 1e-6, (e_fus, e_xla)
+        assert e_fus < 1e-3, e_fus
 
 
 def test_pallas_matches_oracle():
@@ -56,7 +89,7 @@ def test_pallas_partial_last_block():
     got = pallas_log_mel_frontend(
         audio, state, cfg, block_frames=32, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    _assert_close_live_bins(got, ref)
 
 
 def test_kernel_energy_column_matches_xla(fe_cfg=None):

@@ -139,13 +139,16 @@ class BiGRU(nn.Module):
         # at the zero init until real frames begin.
         x2 = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # [2, B, T, D]
 
-        # hoisted input projections: one batched MXU GEMM for all steps
+        # hoisted input projections: one batched MXU GEMM for all steps,
+        # emitted TIME-MAJOR straight from the GEMM (XLA picks the
+        # output layout for free; a separate moveaxis of the [2, B, T,
+        # 3H] bf16 tensor measured 1.7 ms standalone at production
+        # shapes — round-3 microbench)
         xproj = (
-            jnp.einsum("gbtd,gdo->gbto", x2, wxd,
+            jnp.einsum("gbtd,gdo->tgbo", x2, wxd,
                        preferred_element_type=self.dtype)
-            + bxd[:, None, None, :]
-        )
-        xproj = jnp.moveaxis(xproj, 2, 0)  # [T, 2, B, 3H]
+            + bxd[None, :, None, :]
+        )  # [T, 2, B, 3H]
         tpos = jnp.arange(T)[:, None]
         tmask = jnp.stack(
             [tpos < lengths[None, :], tpos >= (T - lengths)[None, :]],
