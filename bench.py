@@ -122,6 +122,57 @@ def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
     return audio_sec / dt / n_chips, float(aux["ctc_loss"])
 
 
+_BF16_PEAK = {
+    # dense bf16 peak FLOP/s per chip (MXU). v5e is 197 TF/s — the
+    # oft-quoted 394 is its int8 number.
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def run_mfu(B=128, seconds=8.0):
+    """Model-FLOP utilization of the flagship train step: XLA's compiled
+    cost analysis (the Pallas kernels contribute their CostEstimates)
+    divided by measured step time and the chip's dense bf16 peak."""
+    import jax
+
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from uasr.data.dataset import Batch
+    from uasr.train import CTCTrainer
+
+    cfg = _bench_cfg()
+    batch = _make_batch(B, seconds)
+    trainer = CTCTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    db = Batch(*map(jnp.asarray, batch))
+    rng = jax.random.PRNGKey(1)
+    compiled = (
+        jax.jit(trainer.train_step, donate_argnums=(0,))
+        .lower(state, db, rng)
+        .compile()
+    )
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    thr, _ = run_tpu(B=B, seconds=seconds)
+    step_s = B * seconds / thr
+    kind = jax.devices()[0].device_kind
+    peak = _BF16_PEAK.get(kind)
+    mfu = flops / step_s / peak if peak else None
+    return {
+        "flops_per_step": flops,
+        "step_ms": step_s * 1000.0,
+        "achieved_tflops": flops / step_s / 1e12,
+        "device_kind": kind,
+        "peak_bf16_tflops": (peak or 0) / 1e12,
+        "mfu": mfu,
+    }
+
+
 def run_tpu_chained(B=128, seconds=8.0, iters=40):
     """Train throughput with ALL iters chained inside ONE jitted
     lax.scan launch — no per-step dispatch on the measurement path at
@@ -335,6 +386,9 @@ def main():
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--chained", action="store_true",
                    help="all bench iters inside one jitted scan launch")
+    p.add_argument("--mfu", action="store_true",
+                   help="model-FLOP utilization of the train step "
+                        "(XLA cost analysis / measured time / bf16 peak)")
     p.add_argument("--decode", choices=["greedy", "beam"], default=None,
                    help="decode throughput instead of the train JSON line")
     p.add_argument("--beam-width", type=int, default=8)
@@ -351,6 +405,10 @@ def main():
 
     if args.stages:
         print(json.dumps(run_stages(B=args.batch, seconds=args.seconds)))
+        return
+
+    if args.mfu:
+        print(json.dumps(run_mfu(B=args.batch, seconds=args.seconds)))
         return
 
     if args.baseline:
