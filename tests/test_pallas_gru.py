@@ -3,6 +3,7 @@ gradients (interpreter mode; the compiled kernel is exercised on TPU by
 bench.py with model.use_pallas_gru)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +55,11 @@ def test_forward_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-def test_gradients_match_reference():
+@pytest.mark.parametrize("impl", ["linear", "fused"])
+def test_gradients_match_reference(impl, monkeypatch):
+    import uasr.models.pallas_gru as mod
+
+    monkeypatch.setattr(mod, "BWD_IMPL", impl)
     xproj, wh, bh, tmask = _problem(seed=1)
     rng = np.random.RandomState(2)
     w_out = jnp.asarray(rng.randn(*_reference_scan(xproj, wh, bh, tmask).shape),
@@ -75,9 +80,6 @@ def test_gradients_match_reference():
         )
 
 
-import pytest
-
-
 @pytest.mark.parametrize("kt", [2, 4])
 def test_fwd_time_tiling_matches_reference(kt, monkeypatch):
     """Forward KT>1 tiling (in-tile loop + padded tail steps) at a T not
@@ -91,14 +93,17 @@ def test_fwd_time_tiling_matches_reference(kt, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["linear", "fused"])
 @pytest.mark.parametrize("kt", [2, 4])
-def test_bwd_time_tiling_matches_reference(kt, monkeypatch):
+def test_bwd_time_tiling_matches_reference(kt, impl, monkeypatch):
     """The KT>1 backward tiling (padding, reversed in-tile loop, shifted
     hprev blocks) stays correct even while the shipped default is KT=1 —
-    T=13 is deliberately non-divisible by both tile sizes (ADVICE r2)."""
+    T=13 is deliberately non-divisible by both tile sizes (ADVICE r2).
+    Parametrized over both backward implementations."""
     import uasr.models.pallas_gru as mod
 
     monkeypatch.setattr(mod, "BWD_TIME_TILE", kt)
+    monkeypatch.setattr(mod, "BWD_IMPL", impl)
     xproj, wh, bh, tmask = _problem(T=13, seed=3)
     rng = np.random.RandomState(4)
     w_out = jnp.asarray(

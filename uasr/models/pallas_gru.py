@@ -19,13 +19,17 @@ time-reversed stream), matching uasr.models.layers.BiGRU. Kernels loop
 over g with 2D [B, .] tensors to keep VMEM temporaries within the 16 MB
 scoped budget at production sizes (B=128, H=512).
 
-Backward: reverse-time grid; gates are recomputed from (h_prev, xp)
-(rematerialization — only the h trajectory is saved). The kernel emits
-d(xproj) and d(hproj); the weight gradients dwh/dbh are reduced OUTSIDE
-the kernel as one big XLA GEMM over the whole trajectory
-(dwh = sum_t h_{t-1}^T dhproj_t), which is both faster than per-step
-accumulation and saves the 6 MB f32 VMEM accumulator that blew the
-scoped-vmem limit.
+Backward (default, UASR_GRU_BWD_IMPL=fused): reverse-time grid; gates
+are recomputed from (h_prev, xp) (rematerialization — only the h
+trajectory is saved). The alternative (=linear) exploits that the GRU
+backward step is LINEAR in the carried gradient: the forward kernel
+emits per-step linearization coefficients and the backward kernel runs
+just multiplies + ONE dot per step — measured SLOWER end-to-end (see
+BWD_IMPL note below), kept as the documented negative result. In both,
+the weight gradients dwh/dbh are reduced OUTSIDE the kernel as big XLA
+GEMMs over the whole trajectory (dwh = sum_t h_{t-1}^T dhproj_t),
+which is both faster than per-step accumulation and saves the 6 MB f32
+VMEM accumulator that blew the scoped-vmem limit.
 
 Verified against the lax.scan reference for values and gradients in
 interpreter mode (tests/test_pallas_gru.py) and on real TPU (forward
@@ -64,7 +68,11 @@ def _batch_tile(B: int, cap: int = 128) -> int:
     return bt
 
 
-def _fwd_kernel(KT, xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
+def _fwd_kernel(KT, save_coeffs, xp_ref, mask_ref, wh_ref, bh_ref, *refs):
+    if save_coeffs:
+        ys_ref, c4_ref, ch_ref, h_scr = refs
+    else:
+        (ys_ref, h_scr), c4_ref, ch_ref = refs, None, None
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -73,8 +81,11 @@ def _fwd_kernel(KT, xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
 
     G = h_scr.shape[0]
     for k in range(KT):  # KT timesteps per grid step (padded steps have
-        for g in range(G):  # mask 0 -> carry flows through untouched)
-            mf = mask_ref[k, g][:, None]  # [B, 1] in {0, 1}
+        # phase 1: issue ALL groups' recurrent dots first, so group 1's
+        # MXU pass overlaps group 0's VPU gate math (phase 2) instead of
+        # serializing dot -> gates -> dot -> gates
+        hprojs = []
+        for g in range(G):  # mask 0 -> carry flows through untouched
             h_prev = h_scr[g]
             # cast to the weight dtype (bf16 in production) so the MXU
             # runs native passes instead of promoted-f32 emulation —
@@ -84,14 +95,74 @@ def _fwd_kernel(KT, xp_ref, mask_ref, wh_ref, bh_ref, ys_ref, h_scr):
                         preferred_element_type=jnp.float32)
                 + bh_ref[g, :][None, :]
             )
-            _, _, _, _, h_cand = _gates_2d(xp_ref[k, g], hproj, h_prev)
+            hprojs.append((h_prev, hproj))
+        for g in range(G):  # phase 2: VPU gate math + carry update
+            mf = mask_ref[k, g][:, None]  # [B, 1] in {0, 1}
+            h_prev, hproj = hprojs[g]
+            r, z, n, hn, h_cand = _gates_2d(xp_ref[k, g], hproj, h_prev)
             h_new = mf * h_cand + (1.0 - mf) * h_prev
             h_store = h_new.astype(ys_ref.dtype)
             # round the carry to the output dtype so the backward pass
-            # (which recomputes gates from the stored ys) sees the exact
-            # fwd values
+            # sees the exact fwd values
             ys_ref[k, g] = h_store
             h_scr[g] = h_store.astype(jnp.float32)
+            if save_coeffs:
+                # backward-pass linearization coefficients (see
+                # _bwd_lin_kernel): computed HERE where the gates are
+                # already in VMEM — a handful of VPU multiplies whose
+                # output DMA hides under this compute-bound step
+                # (rematerializing gates in a separate XLA pass was
+                # measured 1.5x SLOWER end-to-end: full-trajectory HBM
+                # round-trips for hproj/gates/coeff tensors)
+                c_n2 = mf * ((1.0 - z) * (1.0 - n * n))
+                c4 = jnp.concatenate(
+                    [c_n2 * (hn * (r * (1.0 - r))),       # c_r
+                     mf * ((h_prev - n) * (z * (1.0 - z))),  # c_z
+                     c_n2,
+                     c_n2 * r],                            # c_nh
+                    axis=-1,
+                )
+                c4_ref[k, g] = c4.astype(c4_ref.dtype)
+                ch_ref[k, g] = (1.0 - mf) + mf * z
+
+
+def _bwd_lin_kernel(
+    KT,  # timesteps per grid step (bound via functools.partial)
+    c4_ref,  # [KT, G, B, 4H] coeffs (c_r, c_z, c_n2, c_nh) — see _bwd_rule
+    ch_ref,  # [KT, G, B, H] f32 carry coeff (1 - mf) + mf * z
+    dy_ref,  # [KT, G, B, H] upstream grad of ys
+    wh_ref,  # [G, H, 3H]
+    out_ref,  # out [KT, G, B, 4H] = (dr_pre, dz_pre, dn_pre, dhn)
+    dh_scr,  # [G, B, H] carried dL/dh_prev
+):
+    """Slim backward: the GRU backward step is LINEAR in the carried
+    gradient d = dh_scr + dy, so every gate recomputation (two
+    transcendental passes + the hproj dot) is hoisted OUT of the kernel
+    into one parallel XLA pass that emits per-step coefficients. The
+    sequential critical path here is 5 elementwise multiplies and ONE
+    [B, 3H] x [3H, H] dot per step (the old fused kernel ran two dots +
+    full gate math per step — ~2x the serialized work)."""
+    t_rev = pl.program_id(1)  # 0 = last time tile
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    G, B, H = dh_scr.shape
+    for k in reversed(range(KT)):
+        for g in range(G):
+            c4 = c4_ref[k, g].astype(jnp.float32)  # [B, 4H]
+            d = dh_scr[g] + dy_ref[k, g].astype(jnp.float32)
+            d4 = c4 * jnp.concatenate([d, d, d, d], axis=-1)
+            out_ref[k, g] = d4.astype(out_ref.dtype)
+            # dhproj = (dr_pre, dz_pre, dhn) — columns 0:2H and 3H:4H
+            dhproj = jnp.concatenate(
+                [d4[:, : 2 * H], d4[:, 3 * H :]], axis=-1
+            )
+            dh_scr[g] = ch_ref[k, g] * d + jnp.dot(
+                dhproj.astype(wh_ref.dtype), wh_ref[g].T,
+                preferred_element_type=jnp.float32,
+            )
 
 
 def _bwd_kernel(
@@ -155,11 +226,10 @@ def pallas_gru_scan(xproj, wh, bh, tmask, interpret=False):
     input bias already added); wh: [G, H, 3H]; bh: [G, 3H]; tmask:
     [T, G, B] (1 = step active; per-group so the time-reversed BiGRU
     stream can carry its own validity window). Returns ys: [T, G, B, H]."""
-    ys, _ = _fwd(xproj, wh, bh, tmask, interpret)
-    return ys
+    return _fwd(xproj, wh, bh, tmask, interpret, save_coeffs=False)[0]
 
 
-def _fwd(xproj, wh, bh, tmask, interpret):
+def _fwd(xproj, wh, bh, tmask, interpret, save_coeffs):
     T, G, B, H3 = xproj.shape
     H = H3 // 3
     BT = _batch_tile(B)
@@ -168,15 +238,28 @@ def _fwd(xproj, wh, bh, tmask, interpret):
     ntt = Tp // KT
     mask = _pad_time(tmask.astype(jnp.float32), Tp)  # [Tp, G, B]
     xp = _pad_time(xproj, Tp)
+    tmap = lambda b, t: (t, 0, b, 0)  # noqa: E731
+    out_specs = [pl.BlockSpec((KT, G, BT, H), tmap, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((Tp, G, B, H), xproj.dtype)]
+    if save_coeffs:
+        out_specs += [
+            pl.BlockSpec((KT, G, BT, 4 * H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, G, BT, H), tmap, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((Tp, G, B, 4 * H), xproj.dtype),
+            # carry-path coefficient stays f32: it multiplies the carried
+            # gradient every step, so its rounding error compounds over T
+            jax.ShapeDtypeStruct((Tp, G, B, H), jnp.float32),
+        ]
     # grid (batch tiles, time): time is the fast axis, so each tile runs
     # its full recurrence with the carry in scratch before the next tile
     # starts (scratch re-zeroed at t == 0)
-    ys = pl.pallas_call(
-        functools.partial(_fwd_kernel, KT),
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, KT, save_coeffs),
         grid=(B // BT, ntt),
         in_specs=[
-            pl.BlockSpec((KT, G, BT, H3), lambda b, t: (t, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, G, BT, H3), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((KT, G, BT), lambda b, t: (t, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
@@ -184,9 +267,8 @@ def _fwd(xproj, wh, bh, tmask, interpret):
             pl.BlockSpec((G, H3), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((KT, G, BT, H), lambda b, t: (t, 0, b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, G, B, H), xproj.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * G * B * H * H3,
@@ -199,13 +281,18 @@ def _fwd(xproj, wh, bh, tmask, interpret):
         ),
         interpret=interpret,
     )(xp, mask, wh, bh)
-    ys = ys[:T]
-    return ys, (xproj, wh, bh, tmask, ys)
+    ys = outs[0][:T]
+    if save_coeffs:
+        return ys, outs[1][:T], outs[2][:T]
+    return (ys,)
 
 
 def _fwd_rule(xproj, wh, bh, tmask, interpret):
-    ys, res = _fwd(xproj, wh, bh, tmask, interpret)
-    return ys, res
+    if BWD_IMPL == "linear":
+        ys, c4, ch = _fwd(xproj, wh, bh, tmask, interpret, save_coeffs=True)
+        return ys, (wh, bh, ys, c4, ch)
+    ys = _fwd(xproj, wh, bh, tmask, interpret, save_coeffs=False)[0]
+    return ys, (xproj, wh, bh, tmask, ys)
 
 
 def _pad_time(a, Tp):
@@ -230,7 +317,105 @@ FWD_TIME_TILE = int(_os.environ.get("UASR_GRU_FWD_KT", "1"))
 BWD_TIME_TILE = int(_os.environ.get("UASR_GRU_BWD_KT", "1"))
 
 
+# backward implementation: "fused" (default) recomputes gates in-kernel;
+# "linear" saves per-step linearization coefficients from the forward
+# kernel and runs a slim backward (one dot + multiplies per step). The
+# linear variant was the round-3 structural candidate and measured
+# SLOWER end-to-end (51.3k/50.3k at KT=1/2 vs fused 53.4k same-day,
+# B=128 x 8s): the kernels are latency-bound, so halving critical-path
+# FLOPs doesn't pay for the +4.5 MB/step of coefficient DMA. Kept
+# env-gated and tested as the documented negative result.
+BWD_IMPL = _os.environ.get("UASR_GRU_BWD_IMPL", "fused")
+
+
 def _bwd_rule(interpret, res, dy):
+    if BWD_IMPL == "linear":
+        return _bwd_linear(res, dy, interpret)
+    return _bwd_fused(res, dy, interpret)
+
+
+def _bwd_linear(res, dy, interpret):
+    """Backward via per-step linear coefficients.
+
+    d_t := dL/dh_t (carried) obeys, for the reset-after GRU,
+        dxp_t    = (c_r, c_z, c_n2)_t ⊙ d_t        (per gate block)
+        dhproj_t = (c_r, c_z, c_nh)_t ⊙ d_t
+        d_{t-1}  = c_h_t ⊙ d_t + dhproj_t @ wh^T
+    with coefficients depending only on forward quantities:
+        c_n2 = mf (1-z)(1-n²)       c_r = c_n2 · hn · r(1-r)
+        c_z  = mf (h_prev - n) z(1-z)   c_nh = c_n2 · r
+        c_h  = (1-mf) + mf z
+    The coefficients were computed by the FORWARD kernel (save_coeffs),
+    where the gates were already in VMEM, so this pass launches the slim
+    kernel directly — no gate rematerialization, no transcendentals, one
+    dot per sequential step."""
+    wh, bh, ys, c4, ch = res
+    T, G, B, H = ys.shape
+    H3 = 3 * H
+    BT = _batch_tile(B)
+    KT = min(BWD_TIME_TILE, T)
+    Tp = -(-T // KT) * KT
+    ntt = Tp // KT
+    c4 = _pad_time(c4, Tp)
+    # padded tail steps: c4 = 0 and c_h = 1 make the carry flow through
+    ch = jnp.concatenate(
+        [ch, jnp.ones((Tp - T, G, B, H), jnp.float32)], axis=0
+    ) if Tp != T else ch
+    dyp = _pad_time(dy, Tp)
+    rev = lambda b, t: (ntt - 1 - t, 0, b, 0)  # noqa: E731
+    out4 = pl.pallas_call(
+        functools.partial(_bwd_lin_kernel, KT),
+        grid=(B // BT, ntt),
+        in_specs=[
+            pl.BlockSpec((KT, G, BT, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, G, BT, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, G, BT, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, H3), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((KT, G, BT, 4 * H), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, G, B, 4 * H), ys.dtype),
+        scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * G * B * H * H3,
+            bytes_accessed=(
+                (6 * H + 4 * H) * T * G * B * ys.dtype.itemsize
+                + T * G * B * H * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if KT > 1 else pltpu.CompilerParams()
+        ),
+        interpret=interpret,
+    )(c4, ch, dyp, wh)
+    out4 = out4[:T]
+    dxp = out4[..., : 3 * H]  # (dr_pre, dz_pre, dn_pre) — a strided view
+    # weight grads as trajectory GEMMs (an in-kernel VMEM accumulator was
+    # measured slower — NOTES_ROUND2). dhproj = (dr_pre, dz_pre, dhn) is
+    # never materialized: the rz and n column blocks feed separate sliced
+    # einsums whose small [G, H, .] results concatenate for free
+    hprev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    dwh_rz = jnp.einsum(
+        "tgbh,tgbo->gho", hprev, out4[..., : 2 * H],
+        preferred_element_type=jnp.float32,
+    )
+    dwh_n = jnp.einsum(
+        "tgbh,tgbo->gho", hprev, out4[..., 3 * H:],
+        preferred_element_type=jnp.float32,
+    )
+    dwh = jnp.concatenate([dwh_rz, dwh_n], axis=-1).astype(wh.dtype)
+    dbh = jnp.concatenate(
+        [out4[..., : 2 * H].sum(axis=(0, 2)),
+         out4[..., 3 * H:].sum(axis=(0, 2))],
+        axis=-1,
+    ).astype(bh.dtype)
+    return dxp.astype(ys.dtype), dwh, dbh, None
+
+
+def _bwd_fused(res, dy, interpret):
     xproj, wh, bh, tmask, ys = res
     T, G, B, H3 = xproj.shape
     H = H3 // 3
