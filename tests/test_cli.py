@@ -476,3 +476,79 @@ def test_export_serving_artifact_roundtrip(tmp_path):
     assert meta["audio_shape"] == [4, 32000]
     assert meta["decode"] == "greedy"
     assert meta["checkpoint_step"] == 5
+
+
+def _run_featurize(args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, "-m", "uasr.tools.featurize", *args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+
+
+@pytest.mark.slow
+def test_cli_ssl_pretrain_then_featurize(tmp_path):
+    """Self-contained wav2vec-U pipeline from the CLI: contrastive
+    pretraining (train.mode=ssl) -> uasr.tools.featurize -> the dumped
+    cache trains a GAN recipe (data.feature_cache)."""
+    md = str(tmp_path / "ssl")
+    r = _run_cli(
+        ["-c", "configs/ssl_pretrain_demo.yaml", "--mode", "train",
+         "--set", f"model_dir={md}",
+         "--set", "train.total_steps=30",
+         "--set", "train.save_every=30",
+         "--set", "train.log_every=10",
+         "--set", "data.synthetic_num_utts=32"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(md, "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    assert any("nce_loss" in rec for rec in recs)
+
+    # ssl checkpoints have no decode path — the CLI must say so
+    r_inf = _run_cli(
+        ["-c", "configs/ssl_pretrain_demo.yaml", "--mode", "infer",
+         "--set", f"model_dir={md}"],
+        tmp_path,
+    )
+    assert r_inf.returncode != 0
+    assert "featurize" in r_inf.stderr
+
+    out = str(tmp_path / "feats")
+    r2 = _run_featurize(
+        ["-c", "configs/ssl_pretrain_demo.yaml", "--split", "train",
+         "--out", out, "--set", f"model_dir={md}",
+         "--set", "data.synthetic_num_utts=32"],
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert os.path.exists(os.path.join(out, "index.json"))
+
+    # vocab for the downstream recipe (feature_cache requires one)
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("<blk>\n" + "".join(f"p{i}\n" for i in range(8)) + "<unk>\n")
+    gd = str(tmp_path / "gan")
+    r3 = _run_cli(
+        ["-c", "configs/ssl_pretrain_demo.yaml", "--mode", "train",
+         "--set", f"model_dir={gd}",
+         "--set", "train.mode=gan",
+         "--set", f"data.feature_cache={out}",
+         "--set", f"data.vocab_path={vocab_path}",
+         "--set", "data.synthetic=false",
+         "--set", "data.max_frames=128",
+         "--set", "model.encoder=classifier",
+         "--set", "model.classifier_hidden=32",
+         "--set", "model.classifier_layers=1",
+         "--set", "model.disc_channels=16",
+         "--set", "model.disc_layers=1",
+         "--set", "gan.disc_steps=1",
+         "--set", "train.total_steps=6",
+         "--set", "train.save_every=6",
+         "--set", "train.log_every=2",
+         "--set", "train.eval_every=1000"],
+        tmp_path,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]

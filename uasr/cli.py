@@ -163,6 +163,8 @@ def main(argv=None):
         return _train_gan(cfg, source, vocab, with_eodm="+eodm" in mode)
     if mode == "eodm":
         return _train_eodm(cfg, source, vocab)
+    if mode == "ssl":
+        return _train_ssl(cfg, source, vocab)
     raise SystemExit(f"unknown train.mode {mode!r}")
 
 
@@ -286,6 +288,25 @@ def _train_eodm(cfg, source, vocab):
     return 0
 
 
+def _train_ssl(cfg, source, vocab):
+    """Contrastive pretraining over raw audio (`train.mode: ssl`);
+    features for the downstream unsupervised stage are then dumped with
+    `python -m uasr.tools.featurize`."""
+    from uasr.pretrain import run_ssl_pretraining
+
+    if source[0] == "features":
+        raise SystemExit(
+            "train.mode=ssl pretrains on RAW AUDIO; the split already "
+            "has a feature cache configured"
+        )
+    run_ssl_pretraining(
+        cfg,
+        _batches(cfg, source, seed=cfg.train.seed),
+        dev_batches_fn=_dev_batches_fn(cfg, vocab),
+    )
+    return 0
+
+
 def _load_text(cfg, source, vocab):
     from uasr.data.dataset import TextDataset
 
@@ -307,6 +328,12 @@ def _infer(cfg, source, vocab):
         CTCTrainer, GANTrainer, GeneratorInfer, TrainState,
     )
 
+    if cfg.train.mode == "ssl":
+        raise SystemExit(
+            "ssl checkpoints have no decode path; dump features with "
+            "`python -m uasr.tools.featurize` and train/infer a "
+            "downstream recipe on the cache"
+        )
     ckpt_dir = f"{cfg.model_dir}/ckpt"
     if cfg.train.restore_best:
         best = f"{cfg.model_dir}/best_ckpt"

@@ -230,6 +230,34 @@ class EODMConfig:
 
 
 @dataclass
+class SSLConfig:
+    """Self-supervised (CPC / wav2vec-style contrastive) pretraining.
+
+    Beyond the reference (which consumed externally-produced SSL
+    features for its wav2vec-U-style stretch, BASELINE config #5): this
+    makes the framework self-contained — raw audio -> contrastive
+    pretraining (`train.mode: ssl`) -> feature dump
+    (`uasr.tools.featurize`) -> unsupervised GAN/EODM training from the
+    feature cache. Defaults give 16 kHz -> 100 Hz latents (10 ms hop,
+    matching the fbank frontend's frame rate).
+    """
+
+    conv_channels: tuple = (256, 256, 256, 256, 512)
+    conv_kernels: tuple = (10, 8, 4, 4, 2)
+    conv_strides: tuple = (5, 4, 2, 2, 2)  # product = total downsample
+    context_hidden: int = 512  # causal GRU context network
+    predict_steps: int = 8  # InfoNCE horizon K (predict z_{t+1..t+K})
+    temperature: float = 0.1  # cosine-similarity softmax temperature
+    # in-utterance negatives per (t, k): 0 = exact softmax over every
+    # valid position (tests / short utterances; the [B,T,K,T] score
+    # tensor is quadratic in T), >0 = N sampled positions (production)
+    num_negatives: int = 100
+    # what uasr.tools.featurize dumps: the causal context vectors or the
+    # raw conv latents (wav2vec-U used intermediate representations)
+    feature_layer: str = "context"  # context | latents
+
+
+@dataclass
 class DataConfig:
     train_list: str | None = None  # csv/scp of (utt_id, wav_path, transcript)
     dev_list: str | None = None
@@ -264,7 +292,7 @@ class DataConfig:
 
 @dataclass
 class TrainConfig:
-    mode: str = "ctc"  # ctc | gan | eodm | gan+eodm
+    mode: str = "ctc"  # ctc | gan | eodm | gan+eodm | ssl
     total_steps: int = 1000
     lr: float = 1e-3
     warmup_steps: int = 100
@@ -304,6 +332,7 @@ class Config:
     ctc: CTCConfig = field(default_factory=CTCConfig)
     gan: GANConfig = field(default_factory=GANConfig)
     eodm: EODMConfig = field(default_factory=EODMConfig)
+    ssl: SSLConfig = field(default_factory=SSLConfig)
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)

@@ -1,0 +1,113 @@
+"""InfoNCE contrastive loss for self-supervised pretraining (CPC /
+wav2vec-style).
+
+Beyond the reference: the reference consumed externally-produced SSL
+features for its wav2vec-U-style stretch recipe (SURVEY.md §2.2
+"Recipes", BASELINE config #5) and had no pretraining of its own. This
+op + uasr/models/ssl.py make the framework self-contained.
+
+TPU-first design: the similarity computation is a handful of batched
+GEMMs over static shapes — no per-step sampling loops, no dynamic
+shapes. Positive scores are computed with K static shifted views of the
+latent tensor (K is small), negatives either as one [B,T,K,S] einsum
+against every in-utterance position (exact softmax — small T / tests)
+or against N pre-sampled positions per utterance ([B,T,K,N] einsum —
+production shapes, where the full T x T score tensor would not fit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _l2norm(x, eps=1e-8):
+    return x * jax.lax.rsqrt(jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) + eps)
+
+
+def _pos_scores(pn, zn):
+    """pn: [B, T, K, C] normalized predictions; zn: [B, T, C] normalized
+    latents. Returns [B, T, K] cosine of pred (t, k) with z_{t+k},
+    via K static shifted slices (no [B,T,K,C] gather)."""
+    B, T, K, C = pn.shape
+    zpad = jnp.pad(zn, ((0, 0), (0, K), (0, 0)))
+    cols = [
+        jnp.sum(pn[:, :, k, :] * zpad[:, k + 1 : k + 1 + T, :], axis=-1)
+        for k in range(K)
+    ]
+    return jnp.stack(cols, axis=-1)  # [B, T, K]
+
+
+def info_nce_loss(
+    preds: jax.Array,  # [B, T, K, C] prediction of z_{t+k} from c_t
+    z: jax.Array,  # [B, T, C] target latents
+    lengths: jax.Array,  # [B] valid frames
+    temperature: float = 0.1,
+    neg_indices: jax.Array | None = None,  # [B, N] positions, or None=all
+) -> tuple[jax.Array, jax.Array]:
+    """Contrastive loss over cosine similarities.
+
+    For each valid (t, k) the model must pick z_{t+k} against
+    in-utterance negatives: every valid position (neg_indices=None) or
+    the sampled positions in neg_indices (collisions with the true
+    target are masked out, wav2vec-style). Returns (mean NLL over valid
+    pairs, accuracy = fraction of pairs where the positive wins).
+    """
+    B, T, K, C = preds.shape
+    pn = _l2norm(preds)
+    zn = _l2norm(z)
+    tpos = jnp.arange(T)[None, :, None]  # [1, T, 1]
+    targets = tpos + jnp.arange(1, K + 1)[None, None, :]  # [1, T, K]
+    pair_valid = targets < lengths[:, None, None]  # [B, T, K]
+    pos = _pos_scores(pn, zn) / temperature  # [B, T, K]
+
+    if neg_indices is None:
+        # exact softmax over every valid in-utterance position
+        scores = jnp.einsum(
+            "btkc,bsc->btks", pn, zn, preferred_element_type=jnp.float32
+        ) / temperature
+        valid_s = (jnp.arange(T)[None, :] < lengths[:, None])  # [B, S]
+        scores = jnp.where(valid_s[:, None, None, :], scores, _NEG_INF)
+        lse = jax.nn.logsumexp(scores, axis=-1)
+        nll = lse - pos
+        # accuracy compares pos against true negatives only (the target
+        # column is the einsum's own copy of pos — float noise between
+        # the two computations would flip near-ties)
+        is_tgt = jnp.arange(T)[None, None, None, :] == targets[..., None]
+        win = pos >= jnp.max(jnp.where(is_tgt, _NEG_INF, scores), axis=-1)
+    else:
+        zneg = jnp.take_along_axis(zn, neg_indices[:, :, None], axis=1)
+        neg = jnp.einsum(
+            "btkc,bnc->btkn", pn, zneg, preferred_element_type=jnp.float32
+        ) / temperature  # [B, T, K, N]
+        # mask negatives that happen to BE the target position (the
+        # positive would compete with itself and the loss could never
+        # reach zero)
+        collide = neg_indices[:, None, None, :] == targets[..., None]
+        neg = jnp.where(collide, _NEG_INF, neg)
+        lse = jax.nn.logsumexp(
+            jnp.concatenate([pos[..., None], neg], axis=-1), axis=-1
+        )
+        nll = lse - pos
+        win = pos >= jnp.max(neg, axis=-1)
+
+    denom = jnp.maximum(jnp.sum(pair_valid), 1)
+    loss = jnp.sum(jnp.where(pair_valid, nll, 0.0)) / denom
+    acc = jnp.sum(jnp.where(pair_valid, win, False)) / denom
+    return loss, acc
+
+
+def sample_negatives(
+    rng: jax.Array, lengths: jax.Array, num: int, T: int
+) -> jax.Array:
+    """[B, N] uniform positions in [0, length_b) per utterance (static
+    shapes; all-padding utterances clamp to position 0)."""
+    B = lengths.shape[0]
+    u = jax.random.uniform(rng, (B, num))
+    return jnp.minimum(
+        (u * jnp.maximum(lengths, 1)[:, None]).astype(jnp.int32),
+        jnp.maximum(lengths[:, None] - 1, 0),
+    )
