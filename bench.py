@@ -88,10 +88,16 @@ def _enable_compile_cache():
 
 
 def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
-    # warmup/iters sized for steady state through the remote tunnel:
-    # the first ~10 post-compile steps run ~20% slow while the async
-    # dispatch pipeline fills (measured 48.3k at warmup=2/iters=8 vs a
-    # stable 58k at these settings, thrice-reproduced)
+    # Measurement discipline through the axon tunnel (round-3 finding,
+    # NOTES_ROUND3): (a) jax.block_until_ready can RETURN EARLY, and
+    # (b) content-identical dispatches can be served from a cache at
+    # impossible speed (a fenced 1-TFLOP matmul chain "ran" at 37,000
+    # TF/s). The ONLY airtight fence is a host read of a value that
+    # data-depends on the last step — float(aux[...]) INSIDE the timed
+    # region. The step chain itself is unique-content (params update
+    # every step), so the loop cannot be cache-served.
+    # warmup/iters sized for steady state: the first ~10 post-compile
+    # steps run ~20% slow while the dispatch pipeline fills.
     import jax
     import jax.numpy as jnp
 
@@ -111,15 +117,15 @@ def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, aux = step_fn(state, db, rng)
-    jax.block_until_ready(state.params)
+    _ = float(aux["ctc_loss"])  # drain the dispatch queue for real
     t0 = time.time()
     for _ in range(iters):
         state, aux = step_fn(state, db, rng)
-    jax.block_until_ready(state.params)
+    loss = float(aux["ctc_loss"])  # airtight fence (host read)
     dt = time.time() - t0
     n_chips = jax.device_count()
     audio_sec = B * seconds * iters
-    return audio_sec / dt / n_chips, float(aux["ctc_loss"])
+    return audio_sec / dt / n_chips, loss
 
 
 _BF16_PEAK = {
@@ -204,12 +210,12 @@ def run_tpu_chained(B=128, seconds=8.0, iters=40):
         return s, losses
 
     state, losses = steps(state)  # compile + warm
-    jax.block_until_ready(losses)
+    _ = float(losses[-1])  # real queue drain (host read)
     t0 = time.time()
-    state, losses = steps(state)
-    jax.block_until_ready(losses)
+    state, losses = steps(state)  # state differs -> not cache-servable
+    last = float(losses[-1])  # airtight fence
     dt = time.time() - t0
-    return B * seconds * iters / dt / jax.device_count(), float(losses[-1])
+    return B * seconds * iters / dt / jax.device_count(), last
 
 
 def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
@@ -261,10 +267,15 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
         return ns
 
     ns = loop(audio)
-    jax.block_until_ready(ns)  # compile + warm
+    _ = int(ns[-1])  # compile + warm; host read drains the queue
+    # the timed dispatch must NOT be content-identical to the warm one
+    # (the tunnel serves repeated identical dispatches from a cache —
+    # NOTES_ROUND3); perturb the audio so the content is unique, and
+    # fence with a host read inside the timed region
+    audio_t = audio + 1e-7
     t0 = time.time()
-    ns = loop(audio)
-    jax.block_until_ready(ns)
+    ns = loop(audio_t)
+    _ = int(ns[-1])  # airtight fence
     dt = (time.time() - t0) / iters
     return {
         "mode": mode if mode == "greedy" else f"beam{beam_width}:{merge_impl}",
@@ -293,37 +304,65 @@ def run_stages(B=128, seconds=8.0, iters=20):
     tr = CTCTrainer(cfg)
     state = tr.init_state(jax.random.PRNGKey(0), db)
 
-    def timeit(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(out)
+    def timeit(fn):
+        """fn(eps) -> pytree. Iterations are made DEPENDENT and
+        content-UNIQUE by threading a tiny scalar derived from each
+        output into the next input (the tunnel serves repeated
+        content-identical dispatches from a cache, and
+        block_until_ready can return early — NOTES_ROUND3); the fence
+        is a host read inside the timed region. The eps-add costs one
+        fused elementwise pass over the perturbed input (~0.1-0.2 ms at
+        these shapes), identical across stages, so stage DIFFERENCES
+        are unaffected."""
+        @jax.jit
+        def jfn(eps):
+            # carry extraction INSIDE the jit: eager ops through the
+            # tunnel cost ~1-2 ms dispatch each and inflated every
+            # stage when the carry math ran outside. The carry reduces
+            # over EVERY output element: returning just one element let
+            # XLA dead-code-eliminate most of the grad stage (backward
+            # "measured" 4.2 ms vs a true ~10.5)
+            out = fn(eps)
+            tot = sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree.leaves(out)
+            )
+            return tot * jnp.float32(1e-24)
+
+        # warm TWICE: the second pass uses the loop's exact carry aval,
+        # so any weak-type recompile happens before the timed region
+        # (a disk-cache reload inside it skewed fe to 27 ms once)
+        carry = jfn(jnp.zeros((), jnp.float32))
+        carry = jfn(carry)
+        _ = float(carry)  # queue drain
         t0 = time.time()
         for _ in range(iters):
-            out = fn(*a)
-        jax.block_until_ready(out)
+            carry = jfn(carry)
+        _ = float(carry)  # airtight fence
         return (time.time() - t0) / iters * 1e3
 
-    fe = jax.jit(lambda a, l: compute_features(
-        a, l, tr.frontend_state, cfg.frontend))
-    t_fe = timeit(fe, db.audio, db.audio_lengths)
+    fe = lambda eps: compute_features(  # noqa: E731
+        db.audio + eps, db.audio_lengths, tr.frontend_state, cfg.frontend)
+    t_fe = timeit(fe)
 
-    def enc(params, a, l):
-        f, fl = compute_features(a, l, tr.frontend_state, cfg.frontend)
-        return tr.model.apply(params, f, fl)
-
-    t_enc = timeit(jax.jit(enc), state.params, db.audio, db.audio_lengths)
-    t_loss = timeit(jax.jit(lambda p, b, r: tr._loss(p, b, r)[0]),
-                    state.params, db, jax.random.PRNGKey(1))
-    t_grad = timeit(
-        jax.jit(lambda p, b, r: jax.value_and_grad(
-            lambda q: tr._loss(q, b, r)[0])(p)[1]),
-        state.params, db, jax.random.PRNGKey(1))
+    t_enc = timeit(lambda eps: tr.model.apply(
+        state.params, *compute_features(
+            db.audio + eps, db.audio_lengths, tr.frontend_state,
+            cfg.frontend)))
+    rng1 = jax.random.PRNGKey(1)
+    t_loss = timeit(lambda eps: tr._loss(
+        state.params, db._replace(audio=db.audio + eps), rng1)[0])
+    t_grad = timeit(lambda eps: jax.value_and_grad(
+        lambda q: tr._loss(
+            q, db._replace(audio=db.audio + eps), rng1)[0])(
+                state.params)[1])
     step_fn = jax.jit(tr.train_step, donate_argnums=(0,))
-    s, _ = step_fn(state, db, jax.random.PRNGKey(1))
-    jax.block_until_ready(s.params)
+    s, aux = step_fn(state, db, rng1)
+    _ = float(aux["ctc_loss"])  # warm + queue drain
     t0 = time.time()
-    for _ in range(iters):
-        s, _ = step_fn(s, db, jax.random.PRNGKey(1))
-    jax.block_until_ready(s.params)
+    for _ in range(iters):  # state updates -> unique content each step
+        s, aux = step_fn(s, db, rng1)
+    _ = float(aux["ctc_loss"])  # airtight fence
     t_step = (time.time() - t0) / iters * 1e3
 
     stages = {
@@ -338,6 +377,48 @@ def run_stages(B=128, seconds=8.0, iters=20):
     for k, v in stages.items():
         print(f"{k}: {v}", file=sys.stderr)
     return stages
+
+
+def run_ssl(B=64, seconds=8.0, warmup=10, iters=40):
+    """SSL pretraining throughput: the jitted contrastive step (conv
+    encoder + Pallas causal GRU context + InfoNCE over 100 sampled
+    negatives) at production shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.data.dataset import Batch
+    from uasr.pretrain import SSLTrainer
+
+    cfg = _bench_cfg()
+    cfg.train.mode = "ssl"
+    cfg.ssl.context_pallas = True
+    batch = _make_batch(B, seconds)
+    trainer = SSLTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step_fn = trainer.jitted_train_step()
+    db = Batch(*map(jnp.asarray, batch))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, aux = step_fn(state, db, rng)
+    _ = float(aux["nce_loss"])  # real queue drain (host read)
+    t0 = time.time()
+    for _ in range(iters):
+        state, aux = step_fn(state, db, rng)
+    _ = float(aux["nce_loss"])  # airtight fence (NOTES_ROUND3:
+    # block_until_ready through the tunnel can return early — this loop
+    # measured a physically-impossible 339k audio-s/s without the read)
+    dt = time.time() - t0
+    thr = B * seconds * iters / dt / jax.device_count()
+    return {
+        "metric": "ssl_pretrain_throughput",
+        "value": round(thr, 1),
+        "unit": "audio_sec/sec/chip",
+        "nce_loss": round(float(aux["nce_loss"]), 4),
+        "nce_acc": round(float(aux["nce_acc"]), 4),
+        "step_ms": round(B * seconds / thr * 1000.0, 2),
+    }
 
 
 def run_baseline(B=16, seconds=8.0, iters=3):
@@ -389,6 +470,8 @@ def main():
     p.add_argument("--mfu", action="store_true",
                    help="model-FLOP utilization of the train step "
                         "(XLA cost analysis / measured time / bf16 peak)")
+    p.add_argument("--ssl", action="store_true",
+                   help="SSL contrastive-pretraining throughput")
     p.add_argument("--decode", choices=["greedy", "beam"], default=None,
                    help="decode throughput instead of the train JSON line")
     p.add_argument("--beam-width", type=int, default=8)
@@ -400,6 +483,12 @@ def main():
         print(json.dumps(run_decode(
             B=args.batch, seconds=args.seconds, mode=args.decode,
             beam_width=args.beam_width, merge_impl=args.merge_impl,
+        )))
+        return
+
+    if args.ssl:
+        print(json.dumps(run_ssl(
+            B=min(args.batch, 64), seconds=args.seconds
         )))
         return
 

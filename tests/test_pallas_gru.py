@@ -124,6 +124,18 @@ def test_bwd_time_tiling_matches_reference(kt, impl, monkeypatch):
         )
 
 
+def test_single_group_matches_reference():
+    """G=1 (the SSL context network's unidirectional GRULayer path)."""
+    xproj, wh, bh, tmask = _problem(G=1, seed=7)
+    ref = _reference_scan(xproj, wh, bh, tmask)
+    got = pallas_gru_scan(xproj, wh, bh, tmask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g_ref = jax.grad(lambda xp: jnp.sum(_reference_scan(xp, wh, bh, tmask)))(xproj)
+    g_pal = jax.grad(lambda xp: jnp.sum(pallas_gru_scan(xp, wh, bh, tmask, True)))(xproj)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_t_equals_one():
     xproj, wh, bh, tmask = _problem(T=1, B=2)
     ref = _reference_scan(xproj, wh, bh, tmask)

@@ -242,10 +242,21 @@ class SSLConfig:
     matching the fbank frontend's frame rate).
     """
 
+    # what the encoder consumes: "waveform" = wav2vec-style strided
+    # convs over raw samples; "fbank" = the fused Pallas log-mel
+    # frontend's 100 Hz features (cfg.frontend) with light frame-rate
+    # convs on top — ~20x cheaper per audio-second on TPU (the
+    # waveform-rate conv stack dominates the step; BASELINE.md round 3)
+    input_type: str = "waveform"  # waveform | fbank
     conv_channels: tuple = (256, 256, 256, 256, 512)
     conv_kernels: tuple = (10, 8, 4, 4, 2)
     conv_strides: tuple = (5, 4, 2, 2, 2)  # product = total downsample
+    # frame-rate conv stack for input_type=fbank (strides usually 1)
+    fbank_conv_channels: tuple = (512, 512)
+    fbank_conv_kernels: tuple = (3, 3)
+    fbank_conv_strides: tuple = (1, 1)
     context_hidden: int = 512  # causal GRU context network
+    context_pallas: bool = False  # context GRU as one Pallas kernel (TPU)
     predict_steps: int = 8  # InfoNCE horizon K (predict z_{t+1..t+K})
     temperature: float = 0.1  # cosine-similarity softmax temperature
     # in-utterance negatives per (t, k): 0 = exact softmax over every

@@ -33,6 +33,7 @@ class GRULayer(nn.Module):
     reverse: bool = False
     unroll: int = 4
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # whole recurrence as one Pallas kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -71,8 +72,20 @@ class GRULayer(nn.Module):
             h_new = jnp.where(m[:, None], h_new, h)
             return h_new, h_new
 
-        h0 = jnp.zeros((B, H), self.dtype)
-        _, ys = jax.lax.scan(step, h0, (xproj, tmask), unroll=self.unroll)
+        if self.use_pallas:
+            # single-group (G=1) call into the grouped Pallas recurrence
+            # used by BiGRU — the SSL context network's hot path on TPU
+            from uasr.models.pallas_gru import pallas_gru_scan
+
+            ys = pallas_gru_scan(
+                xproj[:, None], wh[None].astype(self.dtype),
+                bh[None].astype(self.dtype), tmask[:, None],
+            )[:, 0]
+        else:
+            h0 = jnp.zeros((B, H), self.dtype)
+            _, ys = jax.lax.scan(
+                step, h0, (xproj, tmask), unroll=self.unroll
+            )
         ys = jnp.moveaxis(ys, 0, 1)  # [B, T, H]
 
         if self.reverse:

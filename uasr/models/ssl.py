@@ -43,12 +43,19 @@ class ConvFeatureEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, audio: jax.Array, lengths: jax.Array):
-        x = audio[..., None].astype(self.dtype)  # [B, L, 1]
+        if audio.ndim == 3:
+            # frame-rate features (input_type=fbank: the fused Pallas
+            # frontend's output) — light frame-rate conv stack
+            x = audio.astype(self.dtype)
+            layers = zip(self.cfg.fbank_conv_channels,
+                         self.cfg.fbank_conv_kernels,
+                         self.cfg.fbank_conv_strides)
+        else:
+            x = audio[..., None].astype(self.dtype)  # [B, L, 1]
+            layers = zip(self.cfg.conv_channels, self.cfg.conv_kernels,
+                         self.cfg.conv_strides)
         x = x * _length_mask(x, lengths)
-        for i, (c, k, s) in enumerate(zip(
-            self.cfg.conv_channels, self.cfg.conv_kernels,
-            self.cfg.conv_strides,
-        )):
+        for i, (c, k, s) in enumerate(layers):
             x = nn.Conv(c, (k,), strides=(s,), padding="SAME",
                         dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.LayerNorm(dtype=self.dtype)(x)
@@ -74,6 +81,7 @@ class CPCModel(nn.Module):
         z, flen = ConvFeatureEncoder(self.cfg, dtype=self.dtype,
                                      name="encoder")(audio, lengths)
         c = GRULayer(self.cfg.context_hidden, dtype=self.dtype,
+                     use_pallas=self.cfg.context_pallas,
                      name="context")(z, flen)  # causal: left-to-right scan
         K, Cz = self.cfg.predict_steps, z.shape[-1]
         preds = nn.Dense(K * Cz, dtype=self.dtype, name="heads")(

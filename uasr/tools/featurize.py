@@ -62,7 +62,10 @@ def dump_features(cfg, source, out_dir: str, layer: str | None = None,
 
     @jax.jit
     def apply_fn(params, audio, lengths):
-        z, c, _preds, flen = trainer.model.apply(params, audio, lengths)
+        # trainer.encode applies the configured input transform
+        # (waveform convs or the Pallas fbank frontend) — featurize must
+        # match training exactly
+        z, c, _preds, flen = trainer.encode(params, audio, lengths)
         feats = c if layer == "context" else z
         return feats.astype(jnp.float32), flen
 
