@@ -421,6 +421,65 @@ def run_ssl(B=64, seconds=8.0, warmup=10, iters=40):
     }
 
 
+def run_gan(B=128, seconds=8.0, warmup=5, cycles=20):
+    """GAN adversarial-cycle throughput (BASELINE.md accounting: one
+    cycle = gan.disc_steps D-updates + 1 G-update, each a full pass over
+    the same batch; throughput = batch audio-seconds / cycle time).
+    Airtight fencing (host read inside the timed region)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from uasr.data.dataset import Batch, TextBatch
+    from uasr.train import GANTrainer
+
+    cfg = _bench_cfg()
+    cfg.train.mode = "gan"
+    cfg.model.encoder = "classifier"
+    batch = _make_batch(B, seconds)
+    rng_np = np.random.RandomState(0)
+    text = TextBatch(
+        rng_np.randint(1, 64, size=(B, 64)).astype(np.int32),
+        np.full((B,), 48, np.int32),
+    )
+    gan = GANTrainer(cfg)
+    state = gan.init_state(jax.random.PRNGKey(0), batch, text)
+    d_step = jax.jit(gan.d_step, donate_argnums=(0,))
+    g_step = jax.jit(gan.g_step, donate_argnums=(0,))
+    db = Batch(*map(jnp.asarray, batch))
+    tb = TextBatch(*map(jnp.asarray, text))
+    rng = jax.random.PRNGKey(1)
+
+    def cycle(state, rng):
+        for _ in range(cfg.gan.disc_steps):
+            rng, sub = jax.random.split(rng)
+            state, d_aux = d_step(state, db, tb, sub)
+        rng, sub = jax.random.split(rng)
+        state, g_aux = g_step(state, db, sub)
+        return state, rng, d_aux, g_aux
+
+    for _ in range(warmup):
+        state, rng, d_aux, g_aux = cycle(state, rng)
+    _ = float(g_aux["g_loss"])  # queue drain
+    t0 = time.time()
+    for _ in range(cycles):
+        state, rng, d_aux, g_aux = cycle(state, rng)
+    g_l = float(g_aux["g_loss"])  # airtight fence
+    dt = (time.time() - t0) / cycles
+    thr = B * seconds / dt / jax.device_count()
+    return {
+        "metric": "gan_cycle_throughput",
+        "value": round(thr, 1),
+        "unit": "audio_sec/sec/chip_per_cycle",
+        "cycle_ms": round(dt * 1e3, 2),
+        "disc_steps": cfg.gan.disc_steps,
+        "d_loss": round(float(d_aux["d_loss"]), 4),
+        "g_loss": round(g_l, 4),
+    }
+
+
 def run_baseline(B=16, seconds=8.0, iters=3):
     """Reference-equivalent: host numpy feature chain (the oracle — the
     reference's data-prep math) + the same train step on CPU."""
@@ -472,6 +531,8 @@ def main():
                         "(XLA cost analysis / measured time / bf16 peak)")
     p.add_argument("--ssl", action="store_true",
                    help="SSL contrastive-pretraining throughput")
+    p.add_argument("--gan", action="store_true",
+                   help="GAN adversarial-cycle throughput")
     p.add_argument("--decode", choices=["greedy", "beam"], default=None,
                    help="decode throughput instead of the train JSON line")
     p.add_argument("--beam-width", type=int, default=8)
@@ -490,6 +551,10 @@ def main():
         print(json.dumps(run_ssl(
             B=min(args.batch, 64), seconds=args.seconds
         )))
+        return
+
+    if args.gan:
+        print(json.dumps(run_gan(B=args.batch, seconds=args.seconds)))
         return
 
     if args.stages:
