@@ -668,3 +668,31 @@ train:
     best = min(d["per"] for d in devs)
     # chance = 0.83 for the 6-phone inventory; measured 0.48-0.52
     assert best < 0.65, best
+
+
+@pytest.mark.slow
+def test_export_ssl_featurizer_artifact(tmp_path):
+    """train.mode=ssl recipes export the FEATURIZER (audio -> features)
+    as a StableHLO artifact bit-equal to the live encode."""
+    md = str(tmp_path / "ssl")
+    r = _run_cli(
+        ["-c", "configs/ssl_pretrain_demo.yaml", "--mode", "train",
+         "--set", f"model_dir={md}",
+         "--set", "train.total_steps=5",
+         "--set", "train.save_every=5",
+         "--set", "data.synthetic_num_utts=16"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "serve")
+    r = _run_export(["-c", "configs/ssl_pretrain_demo.yaml", "--out", out,
+                     "--batch", "2", "--seconds", "1",
+                     "--platforms", "cpu", "--check",
+                     "--set", f"model_dir={md}"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "check ok" in r.stderr, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["decode"] == "features"
+    # [B, T, D] features + [B] lengths
+    assert len(meta["output_shapes"]) == 2
+    assert len(meta["output_shapes"][0]) == 3

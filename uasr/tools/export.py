@@ -55,6 +55,26 @@ def build_infer_fn(cfg):
     from uasr.models import build_model
     from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
 
+    if cfg.train.mode == "ssl":
+        # serve the FEATURIZER: fn(params, audio, lengths) ->
+        # (features [B, T, D] f32, frame_lengths [B]) — the exact
+        # transform uasr.tools.featurize applies (production feature
+        # extraction without a Python uasr install)
+        from uasr.pretrain import SSLTrainer
+
+        trainer = SSLTrainer(cfg)
+
+        def ssl_fn(params, audio, lengths):
+            z, c, _preds, flen = trainer.encode(params, audio, lengths)
+            feats = c if cfg.ssl.feature_layer == "context" else z
+            return feats.astype(jnp.float32), flen
+
+        def ssl_init(rng, audio, lengths):
+            x, xl = trainer._inputs(audio, lengths)
+            return trainer.model.init(rng, x, xl)
+
+        return ssl_fn, ssl_init
+
     fe = frontend_state_from_config(cfg.frontend)
     model = build_model(cfg.model, cfg.dim_output)
     gen_infer = None
@@ -186,7 +206,10 @@ def main(argv=None):
         "audio_shape": [B, L],
         "sample_rate": cfg.frontend.sample_rate,
         "vocab_size": cfg.dim_output,
-        "decode": "beam" if cfg.ctc.use_beam else "greedy",
+        "decode": (
+            "features" if cfg.train.mode == "ssl"
+            else "beam" if cfg.ctc.use_beam else "greedy"
+        ),
         "beam_width": cfg.ctc.beam_width if cfg.ctc.use_beam else None,
         "lm_path": cfg.ctc.lm_path if cfg.ctc.use_beam else None,
         "platforms": args.platforms.split(","),
