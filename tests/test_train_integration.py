@@ -107,3 +107,42 @@ def test_keep_n_checkpoints(tmp_path, tiny_setup):
     restored, step = mgr.restore_latest(state)
     assert step == 3
     mgr.close()
+
+
+def test_grad_accum_matches_big_batch(tiny_setup):
+    """train.grad_accum=k over k equal micro-batches produces EXACTLY
+    the parameters of one big-batch step (mean-reduced loss, equal
+    micro-batch sizes; the clip/Adam chain runs on the accumulated
+    mean)."""
+    import dataclasses
+
+    examples, vocab, cfg = tiny_setup
+    big = Batch(*next(iter(_batches(examples, batch_size=8, seed=3))))
+    halves = [
+        Batch(*map(lambda a: a[:4], big)),
+        Batch(*map(lambda a: a[4:], big)),
+    ]
+    rng = jax.random.PRNGKey(0)
+
+    cfg1 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum=1)
+    )
+    tr1 = CTCTrainer(cfg1)
+    s1 = tr1.init_state(jax.random.PRNGKey(7), big)
+    s1, _ = tr1.jitted_train_step()(s1, big, rng)
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum=2)
+    )
+    tr2 = CTCTrainer(cfg2)
+    s2 = tr2.init_state(jax.random.PRNGKey(7), big)
+    step2 = tr2.jitted_train_step()
+    for h in halves:
+        s2, _ = step2(s2, h, rng)
+
+    flat1 = jax.tree.leaves(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )

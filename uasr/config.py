@@ -311,6 +311,10 @@ class TrainConfig:
     decay_rate: float = 0.96
     decay_steps: int = 1000
     grad_clip: float = 5.0
+    # accumulate k micro-batch gradients into one optimizer update
+    # (effective batch = k x data.batch_size); exact for mean-reduced
+    # losses over equal micro-batches
+    grad_accum: int = 1
     eval_every: int = 200
     save_every: int = 500
     log_every: int = 50

@@ -92,10 +92,20 @@ def make_schedule(cfg: Config):
 
 def make_optimizer(cfg: Config, lr=None, b1: float = 0.9, b2: float = 0.999):
     sched = make_schedule(cfg) if lr is None else lr
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
         optax.adam(sched, b1=b1, b2=b2),
     )
+    if cfg.train.grad_accum > 1:
+        # gradient accumulation: k micro-batches average into one
+        # optimizer update (effective batch = k x data.batch_size
+        # without the HBM of the bigger batch). Mean-reduced losses
+        # over equal micro-batch sizes make this EXACTLY one big-batch
+        # step (tests/test_train_integration.py). Each trainer's
+        # optimizer instance accumulates independently (GAN D/G each
+        # count their own micro-steps).
+        opt = optax.MultiSteps(opt, cfg.train.grad_accum)
+    return opt
 
 
 # ---------------------------------------------------------- CTC trainer
