@@ -146,3 +146,30 @@ def test_grad_accum_matches_big_batch(tiny_setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+def test_structure_mismatch_restore_error(tmp_path, tiny_setup):
+    """Resuming with a different opt_state structure (e.g. a changed
+    train.grad_accum) fails with a message naming the likely cause, not
+    Orbax's bare pytree diff."""
+    import dataclasses
+
+    from uasr.checkpoint import CheckpointManager
+
+    examples, vocab, cfg = tiny_setup
+    batch = Batch(*next(iter(_batches(examples, batch_size=4, seed=5))))
+    tr1 = CTCTrainer(cfg)
+    s1 = tr1.init_state(jax.random.PRNGKey(0), batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(0, s1)
+    mgr.close()
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum=2)
+    )
+    tr2 = CTCTrainer(cfg2)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), batch)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    with pytest.raises(ValueError, match="grad_accum"):
+        mgr2.restore_latest(s2)
+    mgr2.close()

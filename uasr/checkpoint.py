@@ -40,9 +40,23 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        state = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract_state)
-        )
+        try:
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state)
+            )
+        except ValueError as e:
+            if "do not match" not in str(e):
+                raise
+            # Orbax's structure-mismatch error names pytree node types
+            # but not the likely cause — translate it
+            raise ValueError(
+                f"checkpoint at step {step} under {self.directory!r} has "
+                "a different state structure than the current config "
+                "builds (typical causes: train.grad_accum or optimizer/"
+                "model hyperparameters changed since the run was saved). "
+                "Resume with the original settings or start a fresh "
+                f"model_dir. Original error:\n{e}"
+            ) from e
         return state, step
 
     def wait(self) -> None:
