@@ -20,7 +20,7 @@ CFG = ModelConfig(hidden_size=32, num_gru_layers=1, conv_channels=8,
 V = 12
 
 
-@pytest.mark.parametrize("name", ["conv_bigru", "cnn", "classifier"])
+@pytest.mark.parametrize("name", ["conv_bigru", "cnn", "classifier", "transformer"])
 def test_encoder_shapes_and_lengths(name):
     model = build_model(ModelConfig(**{**CFG.__dict__, "encoder": name}), V)
     B, T, D = 2, 37, 40
@@ -129,3 +129,25 @@ def test_bigru_remat_grad_parity():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_transformer_padding_invariance():
+    from uasr.models.models import TransformerEncoder
+
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": "transformer",
+                         "transformer_layers": 2, "num_heads": 4})
+    model = TransformerEncoder(cfg, V)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(2, 24, 40), jnp.float32)
+    lengths = jnp.array([24, 13])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, la = model.apply(params, feats, lengths)
+    b, lb = model.apply(
+        params, jnp.pad(feats, ((0, 0), (0, 16), (0, 0))), lengths
+    )
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for i in range(2):
+        n = int(la[i])
+        np.testing.assert_allclose(
+            np.asarray(a[i, :n]), np.asarray(b[i, :n]), atol=3e-5
+        )

@@ -123,3 +123,28 @@ def test_mesh_shapes():
     r = replicated(m)
     bs = batch_sharding(m, 2)
     assert "data" in str(bs.spec)
+
+
+def test_transformer_tp_forward_equivalence():
+    """The transformer encoder's QKV/FFN weights column-shard over the
+    model axis via the same generic rule; sharded and replicated
+    params must agree."""
+    b, vocab = _one_batch()
+    cfg = _cfg(len(vocab))
+    cfg.model.encoder = "transformer"
+    cfg.model.transformer_layers = 2
+    cfg.model.num_heads = 4
+    mesh = make_mesh(2)
+    trainer = CTCTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+    shardings = param_shardings(state.params, mesh)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any("model" in str(s) for s in specs), specs
+    sharded_params = jax.device_put(state.params, shardings)
+    gb = Batch(*map(jnp.asarray, b))
+    rng = jax.random.PRNGKey(42)
+    loss_rep, _ = trainer._loss(state.params, gb, rng)
+    loss_tp, _ = jax.jit(trainer._loss)(
+        sharded_params, shard_batch(gb, mesh), rng
+    )
+    np.testing.assert_allclose(float(loss_tp), float(loss_rep), rtol=1e-5)

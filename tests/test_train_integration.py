@@ -173,3 +173,34 @@ def test_structure_mismatch_restore_error(tmp_path, tiny_setup):
     with pytest.raises(ValueError, match="grad_accum"):
         mgr2.restore_latest(s2)
     mgr2.close()
+
+
+@pytest.mark.slow
+def test_transformer_ctc_learns(tiny_setup):
+    """The transformer encoder trains under CTC on the synthetic corpus
+    (SURVEY.md §5 seam made real: attention model on the same mesh)."""
+    import dataclasses
+
+    examples, vocab, cfg = tiny_setup
+    mcfg = dataclasses.replace(
+        cfg.model, encoder="transformer", transformer_layers=2,
+        num_heads=4, hidden_size=64,
+    )
+    tcfg = dataclasses.replace(cfg, model=mcfg)
+    trainer = CTCTrainer(tcfg)
+    it = iter(_batches(examples))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(150):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, b, sub)
+        losses.append(float(aux["ctc_loss"]))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    per = trainer.evaluate(
+        state.params, itertools.islice(_batches(examples, seed=9), 4)
+    )
+    assert per < 0.6, per

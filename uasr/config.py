@@ -123,7 +123,7 @@ class ModelConfig:
     generator, and a conv PhoneDiscriminator critic.
     """
 
-    encoder: str = "conv_bigru"  # conv_bigru | cnn | classifier
+    encoder: str = "conv_bigru"  # conv_bigru | cnn | classifier | transformer
     hidden_size: int = 256
     num_gru_layers: int = 2
     gru_unroll: int = 4  # lax.scan unroll of the recurrent body
@@ -134,6 +134,11 @@ class ModelConfig:
     conv_kernel: int = 3
     conv_time_stride: int = 2  # per conv layer; total downsample = stride**layers
     dropout: float = 0.0
+    # Transformer encoder (encoder: transformer) — beyond the reference
+    # model zoo; exercises the mesh's model/sequence seam (SURVEY.md §5)
+    transformer_layers: int = 4
+    num_heads: int = 8
+    ffn_dim: int = 0  # 0 -> 4 * hidden_size
     # PhoneClassifier (GAN generator / EODM model)
     classifier_hidden: int = 512
     classifier_layers: int = 2

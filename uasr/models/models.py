@@ -73,6 +73,89 @@ class ConvBiGRUEncoder(nn.Module):
         return logits, lengths
 
 
+def _sinusoidal_positions(T: int, D: int) -> jax.Array:
+    """Standard fixed sin/cos position table [T, D] (static shapes —
+    computed at trace time, folded into the compiled program)."""
+    pos = jnp.arange(T)[:, None].astype(jnp.float32)
+    div = jnp.exp(
+        jnp.arange(0, D, 2).astype(jnp.float32) * (-jnp.log(10000.0) / D)
+    )
+    pe = jnp.zeros((T, D), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: D // 2]))
+    return pe
+
+
+class TransformerEncoder(nn.Module):
+    """conv subsampling -> N pre-LN transformer blocks -> dense logits.
+
+    Beyond the reference's model zoo (conv/GRU only — SURVEY.md §2.2):
+    the attention encoder exercises the mesh's model-parallel seam
+    (SURVEY.md §5 "if the wav2vec-U stretch adds transformers"): QKV /
+    FFN weight matrices are column-sharded by the generic
+    parallel.mesh.param_shardings rule, and attention is a batch of
+    MXU GEMMs with a static [B, 1, 1, T] key padding mask — no dynamic
+    shapes, XLA fuses softmax into the score GEMMs."""
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        B, T, D = feats.shape
+        x = feats[..., None].astype(dt)
+        for i in range(cfg.num_conv_layers):
+            x = ConvBlock(
+                cfg.conv_channels,
+                kernel=cfg.conv_kernel,
+                time_stride=cfg.conv_time_stride,
+                freq_stride=2,
+                dtype=dt,
+                name=f"conv{i}",
+            )(x)
+            lengths = jnp.minimum(
+                conv_out_length(lengths, cfg.conv_time_stride, 1), x.shape[1]
+            )
+            x = x * _length_mask(x, lengths)[..., None]
+        B, T2, F2, C = x.shape
+        x = nn.Dense(cfg.hidden_size, dtype=dt, name="in_proj")(
+            x.reshape(B, T2, F2 * C)
+        )
+        x = x + _sinusoidal_positions(T2, cfg.hidden_size).astype(dt)
+        x = x * _length_mask(x, lengths)
+        key_mask = (jnp.arange(T2)[None, :] < lengths[:, None])
+        attn_mask = key_mask[:, None, None, :]  # [B, 1, 1(q), T(k)]
+        ffn = cfg.ffn_dim or 4 * cfg.hidden_size
+        deterministic = not self.has_rng("dropout")
+        for i in range(cfg.transformer_layers):
+            h = nn.LayerNorm(dtype=dt, name=f"ln_a{i}")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads,
+                dtype=dt,
+                dropout_rate=cfg.dropout,
+                deterministic=deterministic,
+                name=f"mha{i}",
+            )(h, h, mask=attn_mask)
+            x = x + h
+            h = nn.LayerNorm(dtype=dt, name=f"ln_f{i}")(x)
+            h = nn.Dense(ffn, dtype=dt, name=f"ffn_in{i}")(h)
+            h = nn.gelu(h)
+            h = nn.Dense(cfg.hidden_size, dtype=dt, name=f"ffn_out{i}")(h)
+            if cfg.dropout > 0:
+                h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+            x = x + h
+            # bias/LN terms make padding rows nonzero; the attention
+            # mask already guards keys, so this only keeps the padding
+            # region of the output clean for downstream consumers
+            x = x * _length_mask(x, lengths)
+        x = nn.LayerNorm(dtype=dt, name="ln_out")(x)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        logits = logits * _length_mask(logits, lengths)
+        return logits, lengths
+
+
 class CNNEncoder(nn.Module):
     """Pure-CNN CTC encoder: stacked 1-D convs over time (dilated stack
     for receptive field), one strided layer for subsampling. No
@@ -213,4 +296,6 @@ def build_model(cfg: ModelConfig, vocab_size: int) -> nn.Module:
         return CNNEncoder(cfg, vocab_size)
     if cfg.encoder == "classifier":
         return PhoneClassifier(cfg, vocab_size)
+    if cfg.encoder == "transformer":
+        return TransformerEncoder(cfg, vocab_size)
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
