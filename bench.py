@@ -37,7 +37,7 @@ _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_MEASURED.json")
 
 
-def _bench_cfg():
+def _bench_cfg(encoder="conv_bigru", conv_front=None):
     from uasr.config import (
         Config, CTCConfig, FrontendConfig, ModelConfig, TrainConfig,
     )
@@ -49,9 +49,16 @@ def _bench_cfg():
         frontend=FrontendConfig(num_mel_bins=80, cmvn="utterance",
                                 precision="high"),
         model=ModelConfig(
-            encoder="conv_bigru", hidden_size=512, num_gru_layers=2,
+            encoder=encoder, hidden_size=512, num_gru_layers=2,
             conv_channels=32, num_conv_layers=2, conv_time_stride=2,
             dtype="bfloat16", gru_pallas=True,
+            # flagship default: the MXU-aligned patch front (same
+            # receptive-field class as the reference's conv2d blocks;
+            # measured vs conv2d in BASELINE.md round 3 — the 32-wide
+            # conv channel dim pads to the 128-lane tile and its
+            # fwd+bwd was 3.9 ms of the 18.4 ms step)
+            conv_front=conv_front
+            or os.environ.get("UASR_BENCH_CONV_FRONT", "patch"),
         ),
         ctc=CTCConfig(use_pallas=True),
         train=TrainConfig(total_steps=1, lr=1e-3),
@@ -87,7 +94,8 @@ def _enable_compile_cache():
         pass
 
 
-def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
+def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None,
+            encoder="conv_bigru"):
     # Measurement discipline through the axon tunnel (round-3 finding,
     # NOTES_ROUND3): (a) jax.block_until_ready can RETURN EARLY, and
     # (b) content-identical dispatches can be served from a cache at
@@ -106,7 +114,7 @@ def run_tpu(B=128, seconds=8.0, warmup=10, iters=40, gru_unroll=None):
     from uasr.data.dataset import Batch
     from uasr.train import CTCTrainer
 
-    cfg = _bench_cfg()
+    cfg = _bench_cfg(encoder)
     if gru_unroll:
         cfg.model.gru_unroll = gru_unroll
     batch = _make_batch(B, seconds)
@@ -524,6 +532,9 @@ def main():
                    help="per-stage ms breakdown instead of the JSON line")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--encoder", default="conv_bigru",
+                   choices=["conv_bigru", "cnn", "transformer"],
+                   help="encoder family for the train-throughput line")
     p.add_argument("--chained", action="store_true",
                    help="all bench iters inside one jitted scan launch")
     p.add_argument("--mfu", action="store_true",
@@ -579,18 +590,22 @@ def main():
     if args.chained:
         thr, loss = run_tpu_chained(B=args.batch, seconds=args.seconds)
     else:
-        thr, loss = run_tpu(B=args.batch, seconds=args.seconds)
+        thr, loss = run_tpu(B=args.batch, seconds=args.seconds,
+                            encoder=args.encoder)
     base = BASELINE_AUDIO_SEC_PER_SEC
     if base is None and os.path.exists(_BASELINE_FILE):
         with open(_BASELINE_FILE) as f:
             base = json.load(f)["audio_sec_per_sec"]
     vs = thr / base if base else None
-    print(json.dumps({
+    line = {
         "metric": "train_throughput_frontend_encoder_ctc",
         "value": round(thr, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    if args.encoder != "conv_bigru":
+        line["encoder"] = args.encoder
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

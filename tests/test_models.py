@@ -151,3 +151,31 @@ def test_transformer_padding_invariance():
         np.testing.assert_allclose(
             np.asarray(a[i, :n]), np.asarray(b[i, :n]), atol=3e-5
         )
+
+
+@pytest.mark.parametrize("name", ["conv_bigru", "transformer"])
+def test_patch_front_shapes_and_padding_invariance(name):
+    """The MXU-aligned patch front (conv_front: patch) subsamples to the
+    same grid as the conv2d path and is batch-padding invariant (inputs
+    are zero-masked before patching; patch embeds re-masked after)."""
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": name,
+                         "conv_front": "patch",
+                         "transformer_layers": 2, "num_heads": 4})
+    model = build_model(cfg, V)
+    rng = np.random.RandomState(11)
+    feats = jnp.asarray(rng.randn(2, 37, 40), jnp.float32)
+    lengths = jnp.array([37, 21])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, la = model.apply(params, feats, lengths)
+    assert a.shape[0] == 2 and a.shape[2] == V
+    # same subsampled grid as the conv2d front: ceil(T / stride**layers)
+    assert int(la[0]) == -(-37 // 4) and int(la[1]) == -(-21 // 4)
+    b, lb = model.apply(
+        params, jnp.pad(feats, ((0, 0), (0, 19), (0, 0))), lengths
+    )
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for i in range(2):
+        n = int(la[i])
+        np.testing.assert_allclose(
+            np.asarray(a[i, :n]), np.asarray(b[i, :n]), atol=3e-5
+        )

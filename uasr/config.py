@@ -133,6 +133,17 @@ class ModelConfig:
     num_conv_layers: int = 2
     conv_kernel: int = 3
     conv_time_stride: int = 2  # per conv layer; total downsample = stride**layers
+    # Subsampling front-end flavor for conv_bigru/transformer:
+    #   conv2d — strided 3x3 Conv2D blocks over (time, freq), the
+    #            reference-parity architecture (SURVEY.md §2.2).
+    #   patch  — TPU-first redesign: non-overlapping frame patches ->
+    #            one GEMM embed + a k=3 context conv1d, all at
+    #            MXU-aligned widths. The conv2d path keeps a 32-wide
+    #            channel minor dim that pads to the 128-lane tile (4x
+    #            wasted HBM traffic); measured fwd+bwd 3.9 ms vs ~1
+    #            ms for the same receptive field as GEMMs (round-3
+    #            backward decomposition, B=128 x 8 s).
+    conv_front: str = "conv2d"  # conv2d | patch
     dropout: float = 0.0
     # Transformer encoder (encoder: transformer) — beyond the reference
     # model zoo; exercises the mesh's model/sequence seam (SURVEY.md §5)

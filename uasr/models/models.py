@@ -34,6 +34,78 @@ def _length_mask(x: jax.Array, lengths: jax.Array) -> jax.Array:
     return (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
 
 
+class PatchFront(nn.Module):
+    """TPU-first subsampling front-end: non-overlapping patches of
+    `patch` frames -> one GEMM embed -> k-wide context conv1d, both at
+    MXU-aligned widths (vs the conv2d path's 32-wide channel minor dim,
+    which pads to the 128-lane tile and quadruples HBM traffic — the
+    round-3 backward decomposition measured the conv2d stack at 3.9 ms
+    fwd+bwd of the 18.4 ms step for only ~11 GFLOP)."""
+
+    patch: int
+    hidden: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array):
+        B, T, D = x.shape
+        P = self.patch
+        x = x.astype(self.dtype)
+        x = x * _length_mask(x, lengths)
+        if T % P:
+            x = jnp.pad(x, ((0, 0), (0, P - T % P), (0, 0)))
+        x = x.reshape(B, x.shape[1] // P, P * D)
+        lengths = (lengths + P - 1) // P
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="embed")(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = x * _length_mask(x, lengths)
+        y = nn.Conv(self.hidden, (self.kernel,), padding="SAME",
+                    dtype=self.dtype, name="context")(x)
+        y = nn.LayerNorm(dtype=self.dtype)(y)
+        x = x + nn.relu(y)  # residual context block
+        x = x * _length_mask(x, lengths)
+        return x, lengths
+
+
+def _subsample_front(cfg: ModelConfig, feats: jax.Array,
+                     lengths: jax.Array, dt):
+    """Shared subsampling front: reference-parity strided Conv2D blocks
+    (`conv_front: conv2d`) or the MXU-aligned patch embed (`patch`).
+    Both emit [B, T/stride**layers, width] with width =
+    conv_channels * ceil(D / 2**layers), so encoders are agnostic."""
+    B, T, D = feats.shape
+    if cfg.conv_front == "patch":
+        width = cfg.conv_channels * (
+            (D + 2 ** cfg.num_conv_layers - 1) // 2 ** cfg.num_conv_layers
+        )
+        return PatchFront(
+            patch=cfg.conv_time_stride ** cfg.num_conv_layers,
+            hidden=width, kernel=cfg.conv_kernel, dtype=dt, name="patch",
+        )(feats, lengths)
+    if cfg.conv_front != "conv2d":
+        raise ValueError(f"unknown conv_front {cfg.conv_front!r}")
+    x = feats[..., None].astype(dt)  # [B, T, D, 1]
+    for i in range(cfg.num_conv_layers):
+        x = ConvBlock(
+            cfg.conv_channels,
+            kernel=cfg.conv_kernel,
+            time_stride=cfg.conv_time_stride,
+            freq_stride=2,
+            dtype=dt,
+            name=f"conv{i}",
+        )(x)
+        lengths = jnp.minimum(
+            conv_out_length(lengths, cfg.conv_time_stride, 1), x.shape[1]
+        )
+        # re-mask each block: bias/LayerNorm make padding frames
+        # nonzero and the next strided conv would leak them inward
+        x = x * _length_mask(x, lengths)[..., None]
+    B, T2, F2, C = x.shape
+    return x.reshape(B, T2, F2 * C), lengths
+
+
 class ConvBiGRUEncoder(nn.Module):
     """conv x N (strided) -> BiGRU x M -> dense logits (V incl. blank)."""
 
@@ -44,25 +116,7 @@ class ConvBiGRUEncoder(nn.Module):
     def __call__(self, feats: jax.Array, lengths: jax.Array):
         cfg = self.cfg
         dt = _dtype(cfg)
-        B, T, D = feats.shape
-        x = feats[..., None].astype(dt)  # [B, T, D, 1]
-        for i in range(cfg.num_conv_layers):
-            x = ConvBlock(
-                cfg.conv_channels,
-                kernel=cfg.conv_kernel,
-                time_stride=cfg.conv_time_stride,
-                freq_stride=2,
-                dtype=dt,
-                name=f"conv{i}",
-            )(x)
-            lengths = jnp.minimum(
-                conv_out_length(lengths, cfg.conv_time_stride, 1), x.shape[1]
-            )
-            # re-mask each block: bias/LayerNorm make padding frames
-            # nonzero and the next strided conv would leak them inward
-            x = x * _length_mask(x, lengths)[..., None]
-        B, T2, F2, C = x.shape
-        x = x.reshape(B, T2, F2 * C)
+        x, lengths = _subsample_front(cfg, feats, lengths, dt)
         for i in range(cfg.num_gru_layers):
             x = BiGRU(cfg.hidden_size, dtype=dt, unroll=cfg.gru_unroll,
                       remat=cfg.gru_remat, use_pallas=cfg.gru_pallas,
@@ -104,25 +158,9 @@ class TransformerEncoder(nn.Module):
     def __call__(self, feats: jax.Array, lengths: jax.Array):
         cfg = self.cfg
         dt = _dtype(cfg)
-        B, T, D = feats.shape
-        x = feats[..., None].astype(dt)
-        for i in range(cfg.num_conv_layers):
-            x = ConvBlock(
-                cfg.conv_channels,
-                kernel=cfg.conv_kernel,
-                time_stride=cfg.conv_time_stride,
-                freq_stride=2,
-                dtype=dt,
-                name=f"conv{i}",
-            )(x)
-            lengths = jnp.minimum(
-                conv_out_length(lengths, cfg.conv_time_stride, 1), x.shape[1]
-            )
-            x = x * _length_mask(x, lengths)[..., None]
-        B, T2, F2, C = x.shape
-        x = nn.Dense(cfg.hidden_size, dtype=dt, name="in_proj")(
-            x.reshape(B, T2, F2 * C)
-        )
+        x, lengths = _subsample_front(cfg, feats, lengths, dt)
+        B, T2, _ = x.shape
+        x = nn.Dense(cfg.hidden_size, dtype=dt, name="in_proj")(x)
         x = x + _sinusoidal_positions(T2, cfg.hidden_size).astype(dt)
         x = x * _length_mask(x, lengths)
         key_mask = (jnp.arange(T2)[None, :] < lengths[:, None])
