@@ -58,10 +58,14 @@ def _gates_2d(xp, hproj, h_prev):
     return r, z, n, hn, h_cand
 
 
-def _batch_tile(B: int, cap: int = 128) -> int:
+def _batch_tile(B: int, cap: int | None = None) -> int:
     """Largest divisor of B that is <= cap (the per-grid-step batch tile:
     keeps all VMEM temporaries bounded regardless of batch size, lifting
-    round-1's B*H ceiling — NOTES_ROUND1.md item 6)."""
+    round-1's B*H ceiling — NOTES_ROUND1.md item 6). The recurrence is
+    latency-bound, so batch tiles are pure serial repeats: a bigger cap
+    amortizes the per-step floor over more rows (UASR_GRU_BT to sweep)."""
+    if cap is None:
+        cap = _BT_CAP
     bt = min(B, cap)
     while B % bt:
         bt -= 1
@@ -184,17 +188,34 @@ def _bwd_kernel(
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     G, B, H = dh_scr.shape
+    # The gate-recompute projection h_{t-1} @ wh does NOT depend on the
+    # carried gradient, so for KT > 1 it is hoisted out of the
+    # sequential loop as ONE taller [KT*B, H] x [H, 3H] GEMM per group:
+    # the MXU pipelines it freely instead of stalling on the carry, and
+    # the in-loop critical path drops to a single dot per step.
+    hp_pre = None
+    if KT > 1:
+        hp_pre = []
+        for g in range(G):
+            hp = jnp.dot(
+                hprev_ref[:, g].reshape(KT * B, H), wh_ref[g],
+                preferred_element_type=jnp.float32,
+            ) + bh_ref[g, :][None, :]
+            hp_pre.append(hp.reshape(KT, B, 3 * H))
     for k in reversed(range(KT)):
         for g in range(G):
             mf = mask_ref[k, g][:, None]  # [B, 1]
             h_prev_raw = hprev_ref[k, g]
             h_prev = h_prev_raw.astype(jnp.float32)
             xp = xp_ref[k, g]
-            hproj = (
-                jnp.dot(h_prev_raw, wh_ref[g],
-                        preferred_element_type=jnp.float32)
-                + bh_ref[g, :][None, :]
-            )
+            if hp_pre is not None:
+                hproj = hp_pre[g][k]
+            else:
+                hproj = (
+                    jnp.dot(h_prev_raw, wh_ref[g],
+                            preferred_element_type=jnp.float32)
+                    + bh_ref[g, :][None, :]
+                )
             r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
 
             dh_total = dh_scr[g] + dy_ref[k, g]
@@ -277,7 +298,7 @@ def _fwd(xproj, wh, bh, tmask, interpret, save_coeffs):
         ),
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if KT > 1 else pltpu.CompilerParams()
+            if KT > 1 or BT > 128 else pltpu.CompilerParams()
         ),
         interpret=interpret,
     )(xp, mask, wh, bh)
@@ -305,16 +326,19 @@ def _pad_time(a, Tp):
 
 # timesteps per grid step (fwd / bwd kernels). Padded steps carry mask 0
 # (and dy 0), so they contribute nothing and the carry flows through
-# untouched. Swept on v5e at B=128, T=200, H=512 (round 2, bwd only):
-# isolated chained fwd+bwd ms/iter KT=1 3.75, KT=2 3.53, KT=4 3.69,
-# KT=8 3.61 — but END-TO-END the full train step was flat-to-slightly-
-# worse at bwd KT=2 (57.7k vs 58.0k audio-s/s). Both kernels now tile
-# (UASR_GRU_FWD_KT / UASR_GRU_BWD_KT env overrides for sweeps); see
-# BASELINE.md for the round-3 end-to-end sweep results.
+# untouched. Forward: the recurrent dot depends on the carry, so tiling
+# buys nothing (round-3 sweep flat) — KT=1. Backward: since the
+# gate-recompute projection h_{t-1} @ wh does NOT depend on the carried
+# gradient, KT>1 hoists it out of the sequential loop as one taller
+# GEMM per tile (see _bwd_kernel) — end-to-end sweep on v5e B=128 x 8s
+# with the hoist: KT=1 62.1k, KT=2 63.1k, KT=4 63.2k, KT=8 62.8k
+# audio-s/s (without the hoist, KT>1 was flat-to-worse). Env overrides
+# UASR_GRU_FWD_KT / UASR_GRU_BWD_KT for sweeps; see BASELINE.md.
 import os as _os
 
 FWD_TIME_TILE = int(_os.environ.get("UASR_GRU_FWD_KT", "1"))
-BWD_TIME_TILE = int(_os.environ.get("UASR_GRU_BWD_KT", "1"))
+BWD_TIME_TILE = int(_os.environ.get("UASR_GRU_BWD_KT", "4"))
+_BT_CAP = int(_os.environ.get("UASR_GRU_BT", "128"))
 
 
 # backward implementation: "fused" (default) recomputes gates in-kernel;
@@ -387,7 +411,7 @@ def _bwd_linear(res, dy, interpret):
         ),
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if KT > 1 else pltpu.CompilerParams()
+            if KT > 1 or BT > 128 else pltpu.CompilerParams()
         ),
         interpret=interpret,
     )(c4, ch, dyp, wh)
@@ -463,7 +487,7 @@ def _bwd_fused(res, dy, interpret):
         # fail on pre-v5e parts whose physical VMEM is smaller)
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if KT > 1 else pltpu.CompilerParams()
+            if KT > 1 or BT > 128 else pltpu.CompilerParams()
         ),
         interpret=interpret,
     )(xp, mask, hprev_p, wh, bh, dyp)
