@@ -145,3 +145,58 @@ def test_t_equals_one():
         xproj
     )
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def _two_stream_problem(T=12, B=4, H=8, seed=11):
+    rng = np.random.RandomState(seed)
+    p0 = jnp.asarray(rng.randn(T, B, 3 * H) * 0.5, jnp.float32)
+    p1 = jnp.asarray(rng.randn(T, B, 3 * H) * 0.5, jnp.float32)
+    wh = jnp.asarray(rng.randn(2, H, 3 * H) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.randn(2, 3 * H) * 0.1, jnp.float32)
+    lengths = np.array([T, T - 3, 5, 1][:B])
+    fwd = np.arange(T)[:, None] < lengths[None, :]
+    bwd = np.arange(T)[:, None] >= (T - lengths)[None, :]
+    tmask = jnp.asarray(np.stack([fwd, bwd], axis=1), jnp.bool_)
+    return p0, p1, wh, bh, tmask
+
+
+def _two_stream_reference(p0, p1, wh, bh, tmask):
+    """Equivalent grouped-scan computation: the reversed stream's step u
+    consumes p1 frame T-1-u, and its output is returned frame-ordered."""
+    xproj = jnp.stack([p0, jnp.flip(p1, axis=0)], axis=1)  # [T, 2, B, 3H]
+    ys = _reference_scan(xproj, wh, bh, tmask)
+    return jnp.concatenate([ys[:, 0], jnp.flip(ys[:, 1], axis=0)], axis=-1)
+
+
+@pytest.mark.parametrize("T,fkt,bkt", [(12, 1, 1), (13, 2, 4), (13, 4, 2)])
+def test_two_stream_bigru_matches_reference(T, fkt, bkt, monkeypatch):
+    """pallas_bigru_scan (flipped-index-map two-stream kernel): values
+    and custom-VJP grads vs the grouped scan reference, incl. time
+    tiling at a non-divisible T (front/end padding asymmetry)."""
+    import uasr.models.pallas_gru as mod
+
+    from uasr.models.pallas_gru import pallas_bigru_scan
+
+    monkeypatch.setattr(mod, "FWD_TIME_TILE", fkt)
+    monkeypatch.setattr(mod, "BWD_TIME_TILE", bkt)
+    p0, p1, wh, bh, tmask = _two_stream_problem(T=T)
+    ref = _two_stream_reference(p0, p1, wh, bh, tmask)
+    got = pallas_bigru_scan(p0, p1, wh, bh, tmask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    rng = np.random.RandomState(12)
+    w_out = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
+
+    def loss(fn):
+        return lambda a, b, w, bb: jnp.sum(fn(a, b, w, bb) * w_out)
+
+    g_ref = jax.grad(
+        loss(lambda a, b, w, bb: _two_stream_reference(a, b, w, bb, tmask)),
+        argnums=(0, 1, 2, 3))(p0, p1, wh, bh)
+    g_pal = jax.grad(
+        loss(lambda a, b, w, bb: pallas_bigru_scan(a, b, w, bb, tmask, True)),
+        argnums=(0, 1, 2, 3))(p0, p1, wh, bh)
+    for a, b, name in zip(g_pal, g_ref, ["dp0", "dp1", "dwh", "dbh"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3, err_msg=name
+        )

@@ -115,10 +115,13 @@ class BiGRU(nn.Module):
     unroll: int = 4
     remat: bool = False  # recompute gates in backward (HBM for FLOPs)
     use_pallas: bool = False  # whole recurrence as one Pallas kernel
+    time_major: bool = False  # in/out [T, B, .] (the TPU-native layout)
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
-        B, T, D = x.shape
+        if not self.time_major:
+            x = jnp.swapaxes(x, 0, 1)
+        T, B, D = x.shape
         H = self.hidden
         # parameters grouped [2, ...]: index 0 = forward, 1 = backward
         wx = self.param(
@@ -142,70 +145,80 @@ class BiGRU(nn.Module):
         bxd = bx.astype(self.dtype)
         bhd = bh.astype(self.dtype)
 
-        # reversed copy rides as extra batch rows. A full jnp.flip (one
-        # cheap lax.rev) replaces round-1's per-length take_along_axis:
-        # gathers cost ~4x a flip on TPU and their transpose is a
-        # scatter-add in the backward pass (measured 0.7 ms vs 0.2 ms
-        # fwd+bwd per use at B=128, T=200, H=512). The reversed stream
-        # instead gets its own validity window: its first T - len steps
-        # are padding, so its mask is t >= T - len and the carry stays
-        # at the zero init until real frames begin.
-        x2 = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # [2, B, T, D]
-
-        # hoisted input projections: one batched MXU GEMM for all steps,
-        # emitted TIME-MAJOR straight from the GEMM (XLA picks the
-        # output layout for free; a separate moveaxis of the [2, B, T,
-        # 3H] bf16 tensor measured 1.7 ms standalone at production
-        # shapes — round-3 microbench)
-        xproj = (
-            jnp.einsum("gbtd,gdo->tgbo", x2, wxd,
-                       preferred_element_type=self.dtype)
-            + bxd[None, :, None, :]
-        )  # [T, 2, B, 3H]
         tpos = jnp.arange(T)[:, None]
         tmask = jnp.stack(
             [tpos < lengths[None, :], tpos >= (T - lengths)[None, :]],
             axis=1,
-        )  # [T, 2, B]
-
-        def step(h, inp):
-            xp, m = inp  # xp: [2, B, 3H], m: [2, B]
-            hproj = (
-                jnp.einsum("gbh,gho->gbo", h, whd,
-                           preferred_element_type=self.dtype)
-                + bhd[:, None, :]
-            )
-            xr, xz, xn = jnp.split(xp, 3, axis=-1)
-            hr, hz, hn = jnp.split(hproj, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)  # reset-after (cuDNN convention)
-            h_new = (1.0 - z) * n + z * h
-            h_new = jnp.where(m[:, :, None], h_new, h)
-            return h_new, h_new
+        )  # [T, 2, B] in kernel time (the reversed stream's first
+        #    T - len steps are its padding prefix)
 
         if self.use_pallas:
-            # one kernel for the whole recurrence (hidden state + weights
-            # pinned in VMEM across grid steps; custom VJP) — removes the
-            # per-step launch overhead of the XLA while-loop
-            from uasr.models.pallas_gru import pallas_gru_scan
+            # two-stream kernel: BOTH directions' input projections are
+            # computed in natural frame order (one [T*B, D] x [D, 3H]
+            # GEMM each) and the kernel's flipped BlockSpec index maps
+            # deliver the reversed stream its frames backwards — the
+            # host-side stack/flip of the input and the moveaxis/flip/
+            # concat of the output (≈0.5 GB/step of pure relayout at
+            # production shapes, round-3 probe) all disappear.
+            from uasr.models.pallas_gru import pallas_bigru_scan
 
-            ys = pallas_gru_scan(xproj, whd, bhd, tmask)
+            p0 = (
+                jnp.einsum("tbd,do->tbo", x, wxd[0],
+                           preferred_element_type=self.dtype)
+                + bxd[0]
+            )
+            p1 = (
+                jnp.einsum("tbd,do->tbo", x, wxd[1],
+                           preferred_element_type=self.dtype)
+                + bxd[1]
+            )
+            out = pallas_bigru_scan(p0, p1, whd, bhd, tmask)  # [T, B, 2H]
         else:
+            # scan fallback: reversed copy rides as an extra group. A
+            # full jnp.flip (one cheap lax.rev) replaces round-1's
+            # per-length take_along_axis: gathers cost ~4x a flip on
+            # TPU and their transpose is a scatter-add in the backward
+            # pass (measured 0.7 ms vs 0.2 ms fwd+bwd per use at B=128,
+            # T=200, H=512).
+            x2 = jnp.stack([x, jnp.flip(x, axis=0)], axis=1)  # [T, 2, B, D]
+            xproj = (
+                jnp.einsum("tgbd,gdo->tgbo", x2, wxd,
+                           preferred_element_type=self.dtype)
+                + bxd[:, None, :]
+            )  # [T, 2, B, 3H]
+
+            def step(h, inp):
+                xp, m = inp  # xp: [2, B, 3H], m: [2, B]
+                hproj = (
+                    jnp.einsum("gbh,gho->gbo", h, whd,
+                               preferred_element_type=self.dtype)
+                    + bhd[:, None, :]
+                )
+                xr, xz, xn = jnp.split(xp, 3, axis=-1)
+                hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)  # reset-after (cuDNN convention)
+                h_new = (1.0 - z) * n + z * h
+                h_new = jnp.where(m[:, :, None], h_new, h)
+                return h_new, h_new
+
             h0 = jnp.zeros((2, B, H), self.dtype)
             body = jax.checkpoint(step) if self.remat else step
             _, ys = jax.lax.scan(body, h0, (xproj, tmask), unroll=self.unroll)
-        ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
-        fwd = ys[0]
-        # un-reverse: state at flipped step u belongs to frame T-1-u,
-        # and the reversed stream's padding prefix is exactly zero
-        bwd = jnp.flip(ys[1], axis=1)
-        out = jnp.concatenate([fwd, bwd], axis=-1)
-        valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+            # un-reverse: state at flipped step u belongs to frame T-1-u,
+            # and the reversed stream's padding prefix is exactly zero
+            out = jnp.concatenate(
+                [ys[:, 0], jnp.flip(ys[:, 1], axis=0)], axis=-1
+            )  # [T, B, 2H]
+        valid = (jnp.arange(T)[:, None] < lengths[None, :])[..., None]
         # stay in the compute dtype: the f32 upcast between stacked
         # layers cost ~0.2 ms/layer of pure HBM traffic under bf16;
         # consumers (next BiGRU, f32 logits Dense) cast as they need
-        return jnp.where(valid, out, 0.0)
+        out = jnp.where(valid, out, 0.0)
+        if not self.time_major:
+            out = jnp.swapaxes(out, 0, 1)
+        return out
 
 
 class ConvBlock(nn.Module):

@@ -117,14 +117,18 @@ class ConvBiGRUEncoder(nn.Module):
         cfg = self.cfg
         dt = _dtype(cfg)
         x, lengths = _subsample_front(cfg, feats, lengths, dt)
+        # time-major trunk: one transpose in, one out — the BiGRU stack
+        # and the logits GEMM all run in the scan-native [T, B, .]
+        # layout (no per-layer relayout)
+        x = jnp.swapaxes(x, 0, 1)
         for i in range(cfg.num_gru_layers):
             x = BiGRU(cfg.hidden_size, dtype=dt, unroll=cfg.gru_unroll,
                       remat=cfg.gru_remat, use_pallas=cfg.gru_pallas,
-                      name=f"bigru{i}")(x, lengths)
+                      time_major=True, name=f"bigru{i}")(x, lengths)
             if cfg.dropout > 0:
                 x = nn.Dropout(cfg.dropout, deterministic=not self.has_rng("dropout"))(x)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
-        return logits, lengths
+        return jnp.swapaxes(logits, 0, 1), lengths
 
 
 def _sinusoidal_positions(T: int, D: int) -> jax.Array:

@@ -503,3 +503,280 @@ def _bwd_fused(res, dy, interpret):
 
 
 pallas_gru_scan.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Two-stream BiGRU kernel (round 3): per-direction inputs/outputs with
+# FLIPPED BlockSpec index maps for the reversed stream, so the host-side
+# stack/flip of the input and the moveaxis/flip/concat of the output all
+# disappear — the DMA engine does the time reversal for free while
+# streaming blocks. Layouts are time-major end to end ([T, B, .]), which
+# is both the scan order and the natural GEMM batching.
+#
+# Conventions: "kernel time" u runs 0..T-1; the reversed stream's step u
+# processes frame T-1-u. Frame-ordered arrays for the reversed stream are
+# FRONT-padded to the tile grid (so the flipped index map ntt-1-t plus an
+# in-tile row reversal lands exactly on frame T-1-u); kernel-time arrays
+# are end-padded. tmask stays in kernel time for both streams, exactly as
+# in the grouped kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _pad_front(a, Tp):
+    """Zero-pad axis 0 (time) to length Tp at the FRONT."""
+    T = a.shape[0]
+    if T == Tp:
+        return a
+    return jnp.pad(a, [(Tp - T, 0)] + [(0, 0)] * (a.ndim - 1))
+
+
+def _fwd2_kernel(KT, p0_ref, p1_ref, mask_ref, wh_ref, bh_ref,
+                 ys0_ref, ys1_ref, h_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    for k in range(KT):
+        rr = KT - 1 - k  # in-tile row for the reversed (frame-ordered) refs
+        # phase 1: both streams' recurrent dots first (MXU pipelining)
+        h0 = h_scr[0]
+        h1 = h_scr[1]
+        hp0 = jnp.dot(h0.astype(wh_ref.dtype), wh_ref[0],
+                      preferred_element_type=jnp.float32) + bh_ref[0][None, :]
+        hp1 = jnp.dot(h1.astype(wh_ref.dtype), wh_ref[1],
+                      preferred_element_type=jnp.float32) + bh_ref[1][None, :]
+        # phase 2: VPU gate math + carry update
+        for g, (xp, hp, h_prev, ys_ref, row) in enumerate([
+            (p0_ref[k], hp0, h0, ys0_ref, k),
+            (p1_ref[rr], hp1, h1, ys1_ref, rr),
+        ]):
+            mf = mask_ref[k, g][:, None]
+            r, z, n, hn, h_cand = _gates_2d(xp, hp, h_prev)
+            h_new = mf * h_cand + (1.0 - mf) * h_prev
+            h_store = h_new.astype(ys_ref.dtype)
+            ys_ref[row] = h_store
+            h_scr[g] = h_store.astype(jnp.float32)
+
+
+def _bwd2_kernel(KT, dy_fused, p0_ref, p1_ref, mask_ref, h0_ref, h1_ref,
+                 wh_ref, bh_ref, dy0_ref, dy1_ref,
+                 dxp0_ref, dxp1_ref, dhp0_ref, dhp1_ref, dh_scr):
+    t_rev = pl.program_id(1)  # 0 = last kernel-time tile
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    H = dh_scr.shape[-1]
+    # hoisted gate-recompute projections (independent of the carried
+    # gradient): one taller GEMM per stream when tiling time
+    hp_pre = None
+    if KT > 1:
+        B = dh_scr.shape[1]
+        hp_pre = []
+        for g, href in enumerate([h0_ref, h1_ref]):
+            hp = jnp.dot(
+                href[...].reshape(KT * B, H), wh_ref[g],
+                preferred_element_type=jnp.float32,
+            ) + bh_ref[g][None, :]
+            hp_pre.append(hp.reshape(KT, B, 3 * H))
+    for k in reversed(range(KT)):
+        rr = KT - 1 - k
+        for g, (xp, href, dy_ref, row, dxp_ref, dhp_ref) in enumerate([
+            (p0_ref[k], h0_ref, dy0_ref, k, dxp0_ref, dhp0_ref),
+            (p1_ref[rr], h1_ref, dy1_ref, rr, dxp1_ref, dhp1_ref),
+        ]):
+            mf = mask_ref[k, g][:, None]
+            h_prev_raw = href[row]
+            h_prev = h_prev_raw.astype(jnp.float32)
+            if hp_pre is not None:
+                hproj = hp_pre[g][row]
+            else:
+                hproj = jnp.dot(
+                    h_prev_raw, wh_ref[g],
+                    preferred_element_type=jnp.float32,
+                ) + bh_ref[g][None, :]
+            r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
+
+            if dy_fused:  # dy refs are full-width [., B, 2H] views of dout
+                dy = dy_ref[row][:, g * H:(g + 1) * H]
+            else:
+                dy = dy_ref[row]
+            dh_total = dh_scr[g] + dy
+            dh_cand = dh_total * mf
+            dh_prev = dh_total * (1.0 - mf)
+
+            dz = dh_cand * (h_prev - n)
+            dn = dh_cand * (1.0 - z)
+            dh_prev = dh_prev + dh_cand * z
+            dn_pre = dn * (1.0 - n * n)
+            dhn = dn_pre * r
+            dr_pre = (dn_pre * hn) * r * (1.0 - r)
+            dz_pre = dz * z * (1.0 - z)
+
+            dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+            dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
+            dh_prev = dh_prev + jnp.dot(
+                dhproj.astype(wh_ref.dtype), wh_ref[g].T,
+                preferred_element_type=jnp.float32,
+            )
+            dxp_ref[row] = dxp.astype(dxp_ref.dtype)
+            dhp_ref[row] = dhproj.astype(dhp_ref.dtype)
+            dh_scr[g] = dh_prev
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def pallas_bigru_scan(p0, p1, wh, bh, tmask, interpret=False):
+    """Two-stream BiGRU recurrence, time-major.
+
+    p0/p1: [T, B, 3H] input projections (bias added) for the forward and
+    reversed direction — BOTH in natural frame order (the kernel's
+    flipped index maps feed the reversed stream frames T-1-u at step u).
+    wh: [2, H, 3H]; bh: [2, 3H]; tmask: [T, 2, B] in KERNEL time (group
+    1's window is t >= T - len, as in the grouped kernel). Returns
+    [T, B, 2H] = concat(forward states, reversed states in frame order).
+    """
+    ys0, ys1 = _fwd2(p0, p1, wh, bh, tmask, interpret)
+    return jnp.concatenate([ys0, ys1], axis=-1)
+
+
+def _fwd2(p0, p1, wh, bh, tmask, interpret):
+    T, B, H3 = p0.shape
+    H = H3 // 3
+    BT = _batch_tile(B)
+    KT = min(FWD_TIME_TILE, T)
+    Tp = -(-T // KT) * KT
+    ntt = Tp // KT
+    mask = _pad_time(tmask.astype(jnp.float32), Tp)  # [Tp, 2, B]
+    p0p = _pad_time(p0, Tp)
+    p1p = _pad_front(p1, Tp)
+    ys0, ys1 = pl.pallas_call(
+        functools.partial(_fwd2_kernel, KT),
+        grid=(B // BT, ntt),
+        in_specs=[
+            pl.BlockSpec((KT, BT, H3), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H3), lambda b, t, n=ntt: (n - 1 - t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, 2, BT), lambda b, t: (t, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, H3), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((KT, BT, H), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H), lambda b, t, n=ntt: (n - 1 - t, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H), p0.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H), p0.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, BT, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * 2 * B * H * H3,
+            bytes_accessed=(p0.size + p1.size + 2 * T * B * H)
+            * p0.dtype.itemsize,
+            transcendentals=3 * T * 2 * B * H,
+        ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if KT > 1 or BT > 128 else pltpu.CompilerParams()
+        ),
+        interpret=interpret,
+    )(p0p, p1p, mask, wh, bh)
+    return ys0[:T], ys1[Tp - T:]
+
+
+def _fwd2_rule(p0, p1, wh, bh, tmask, interpret):
+    ys0, ys1 = _fwd2(p0, p1, wh, bh, tmask, interpret)
+    return (jnp.concatenate([ys0, ys1], axis=-1),
+            (p0, p1, wh, bh, tmask, ys0, ys1))
+
+
+def _bwd2_rule(interpret, res, dout):
+    p0, p1, wh, bh, tmask, ys0, ys1 = res
+    T, B, H3 = p0.shape
+    H = H3 // 3
+    BT = _batch_tile(B)
+    KT = min(BWD_TIME_TILE, T)
+    Tp = -(-T // KT) * KT
+    ntt = Tp // KT
+    mask = _pad_time(tmask.astype(jnp.float32), Tp)
+    p0p = _pad_time(p0, Tp)
+    p1p = _pad_front(p1, Tp)
+    # per-stream previous-state trajectories, frame-ordered:
+    #   stream 0: h_prev at kernel step u (= frame u) is ys0[u-1]
+    #   stream 1: h_prev at kernel step u is ys1 at frame T-u, i.e. the
+    #   frame-ordered buffer shifted one frame LEFT (zero at the end)
+    z1 = jnp.zeros_like(ys0[:1])
+    h0 = jnp.concatenate([z1, ys0[:-1]], axis=0)
+    h1 = jnp.concatenate([ys1[1:], z1], axis=0)
+    h0p = _pad_time(h0, Tp)
+    h1p = _pad_front(h1, Tp)
+    dy_fused = Tp == T
+    if dy_fused:
+        dy0 = dy1 = dout  # full-width views; kernel slices its half
+        W = 2 * H
+    else:
+        dy0 = _pad_time(dout[..., :H], Tp)
+        dy1 = _pad_front(dout[..., H:], Tp)
+        W = H
+    rev = lambda b, t, n=ntt: (n - 1 - t, b, 0)  # noqa: E731
+    fwdm = lambda b, t: (t, b, 0)  # noqa: E731
+    dxp0, dxp1, dhp0, dhp1 = pl.pallas_call(
+        functools.partial(_bwd2_kernel, KT, dy_fused),
+        grid=(B // BT, ntt),
+        in_specs=[
+            pl.BlockSpec((KT, BT, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H3), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, 2, BT), lambda b, t, n=ntt: (n - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, H3), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, W), fwdm, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((KT, BT, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H3), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H3), fwdm, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, H3), p0.dtype)] * 4,
+        scratch_shapes=[pltpu.VMEM((2, BT, H), jnp.float32)],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if KT > 1 or BT > 128 else pltpu.CompilerParams()
+        ),
+        interpret=interpret,
+    )(p0p, p1p, mask, h0p, h1p, wh, bh, dy0, dy1)
+    dxp0 = dxp0[:T]
+    dxp1 = dxp1[Tp - T:]
+    dhp0 = dhp0[:T]
+    dhp1 = dhp1[Tp - T:]
+    # weight grads as whole-trajectory GEMMs; stream-1 pairs line up in
+    # frame order (both h1 and dhp1 are kernel-time-flipped the same way,
+    # and the sum over time is order-invariant)
+    dwh = jnp.stack([
+        jnp.einsum("tbh,tbo->ho", h0, dhp0,
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("tbh,tbo->ho", h1, dhp1,
+                   preferred_element_type=jnp.float32),
+    ]).astype(wh.dtype)
+    dbh = jnp.stack(
+        [dhp0.sum(axis=(0, 1)), dhp1.sum(axis=(0, 1))]
+    ).astype(bh.dtype)
+    return (dxp0.astype(p0.dtype), dxp1.astype(p1.dtype), dwh, dbh, None)
+
+
+pallas_bigru_scan.defvjp(_fwd2_rule, _bwd2_rule)
