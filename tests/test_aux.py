@@ -127,8 +127,20 @@ cfg = Config(
     vocab_size=len(vocab),
 )
 batches = batch_iterator(examples, 8, 16000, 8)
-# SIGTERM ourselves shortly after training starts
-threading.Timer(15.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+# SIGTERM ourselves once training has demonstrably started (first metrics
+# line written) — a fixed timer races the jit compile under load and can
+# fire before run_ctc_training registers its handler
+def _kill_when_training():
+    import time
+    path = r"{tmp_path}/exp/metrics.jsonl"
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if os.path.exists(path) and os.path.getsize(path) > 0:
+            break
+        time.sleep(0.5)
+    time.sleep(1.0)
+    os.kill(os.getpid(), signal.SIGTERM)
+threading.Thread(target=_kill_when_training, daemon=True).start()
 run_ctc_training(cfg, batches)
 print("CLEAN_EXIT")
 """
