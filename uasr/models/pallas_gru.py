@@ -178,7 +178,7 @@ def _bwd_kernel(
     bh_ref,  # [G, 3H]
     dy_ref,  # [KT, G, B, H] upstream grad of ys
     dxp_ref,  # out [KT, G, B, 3H]
-    dhproj_ref,  # out [KT, G, B, 3H] (dwh/dbh reduced outside)
+    dhn_ref,  # out [KT, G, B, H] (dhproj's n-block; rz blocks = dxp's)
     dh_scr,  # [G, B, H] carried dL/dh_prev
 ):
     t_rev = pl.program_id(1)  # 0 = last time tile
@@ -188,57 +188,47 @@ def _bwd_kernel(
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     G, B, H = dh_scr.shape
-    # The gate-recompute projection h_{t-1} @ wh does NOT depend on the
-    # carried gradient, so for KT > 1 it is hoisted out of the
-    # sequential loop as ONE taller [KT*B, H] x [H, 3H] GEMM per group:
-    # the MXU pipelines it freely instead of stalling on the carry, and
-    # the in-loop critical path drops to a single dot per step.
-    hp_pre = None
-    if KT > 1:
-        hp_pre = []
-        for g in range(G):
-            hp = jnp.dot(
-                hprev_ref[:, g].reshape(KT * B, H), wh_ref[g],
-                preferred_element_type=jnp.float32,
-            ) + bh_ref[g, :][None, :]
-            hp_pre.append(hp.reshape(KT, B, 3 * H))
+    # Phase 1 — everything independent of the carried gradient runs
+    # BEFORE the sequential loop: the gate-recompute projection as one
+    # taller [KT*B, H] x [H, 3H] GEMM per group, then the gates (the
+    # only transcendentals) reduced to per-step linear coefficients
+    # (the GRU backward step is linear in the carried gradient — see
+    # _bwd_lin_kernel's derivation; unlike that env-gated variant the
+    # coefficients here come from tile-local VMEM, no extra HBM DMA).
+    c4s = {}  # (k, g) -> [B, 4H] = (c_r, c_z, c_n2, c_nh)
+    chs = {}  # (k, g) -> [B, H] carry coefficient
+    for g in range(G):
+        hp_all = jnp.dot(
+            hprev_ref[:, g].reshape(KT * B, H), wh_ref[g],
+            preferred_element_type=jnp.float32,
+        ) + bh_ref[g, :][None, :]
+        for k in range(KT):
+            mf = mask_ref[k, g][:, None]  # [B, 1]
+            h_prev = hprev_ref[k, g].astype(jnp.float32)
+            r, z, n, hn, _ = _gates_2d(
+                xp_ref[k, g], hp_all[k * B:(k + 1) * B], h_prev
+            )
+            c_n2 = mf * ((1.0 - z) * (1.0 - n * n))
+            c4s[k, g] = jnp.concatenate(
+                [c_n2 * (hn * (r * (1.0 - r))),          # c_r
+                 mf * ((h_prev - n) * (z * (1.0 - z))),  # c_z
+                 c_n2,
+                 c_n2 * r],                              # c_nh
+                axis=-1,
+            )
+            chs[k, g] = (1.0 - mf) + mf * z
+    # Phase 2 — the sequential chain: 5 multiplies + ONE dot per step
     for k in reversed(range(KT)):
         for g in range(G):
-            mf = mask_ref[k, g][:, None]  # [B, 1]
-            h_prev_raw = hprev_ref[k, g]
-            h_prev = h_prev_raw.astype(jnp.float32)
-            xp = xp_ref[k, g]
-            if hp_pre is not None:
-                hproj = hp_pre[g][k]
-            else:
-                hproj = (
-                    jnp.dot(h_prev_raw, wh_ref[g],
-                            preferred_element_type=jnp.float32)
-                    + bh_ref[g, :][None, :]
-                )
-            r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
-
-            dh_total = dh_scr[g] + dy_ref[k, g]
-            dh_cand = dh_total * mf
-            dh_prev = dh_total * (1.0 - mf)
-
-            dz = dh_cand * (h_prev - n)
-            dn = dh_cand * (1.0 - z)
-            dh_prev = dh_prev + dh_cand * z
-            dn_pre = dn * (1.0 - n * n)
-            dhn = dn_pre * r
-            dr_pre = (dn_pre * hn) * r * (1.0 - r)
-            dz_pre = dz * z * (1.0 - z)
-
-            dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-            dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-            dh_prev = dh_prev + jnp.dot(
+            d = dh_scr[g] + dy_ref[k, g]
+            e = c4s[k, g] * jnp.concatenate([d, d, d, d], axis=-1)
+            dxp_ref[k, g] = e[:, :3 * H].astype(dxp_ref.dtype)
+            dhn_ref[k, g] = e[:, 3 * H:].astype(dhn_ref.dtype)
+            dhproj = jnp.concatenate([e[:, :2 * H], e[:, 3 * H:]], axis=-1)
+            dh_scr[g] = chs[k, g] * d + jnp.dot(
                 dhproj.astype(wh_ref.dtype), wh_ref[g].T,
                 preferred_element_type=jnp.float32,
             )
-            dxp_ref[k, g] = dxp.astype(dxp_ref.dtype)
-            dhproj_ref[k, g] = dhproj.astype(dhproj_ref.dtype)
-            dh_scr[g] = dh_prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -327,17 +317,20 @@ def _pad_time(a, Tp):
 # timesteps per grid step (fwd / bwd kernels). Padded steps carry mask 0
 # (and dy 0), so they contribute nothing and the carry flows through
 # untouched. Forward: the recurrent dot depends on the carry, so tiling
-# buys nothing (round-3 sweep flat) — KT=1. Backward: since the
-# gate-recompute projection h_{t-1} @ wh does NOT depend on the carried
-# gradient, KT>1 hoists it out of the sequential loop as one taller
-# GEMM per tile (see _bwd_kernel) — end-to-end sweep on v5e B=128 x 8s
-# with the hoist: KT=1 62.1k, KT=2 63.1k, KT=4 63.2k, KT=8 62.8k
-# audio-s/s (without the hoist, KT>1 was flat-to-worse). Env overrides
-# UASR_GRU_FWD_KT / UASR_GRU_BWD_KT for sweeps; see BASELINE.md.
+# buys nothing (round-3 sweep flat) — KT=1. Backward: the whole gate
+# recompute (projection GEMM + transcendentals, reduced to linear
+# coefficients) is hoisted out of the sequential loop as phase 1 of the
+# kernel; KT sets how many steps share one phase-1 pass. Kernel-level
+# probe on v5e (B=128, T=200, H=512, two-stream bwd+dwh): KT=1 1.19 ms,
+# KT=2 1.37 ms, KT=4 1.62 ms, KT=8 1.52 ms (±0.1 noise); end-to-end
+# flagship: KT=1 71.2k, KT=2 72.1k, KT=4 72.1k audio-s/s (the phase-1
+# hoist + H-wide dhn output are ~+1% over the pre-hoist kernel at its
+# best tile). Env overrides UASR_GRU_FWD_KT / UASR_GRU_BWD_KT for
+# sweeps; see BASELINE.md.
 import os as _os
 
 FWD_TIME_TILE = int(_os.environ.get("UASR_GRU_FWD_KT", "1"))
-BWD_TIME_TILE = int(_os.environ.get("UASR_GRU_BWD_KT", "4"))
+BWD_TIME_TILE = int(_os.environ.get("UASR_GRU_BWD_KT", "2"))
 _BT_CAP = int(_os.environ.get("UASR_GRU_BT", "128"))
 
 
@@ -454,7 +447,7 @@ def _bwd_fused(res, dy, interpret):
     mask = _pad_time(tmask.astype(jnp.float32), Tp)  # [Tp, G, B]
     hprev_p = _pad_time(hprev, Tp)
     dyp = _pad_time(dy, Tp)
-    dxp, dhproj = pl.pallas_call(
+    dxp, dhn = pl.pallas_call(
         functools.partial(_bwd_kernel, KT),
         grid=(B // BT, ntt),
         in_specs=[
@@ -474,12 +467,12 @@ def _bwd_fused(res, dy, interpret):
         out_specs=[
             pl.BlockSpec((KT, G, BT, H3), lambda b, t: (ntt - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, G, BT, H3), lambda b, t: (ntt - 1 - t, 0, b, 0),
+            pl.BlockSpec((KT, G, BT, H), lambda b, t: (ntt - 1 - t, 0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, G, B, H3), xproj.dtype),
-            jax.ShapeDtypeStruct((Tp, G, B, H3), xproj.dtype),
+            jax.ShapeDtypeStruct((Tp, G, B, H), xproj.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((G, BT, H), jnp.float32)],
         # KT > 1 blocks exceed the 16 MB default scoped-VMEM budget;
@@ -491,15 +484,26 @@ def _bwd_fused(res, dy, interpret):
         ),
         interpret=interpret,
     )(xp, mask, hprev_p, wh, bh, dyp)
-    dhproj = dhproj[:T]
-    # weight grads as one large trajectory GEMM (outside the kernel;
-    # an in-kernel VMEM accumulator was measured slower — NOTES_ROUND2)
-    dwh = jnp.einsum(
-        "tgbh,tgbo->gho", hprev, dhproj,
+    dxp = dxp[:T]
+    dhn = dhn[:T]
+    # weight grads as large trajectory GEMMs (outside the kernel; an
+    # in-kernel VMEM accumulator was measured slower — NOTES_ROUND2).
+    # dhproj = (dr_pre, dz_pre, dhn) is never materialized: its rz
+    # blocks are dxp's first 2H columns, so the einsums slice instead.
+    dwh_rz = jnp.einsum(
+        "tgbh,tgbo->gho", hprev, dxp[..., : 2 * H],
         preferred_element_type=jnp.float32,
-    ).astype(wh.dtype)
-    dbh = dhproj.sum(axis=(0, 2)).astype(bh.dtype)
-    return dxp[:T].astype(xproj.dtype), dwh, dbh, None
+    )
+    dwh_n = jnp.einsum(
+        "tgbh,tgbo->gho", hprev, dhn,
+        preferred_element_type=jnp.float32,
+    )
+    dwh = jnp.concatenate([dwh_rz, dwh_n], axis=-1).astype(wh.dtype)
+    dbh = jnp.concatenate(
+        [dxp[..., : 2 * H].sum(axis=(0, 2)), dhn.sum(axis=(0, 2))],
+        axis=-1,
+    ).astype(bh.dtype)
+    return dxp.astype(xproj.dtype), dwh, dbh, None
 
 
 pallas_gru_scan.defvjp(_fwd_rule, _bwd_rule)
@@ -562,7 +566,7 @@ def _fwd2_kernel(KT, p0_ref, p1_ref, mask_ref, wh_ref, bh_ref,
 
 def _bwd2_kernel(KT, dy_fused, p0_ref, p1_ref, mask_ref, h0_ref, h1_ref,
                  wh_ref, bh_ref, dy0_ref, dy1_ref,
-                 dxp0_ref, dxp1_ref, dhp0_ref, dhp1_ref, dh_scr):
+                 dxp0_ref, dxp1_ref, dhn0_ref, dhn1_ref, dh_scr):
     t_rev = pl.program_id(1)  # 0 = last kernel-time tile
 
     @pl.when(t_rev == 0)
@@ -570,61 +574,66 @@ def _bwd2_kernel(KT, dy_fused, p0_ref, p1_ref, mask_ref, h0_ref, h1_ref,
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     H = dh_scr.shape[-1]
-    # hoisted gate-recompute projections (independent of the carried
-    # gradient): one taller GEMM per stream when tiling time
-    hp_pre = None
-    if KT > 1:
-        B = dh_scr.shape[1]
-        hp_pre = []
-        for g, href in enumerate([h0_ref, h1_ref]):
-            hp = jnp.dot(
-                href[...].reshape(KT * B, H), wh_ref[g],
-                preferred_element_type=jnp.float32,
-            ) + bh_ref[g][None, :]
-            hp_pre.append(hp.reshape(KT, B, 3 * H))
+    B = dh_scr.shape[1]
+    # Phase 1 — everything that does NOT depend on the carried gradient
+    # runs BEFORE the sequential loop: the gate-recompute projection as
+    # one tall [KT*B, H] x [H, 3H] GEMM per stream, then the gates
+    # (2 sigmoids + tanh, the only transcendentals) reduced to per-step
+    # linear coefficients. The GRU backward step is LINEAR in the carried
+    # gradient d_t (see _bwd_lin_kernel's derivation), so the sequential
+    # critical path in phase 2 shrinks to 5 multiplies + ONE dot per
+    # step. Unlike the env-gated "linear" variant (coefficients emitted
+    # by the FORWARD kernel: +4.5 MB/step HBM, measured net loss), the
+    # coefficients here are computed from tile-local VMEM blocks — no
+    # extra HBM traffic.
+    c4s = {}  # (g, row) -> [B, 4H] = (c_r, c_z, c_n2, c_nh)
+    chs = {}  # (g, row) -> [B, H] carry coefficient (1 - mf) + mf * z
+    for g, (p_ref, href) in enumerate([(p0_ref, h0_ref), (p1_ref, h1_ref)]):
+        hp_all = jnp.dot(
+            href[...].reshape(KT * B, H), wh_ref[g],
+            preferred_element_type=jnp.float32,
+        ) + bh_ref[g][None, :]
+        for k in range(KT):
+            # stream 1's refs are frame-ordered: row rr holds kernel step k
+            row = k if g == 0 else KT - 1 - k
+            mf = mask_ref[k, g][:, None]
+            h_prev = href[row].astype(jnp.float32)
+            r, z, n, hn, _ = _gates_2d(
+                p_ref[row], hp_all[row * B:(row + 1) * B], h_prev
+            )
+            c_n2 = mf * ((1.0 - z) * (1.0 - n * n))
+            c4s[g, row] = jnp.concatenate(
+                [c_n2 * (hn * (r * (1.0 - r))),          # c_r
+                 mf * ((h_prev - n) * (z * (1.0 - z))),  # c_z
+                 c_n2,
+                 c_n2 * r],                              # c_nh
+                axis=-1,
+            )
+            chs[g, row] = (1.0 - mf) + mf * z
+    # Phase 2 — the sequential chain
     for k in reversed(range(KT)):
         rr = KT - 1 - k
-        for g, (xp, href, dy_ref, row, dxp_ref, dhp_ref) in enumerate([
-            (p0_ref[k], h0_ref, dy0_ref, k, dxp0_ref, dhp0_ref),
-            (p1_ref[rr], h1_ref, dy1_ref, rr, dxp1_ref, dhp1_ref),
+        for g, (dy_ref, row, dxp_ref, dhn_ref) in enumerate([
+            (dy0_ref, k, dxp0_ref, dhn0_ref),
+            (dy1_ref, rr, dxp1_ref, dhn1_ref),
         ]):
-            mf = mask_ref[k, g][:, None]
-            h_prev_raw = href[row]
-            h_prev = h_prev_raw.astype(jnp.float32)
-            if hp_pre is not None:
-                hproj = hp_pre[g][row]
-            else:
-                hproj = jnp.dot(
-                    h_prev_raw, wh_ref[g],
-                    preferred_element_type=jnp.float32,
-                ) + bh_ref[g][None, :]
-            r, z, n, hn, _ = _gates_2d(xp, hproj, h_prev)
-
             if dy_fused:  # dy refs are full-width [., B, 2H] views of dout
                 dy = dy_ref[row][:, g * H:(g + 1) * H]
             else:
                 dy = dy_ref[row]
-            dh_total = dh_scr[g] + dy
-            dh_cand = dh_total * mf
-            dh_prev = dh_total * (1.0 - mf)
-
-            dz = dh_cand * (h_prev - n)
-            dn = dh_cand * (1.0 - z)
-            dh_prev = dh_prev + dh_cand * z
-            dn_pre = dn * (1.0 - n * n)
-            dhn = dn_pre * r
-            dr_pre = (dn_pre * hn) * r * (1.0 - r)
-            dz_pre = dz * z * (1.0 - z)
-
-            dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
-            dhproj = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
-            dh_prev = dh_prev + jnp.dot(
+            d = dh_scr[g] + dy
+            e = c4s[g, row] * jnp.concatenate([d, d, d, d], axis=-1)
+            # dxp = (dr_pre, dz_pre, dn_pre); dhproj = (dr_pre, dz_pre,
+            # dhn) — first 2H columns shared, so only dhn (column block 3)
+            # is emitted separately and dwh is reassembled outside from
+            # sliced einsums (saves 2H of output DMA per stream per step)
+            dxp_ref[row] = e[:, :3 * H].astype(dxp_ref.dtype)
+            dhn_ref[row] = e[:, 3 * H:].astype(dhn_ref.dtype)
+            dhproj = jnp.concatenate([e[:, :2 * H], e[:, 3 * H:]], axis=-1)
+            dh_scr[g] = chs[g, row] * d + jnp.dot(
                 dhproj.astype(wh_ref.dtype), wh_ref[g].T,
                 preferred_element_type=jnp.float32,
             )
-            dxp_ref[row] = dxp.astype(dxp_ref.dtype)
-            dhp_ref[row] = dhproj.astype(dhp_ref.dtype)
-            dh_scr[g] = dh_prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -729,7 +738,7 @@ def _bwd2_rule(interpret, res, dout):
         W = H
     rev = lambda b, t, n=ntt: (n - 1 - t, b, 0)  # noqa: E731
     fwdm = lambda b, t: (t, b, 0)  # noqa: E731
-    dxp0, dxp1, dhp0, dhp1 = pl.pallas_call(
+    dxp0, dxp1, dhn0, dhn1 = pl.pallas_call(
         functools.partial(_bwd2_kernel, KT, dy_fused),
         grid=(B // BT, ntt),
         in_specs=[
@@ -749,10 +758,15 @@ def _bwd2_rule(interpret, res, dout):
         out_specs=[
             pl.BlockSpec((KT, BT, H3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((KT, BT, H3), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, BT, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, BT, H3), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, BT, H), fwdm, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((Tp, B, H3), p0.dtype)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H3), p0.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H3), p0.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H), p0.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H), p0.dtype),
+        ],
         scratch_shapes=[pltpu.VMEM((2, BT, H), jnp.float32)],
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -762,20 +776,32 @@ def _bwd2_rule(interpret, res, dout):
     )(p0p, p1p, mask, h0p, h1p, wh, bh, dy0, dy1)
     dxp0 = dxp0[:T]
     dxp1 = dxp1[Tp - T:]
-    dhp0 = dhp0[:T]
-    dhp1 = dhp1[Tp - T:]
+    dhn0 = dhn0[:T]
+    dhn1 = dhn1[Tp - T:]
     # weight grads as whole-trajectory GEMMs; stream-1 pairs line up in
-    # frame order (both h1 and dhp1 are kernel-time-flipped the same way,
-    # and the sum over time is order-invariant)
-    dwh = jnp.stack([
-        jnp.einsum("tbh,tbo->ho", h0, dhp0,
-                   preferred_element_type=jnp.float32),
-        jnp.einsum("tbh,tbo->ho", h1, dhp1,
-                   preferred_element_type=jnp.float32),
-    ]).astype(wh.dtype)
-    dbh = jnp.stack(
-        [dhp0.sum(axis=(0, 1)), dhp1.sum(axis=(0, 1))]
-    ).astype(bh.dtype)
+    # frame order (h1, dxp1, dhn1 are all kernel-time-flipped the same
+    # way, and the sum over time is order-invariant). dhproj = (dr_pre,
+    # dz_pre, dhn) is never materialized: its rz blocks are dxp's first
+    # 2H columns, so the einsums slice instead (the kernel only emits
+    # the H-wide dhn block).
+    def _dwh(h, dxp, dhn):
+        rz = jnp.einsum("tbh,tbo->ho", h, dxp[..., : 2 * H],
+                        preferred_element_type=jnp.float32)
+        nb = jnp.einsum("tbh,tbo->ho", h, dhn,
+                        preferred_element_type=jnp.float32)
+        return jnp.concatenate([rz, nb], axis=-1)
+
+    dwh = jnp.stack(
+        [_dwh(h0, dxp0, dhn0), _dwh(h1, dxp1, dhn1)]
+    ).astype(wh.dtype)
+    dbh = jnp.stack([
+        jnp.concatenate(
+            [dxp0[..., : 2 * H].sum(axis=(0, 1)), dhn0.sum(axis=(0, 1))]
+        ),
+        jnp.concatenate(
+            [dxp1[..., : 2 * H].sum(axis=(0, 1)), dhn1.sum(axis=(0, 1))]
+        ),
+    ]).astype(bh.dtype)
     return (dxp0.astype(p0.dtype), dxp1.astype(p1.dtype), dwh, dbh, None)
 
 
