@@ -696,3 +696,49 @@ def test_export_ssl_featurizer_artifact(tmp_path):
     # [B, T, D] features + [B] lengths
     assert len(meta["output_shapes"]) == 2
     assert len(meta["output_shapes"][0]) == 3
+
+
+@pytest.mark.slow
+def test_frame_ce_cli_train_then_infer(tmp_path):
+    """`prepare synth --align` writes a 4-column list (per-frame phone
+    labels); `train.mode=frame_ce` trains the alignment-supervised
+    pathway (reference ASR_align_DataSet, SURVEY.md §2.2) from it, logs
+    frame_acc, and --mode infer decodes the checkpoint."""
+    data = str(tmp_path / "data")
+    r = _run_prepare(["synth", "--out-dir", data, "--num-utts", "32",
+                      "--num-phones", "8", "--align"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(os.path.join(data, "train.tsv")) as f:
+        first = f.readline().rstrip("\n").split("\t")
+    assert len(first) == 4 and first[3], first  # alignment column present
+
+    model_dir = str(tmp_path / "exp")
+    common = [
+        "-c", "configs/synthetic_smoke.yaml",
+        "--set", f"model_dir={model_dir}",
+        "--set", "train.mode=frame_ce",
+        "--set", "data.synthetic=false",
+        "--set", f"data.train_list={os.path.join(data, 'train.tsv')}",
+        "--set", f"data.dev_list={os.path.join(data, 'dev.tsv')}",
+        "--set", f"data.test_list={os.path.join(data, 'dev.tsv')}",
+        "--set", f"data.vocab_path={os.path.join(data, 'vocab.txt')}",
+        "--set", "data.batch_size=8",
+    ]
+    r = _run_cli(
+        common + ["--mode", "train",
+                  "--set", "train.total_steps=40",
+                  "--set", "train.log_every=10",
+                  "--set", "train.save_every=40"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(model_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    train_recs = [rec for rec in recs if rec["tag"] == "train"]
+    assert train_recs and "frame_acc" in train_recs[-1], train_recs[-1:]
+    # supervision this strong must push frame accuracy well past chance
+    assert train_recs[-1]["frame_acc"] > 0.5, train_recs[-1]
+
+    r2 = _run_cli(common + ["--mode", "infer"], tmp_path)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "PER=" in r2.stdout

@@ -237,3 +237,91 @@ def test_patch_front_ctc_learns(tiny_setup):
         state.params, itertools.islice(_batches(examples, seed=9), 4)
     )
     assert per < 0.5, per
+
+
+def test_frame_ce_learns_from_alignments():
+    """train.mode=frame_ce: the alignment-supervised pathway (reference
+    ASR_align_DataSet, SURVEY.md §2.2) — per-frame CE on the synthetic
+    corpus's exact frame alignments reaches high frame accuracy within
+    a few steps, and greedy decode of the trained posteriors beats
+    chance PER."""
+    import dataclasses
+
+    from uasr.data.dataset import AlignedBatch, aligned_batch_iterator
+    from uasr.train import CTCTrainer
+
+    examples, vocab = make_synthetic_dataset(
+        num_utts=16, num_phones=6, min_len=3, max_len=6, seed=3,
+        with_alignments=True,
+    )
+    cfg = Config(
+        name="frame_ce",
+        frontend=FrontendConfig(num_mel_bins=40, cmvn="utterance"),
+        model=ModelConfig(encoder="classifier", classifier_hidden=64,
+                          classifier_layers=2),
+        train=TrainConfig(mode="frame_ce", total_steps=30, lr=2e-3,
+                          warmup_steps=5),
+        vocab_size=len(vocab),
+    )
+    trainer = CTCTrainer(cfg)
+    assert trainer.frame_ce
+    it = aligned_batch_iterator(
+        examples, batch_size=8, max_audio_samples=16 * 16000 // 10,
+        max_label_len=8, max_frames=160,
+    )
+    batch = AlignedBatch(*map(jnp.asarray, next(iter(it))))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    accs, losses = [], []
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, sub)
+        accs.append(float(aux["frame_acc"]))
+        losses.append(float(aux["loss"]))
+    assert accs[-1] > 0.85, accs[-5:]
+    assert losses[-1] < 0.5 * losses[0]
+    # decode-based eval consumes the aligned batches' first 4 fields
+    per = trainer.evaluate(state.params, [batch])
+    assert per < 0.5, per
+
+
+def test_frame_ce_strided_encoder_label_downsample():
+    """The alignment track is downsampled by frontend.downsample x
+    encoder stride; a strided conv_bigru encoder must still improve
+    frame accuracy (labels land on the right logits frames)."""
+    import dataclasses
+
+    from uasr.data.dataset import AlignedBatch, aligned_batch_iterator
+    from uasr.train import CTCTrainer
+
+    examples, vocab = make_synthetic_dataset(
+        num_utts=8, num_phones=6, min_len=3, max_len=5, seed=4,
+        with_alignments=True,
+    )
+    cfg = Config(
+        name="frame_ce_strided",
+        frontend=FrontendConfig(num_mel_bins=40, cmvn="utterance"),
+        model=ModelConfig(encoder="conv_bigru", hidden_size=48,
+                          num_gru_layers=1, conv_channels=8,
+                          num_conv_layers=2, conv_time_stride=2),
+        train=TrainConfig(mode="frame_ce", lr=3e-3, warmup_steps=5),
+        vocab_size=len(vocab),
+    )
+    from uasr.models.models import encoder_time_subsample
+    assert encoder_time_subsample(cfg.model) == 4
+    trainer = CTCTrainer(cfg)
+    it = aligned_batch_iterator(
+        examples, batch_size=8, max_audio_samples=16 * 16000 // 10,
+        max_label_len=8, max_frames=160,
+    )
+    batch = AlignedBatch(*map(jnp.asarray, next(iter(it))))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    accs = []
+    for i in range(40):
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, sub)
+        accs.append(float(aux["frame_acc"]))
+    assert accs[-1] > 2.0 * max(accs[0], 0.05), (accs[0], accs[-1])

@@ -35,6 +35,11 @@ def _load_source(cfg, split: str):
         "test": cfg.data.test_feature_cache,
     }.get(split)
     if cache_dir:
+        if cfg.train.mode == "frame_ce":
+            raise SystemExit(
+                "train.mode=frame_ce needs per-frame alignments; "
+                "feature caches carry none"
+            )
         from uasr.data.cache import FeatureCache
 
         if cfg.data.vocab_path is None:
@@ -46,6 +51,9 @@ def _load_source(cfg, split: str):
         return ("features", FeatureCache(cache_dir)), load_vocab(
             cfg.data.vocab_path
         )
+    # alignment tracks are only consumed by the frame-CE train step;
+    # infer/test always decodes, so the test split loads plain examples
+    aligned = cfg.train.mode == "frame_ce" and split != "test"
     if cfg.data.synthetic:
         # distinct seed per split so dev/test are held-out strings
         examples, vocab = make_synthetic_dataset(
@@ -55,19 +63,30 @@ def _load_source(cfg, split: str):
             syntax=cfg.data.synthetic_syntax,
             min_len=cfg.data.synthetic_min_len,
             max_len=cfg.data.synthetic_max_len,
+            with_alignments=aligned,
         )
         return ("examples", examples), vocab
     vocab = load_vocab(cfg.data.vocab_path)
     path = getattr(cfg.data, f"{split}_list")
     if path is None:
         raise SystemExit(f"recipe has no data.{split}_list")
-    if cfg.data.streaming:
+    if cfg.data.streaming and not aligned:
+        # frame_ce falls through to the materialized path: the streaming
+        # loader has no alignment track, and alignment-supervised corpora
+        # are TIMIT-scale (forced alignments don't exist at stream scale)
         from uasr.data.loader import StreamingASRDataset
 
         ds = StreamingASRDataset.from_file(
             path, vocab, cfg.frontend.sample_rate
         )
         return ("stream", ds), vocab
+    if aligned:
+        from uasr.data.dataset import ASRAlignDataset
+
+        ads = ASRAlignDataset.from_file(path, vocab, cfg.frontend.sample_rate)
+        return ("examples", [
+            ads.example_with_alignment(i) for i in range(len(ads))
+        ]), vocab
     ds = ASRDataset.from_file(path, vocab, cfg.frontend.sample_rate)
     examples = [ds.example(i) for i in range(len(ds))]
     return ("examples", examples), vocab
@@ -107,6 +126,21 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True,
             num_epochs=num_epochs,
             bucket_boundaries=boundaries,
             decode_threads=cfg.data.loader_threads,
+        )
+    elif kind == "examples" and payload and len(payload[0]) == 3:
+        # (audio, ids, frame_align) triples -> frame-CE batches with the
+        # alignment track padded to the max frontend frame count
+        from uasr.data.dataset import aligned_batch_iterator
+
+        fl, fs = cfg.frontend.frame_length, cfg.frontend.frame_shift
+        it = aligned_batch_iterator(
+            payload,
+            batch_size=cfg.data.batch_size,
+            max_audio_samples=max_samples,
+            max_label_len=cfg.data.max_label_len,
+            max_frames=max(1 + (max_samples - fl) // fs, 1),
+            seed=seed,
+            num_epochs=num_epochs,
         )
     else:
         # materialized examples may hold [T, D] features (selftrain over
@@ -157,7 +191,7 @@ def main(argv=None):
     if args.mode == "infer":
         return _infer(cfg, source, vocab)
     mode = cfg.train.mode
-    if mode == "ctc":
+    if mode in ("ctc", "frame_ce"):
         return _train_ctc(cfg, source, vocab)
     if mode in ("gan", "gan+eodm"):
         return _train_gan(cfg, source, vocab, with_eodm="+eodm" in mode)

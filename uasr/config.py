@@ -319,7 +319,9 @@ class DataConfig:
 
 @dataclass
 class TrainConfig:
-    mode: str = "ctc"  # ctc | gan | eodm | gan+eodm | ssl
+    # ctc | gan | eodm | gan+eodm | ssl | frame_ce (alignment-supervised
+    # per-frame CE, the reference's ASR_align_DataSet pathway)
+    mode: str = "ctc"
     total_steps: int = 1000
     lr: float = 1e-3
     warmup_steps: int = 100

@@ -149,13 +149,22 @@ def synth_tone_audio(
     frames_per_phone: tuple[int, int] = (8, 16),
     noise: float = 0.02,
     rng: np.random.RandomState | None = None,
-) -> np.ndarray:
+    return_align: bool = False,
+):
     """Synthesize audio where phone k is a tone at 250 + 90*k Hz with a
-    random duration — a learnable toy language for tests/benches."""
+    random duration — a learnable toy language for tests/benches.
+
+    With ``return_align`` also returns the frame-level phone-id track
+    (one label per 10 ms frontend frame, window-center assignment) —
+    the synthetic stand-in for forced alignments (reference
+    `ASR_align_DataSet`, SURVEY.md §2.2)."""
     rng = rng or np.random.RandomState(0)
     hop = 160  # one frame @ 10ms/16k
+    frame_len = 400  # 25ms window, matches FrontendConfig defaults
     pieces = []
+    spans = []  # (end_sample_exclusive, phone_id)
     phase = 0.0
+    end = 0
     for k in ids:
         n = int(rng.randint(frames_per_phone[0], frames_per_phone[1] + 1)) * hop
         f = 250.0 + 90.0 * int(k)
@@ -163,9 +172,23 @@ def synth_tone_audio(
         seg = 0.4 * np.sin(phase + 2 * np.pi * f * t / sample_rate)
         phase += 2 * np.pi * f * n / sample_rate
         pieces.append(seg)
+        end += n
+        spans.append((end, int(k)))
     audio = np.concatenate(pieces) if pieces else np.zeros(hop)
-    audio = audio + noise * rng.randn(len(audio))
-    return audio.astype(np.float32)
+    audio = (audio + noise * rng.randn(len(audio))).astype(np.float32)
+    if not return_align:
+        return audio
+    # frame t covers samples [t*hop, t*hop + frame_len); label it with
+    # the phone at the window center (num_frames formula = frontend's)
+    T = max(1 + (len(audio) - frame_len) // hop, 1)
+    align = []
+    si = 0
+    for t in range(T):
+        center = t * hop + frame_len // 2
+        while si < len(spans) - 1 and center >= spans[si][0]:
+            si += 1
+        align.append(spans[si][1] if spans else 0)
+    return audio, align
 
 
 def synthetic_phonotactics(num_phones: int, seed: int = 1234) -> np.ndarray:
@@ -206,12 +229,15 @@ def make_synthetic_dataset(
     seed: int = 0,
     zipf: bool = True,
     syntax: str = "iid",  # iid | markov
-) -> tuple[list[tuple[np.ndarray, list[int]]], Vocab]:
+    with_alignments: bool = False,
+) -> tuple[list, Vocab]:
     """Random phone strings -> tone audio.
 
     syntax="iid": Zipf-ish independent draws (non-trivial unigram stats).
     syntax="markov": strings from `synthetic_phonotactics` — required for
-    unsupervised identifiability (see that docstring)."""
+    unsupervised identifiability (see that docstring).
+    with_alignments=True: examples are (audio, ids, frame_align) triples
+    for frame-CE / alignment-supervised training."""
     rng = np.random.RandomState(seed)
     vocab = make_vocab([f"p{i}" for i in range(num_phones)])
     trans = synthetic_phonotactics(num_phones) if syntax == "markov" else None
@@ -231,7 +257,11 @@ def make_synthetic_dataset(
                 int(x) if x != ids[i] else int(1 + (x % num_phones))
                 for i, x in enumerate(ids[1:])
             ]
-        examples.append((synth_tone_audio(ids, rng=rng), ids))
+        if with_alignments:
+            audio, align = synth_tone_audio(ids, rng=rng, return_align=True)
+            examples.append((audio, ids, align))
+        else:
+            examples.append((synth_tone_audio(ids, rng=rng), ids))
     return examples, vocab
 
 

@@ -331,6 +331,20 @@ class PhoneDiscriminator(nn.Module):
         return score[:, 0]
 
 
+def encoder_time_subsample(cfg: ModelConfig) -> int:
+    """Total time-axis subsampling factor of an encoder (logits frames
+    per input feature frame) — used to downsample forced-alignment
+    label tracks for frame-CE training (reference `ASR_align_DataSet`
+    consumers, SURVEY.md §2.2)."""
+    if cfg.encoder == "classifier":
+        return 1
+    if cfg.encoder == "cnn":
+        return cfg.conv_time_stride  # single strided layer
+    if cfg.encoder in ("conv_bigru", "transformer"):
+        return cfg.conv_time_stride ** cfg.num_conv_layers
+    raise ValueError(f"unknown encoder {cfg.encoder!r}")
+
+
 def build_model(cfg: ModelConfig, vocab_size: int) -> nn.Module:
     if cfg.encoder == "conv_bigru":
         return ConvBiGRUEncoder(cfg, vocab_size)

@@ -240,16 +240,21 @@ def cmd_synth(args):
     from uasr.data.io import write_wav
 
     examples, vocab = make_synthetic_dataset(
-        num_utts=args.num_utts, num_phones=args.num_phones, seed=args.seed
+        num_utts=args.num_utts, num_phones=args.num_phones, seed=args.seed,
+        with_alignments=args.align,
     )
     os.makedirs(args.out_dir, exist_ok=True)
     wav_dir = os.path.join(args.out_dir, "wav")
     lines = []
-    for i, (audio, ids) in enumerate(examples):
+    for i, ex in enumerate(examples):
+        audio, ids = ex[0], ex[1]
         path = os.path.join(wav_dir, f"utt{i:05d}.wav")
         write_wav(path, audio, 16000)
         toks = " ".join(vocab.tokens[j] for j in ids)
-        lines.append(f"utt{i:05d}\t{path}\t{toks}")
+        line = f"utt{i:05d}\t{path}\t{toks}"
+        if args.align:  # 4th column: per-10ms-frame phone labels
+            line += "\t" + " ".join(vocab.tokens[j] for j in ex[2])
+        lines.append(line)
     n_dev = max(args.num_utts // 8, 1)
     with open(os.path.join(args.out_dir, "train.tsv"), "w") as f:
         f.write("\n".join(lines[n_dev:]) + "\n")
@@ -262,8 +267,8 @@ def cmd_synth(args):
     with open(os.path.join(args.out_dir, "vocab.txt"), "w") as f:
         f.write("\n".join(vocab.tokens) + "\n")
     with open(os.path.join(args.out_dir, "text.txt"), "w") as f:
-        f.write("\n".join(" ".join(vocab.tokens[j] for j in ids)
-                          for _, ids in examples) + "\n")
+        f.write("\n".join(" ".join(vocab.tokens[j] for j in ex[1])
+                          for ex in examples) + "\n")
     print(f"wrote {args.num_utts} wavs + lists + vocab -> {args.out_dir}")
 
 
@@ -348,6 +353,9 @@ def main(argv=None):
     s.add_argument("--num-utts", type=int, default=128)
     s.add_argument("--num-phones", type=int, default=16)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--align", action="store_true",
+                   help="write a 4th column of per-frame phone labels "
+                        "(forced-alignment track for train.mode=frame_ce)")
     s.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)

@@ -35,7 +35,7 @@ import optax
 
 from uasr.checkpoint import CheckpointManager
 from uasr.config import Config
-from uasr.data.dataset import Batch, TextBatch
+from uasr.data.dataset import AlignedBatch, Batch, TextBatch
 from uasr.frontend.features import compute_features, frontend_state_from_config
 from uasr.frontend.specaugment import spec_augment
 from uasr.metrics import MetricWriter, log_stdout
@@ -124,6 +124,10 @@ class CTCTrainer:
         self._frontend_state = None
         self.optimizer = make_optimizer(cfg)
         self._jit_cache: dict = {}
+        # frame-CE mode: supervise per-frame phone posteriors with
+        # forced alignments (reference ASR_align_DataSet, SURVEY.md
+        # §2.2) instead of the CTC lattice
+        self.frame_ce = cfg.train.mode == "frame_ce"
 
     @property
     def frontend_state(self):
@@ -162,6 +166,32 @@ class CTCTrainer:
         if fcfg.specaug_time_masks or fcfg.specaug_freq_masks:
             feats = spec_augment(rng, feats, flen, fcfg)
         logits, out_len = self.model.apply(params, feats, flen)
+        if self.frame_ce:
+            from uasr.models.models import encoder_time_subsample
+            from uasr.ops.frame_ce import frame_accuracy, frame_ce_loss
+
+            if not isinstance(batch, AlignedBatch):
+                raise TypeError(
+                    "train.mode=frame_ce needs AlignedBatch batches "
+                    "(list files with an alignment column)"
+                )
+            # alignment labels arrive at the raw 10ms frontend frame
+            # rate; bring them to the logits rate (frontend downsample
+            # x encoder stride), then pad the track to T with -1
+            total = (
+                self.cfg.frontend.downsample
+                * encoder_time_subsample(self.cfg.model)
+            )
+            labels = batch.frame_labels[:, ::total]
+            T = logits.shape[1]
+            if labels.shape[1] < T:
+                labels = jnp.pad(
+                    labels, ((0, 0), (0, T - labels.shape[1])),
+                    constant_values=-1,
+                )
+            loss = frame_ce_loss(logits, out_len, labels)
+            acc = frame_accuracy(logits, out_len, labels)
+            return loss, {"loss": loss, "frame_acc": acc}
         if self.cfg.ctc.use_pallas:
             from uasr.ops.pallas_ctc import ctc_loss_pallas
 
@@ -175,7 +205,7 @@ class CTCTrainer:
                 blank_id=self.cfg.ctc.blank_id,
             )
         loss = jnp.mean(per_utt)
-        return loss, {"ctc_loss": loss}
+        return loss, {"ctc_loss": loss, "loss": loss}
 
     def train_step(self, state: TrainState, batch: Batch, rng) -> tuple:
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
@@ -226,7 +256,9 @@ class CTCTrainer:
         step = self.jitted_eval_step()
         errs, total = 0, 0
         for b in batches:
-            e, t = step(params, Batch(*map(jnp.asarray, b)))
+            # aligned batches carry a 5th (frame_labels) field the
+            # decode-based eval doesn't need
+            e, t = step(params, Batch(*map(jnp.asarray, b[:4])))
             errs += int(e)
             total += int(t)
         return errs / max(total, 1)
@@ -793,7 +825,8 @@ def run_ctc_training(
                 log_stdout(step, "preempt", saving=1)
             break
         rng, sub = jax.random.split(rng)
-        dev_batch = shard_batch(Batch(*batch), trainer.mesh)
+        bt = AlignedBatch(*batch) if len(batch) == 5 else Batch(*batch)
+        dev_batch = shard_batch(bt, trainer.mesh)
         state, aux = step_fn(state, dev_batch, sub)
         audio_sec_acc += float(
             np.sum(batch.audio_lengths) / cfg.frontend.sample_rate
@@ -804,11 +837,13 @@ def run_ctc_training(
             dt = time.time() - t0
             writer.write(
                 step, "train",
-                loss=float(aux["ctc_loss"]),
+                loss=float(aux["loss"]),
                 grad_norm=float(aux["grad_norm"]),
                 audio_sec_per_sec=audio_sec_acc / max(dt, 1e-9),
+                **({"frame_acc": float(aux["frame_acc"])}
+                   if "frame_acc" in aux else {}),
             )
-            log_stdout(step, "train", loss=float(aux["ctc_loss"]),
+            log_stdout(step, "train", loss=float(aux["loss"]),
                        audio_sec_per_sec=audio_sec_acc / max(dt, 1e-9))
             t0, audio_sec_acc = time.time(), 0.0
         if dev_batches_fn and step % cfg.train.eval_every == 0:
