@@ -22,6 +22,56 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+def build_case():
+    """Deterministic tiny training case shared by the workers and the
+    single-process parity check in the test: config, the full global
+    batch, and a CTCTrainer-compatible state builder."""
+    from uasr.config import Config, ModelConfig
+    from uasr.data.dataset import Batch, batch_iterator, make_synthetic_dataset
+
+    examples, vocab = make_synthetic_dataset(
+        num_utts=8, num_phones=6, min_len=3, max_len=5, seed=7
+    )
+    cfg = Config(
+        name="dist_parity",
+        model=ModelConfig(encoder="classifier", classifier_hidden=32,
+                          classifier_layers=2),
+        vocab_size=len(vocab),
+    )
+    full = next(iter(batch_iterator(
+        examples, batch_size=8, max_audio_samples=16 * 16000 // 10,
+        max_label_len=8, seed=0, shuffle=False,
+    )))
+    return cfg, Batch(*map(np.asarray, full))
+
+
+def run_train_step(trainer, state_batch, mesh):
+    """One REAL jitted train step (frontend -> classifier -> CTC ->
+    grads -> Adam) on a (possibly multi-process) mesh; returns
+    (loss, grad_norm) floats. Params are built replicated via a jitted
+    initializer so multi-process execution sees global arrays."""
+    import jax.numpy as jnp
+
+    from uasr.parallel.mesh import replicated
+    from uasr.train import TrainState
+
+    _ = trainer.frontend_state  # materialize the lazy cache OUTSIDE jit
+
+    def build_state(batch):
+        feats, flen = trainer._feats(batch.audio, batch.audio_lengths)
+        params = trainer.model.init(jax.random.PRNGKey(0), feats, flen)
+        return TrainState(
+            jnp.zeros((), jnp.int32), params, trainer.optimizer.init(params)
+        )
+
+    state = jax.jit(build_state, out_shardings=replicated(mesh))(state_batch)
+    step = jax.jit(
+        lambda s, b: trainer.train_step(s, b, jax.random.PRNGKey(1))
+    )
+    _, aux = step(state, state_batch)
+    return float(aux["loss"]), float(aux["grad_norm"])
+
+
 def main():
     pid, n, addr = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     from uasr.parallel.distributed import (
@@ -49,6 +99,21 @@ def main():
 
     total = jax.jit(lambda x: jnp.sum(x))(gb["x"])  # GSPMD all-reduce
     print(f"RESULT {pid} {float(total):.1f}", flush=True)
+
+    # phase 2: a REAL training step across processes — each host
+    # contributes its host_batch_slice rows of the deterministic case,
+    # the jitted step runs SPMD over the global mesh (GSPMD grad psum
+    # crosses the process boundary), and the replicated loss must agree
+    from uasr.data.dataset import Batch
+    from uasr.train import CTCTrainer
+
+    cfg, full = build_case()
+    start, size = host_batch_slice(full.audio.shape[0])
+    local = Batch(*(np.asarray(f)[start:start + size] for f in full))
+    gbatch = make_global_batch(local, mesh)
+    trainer = CTCTrainer(cfg, mesh=mesh)
+    loss, gnorm = run_train_step(trainer, gbatch, mesh)
+    print(f"TRAIN {pid} {loss:.6f} {gnorm:.6f}", flush=True)
     jax.distributed.shutdown()
 
 

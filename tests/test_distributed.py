@@ -72,6 +72,30 @@ def test_two_process_coordination():
     for i, out in enumerate(outs):
         assert f"RESULT {i} 28.0" in out, (i, out)
 
+    # phase 2: a REAL jitted train step (frontend->classifier->CTC->
+    # grads->Adam) ran across the two processes; both replicated losses
+    # must agree with each other AND with a single-process run of the
+    # same deterministic global batch in THIS process
+    import re
+
+    vals = []
+    for i, out in enumerate(outs):
+        m = re.search(rf"TRAIN {i} ([-\d.]+) ([-\d.]+)", out)
+        assert m, (i, out)
+        vals.append((float(m.group(1)), float(m.group(2))))
+    assert vals[0] == pytest.approx(vals[1], rel=1e-5), vals
+
+    from tests._distributed_worker import build_case, run_train_step
+    from uasr.parallel.mesh import shard_batch
+    from uasr.train import CTCTrainer
+
+    cfg, full = build_case()
+    mesh = make_mesh(1)
+    trainer = CTCTrainer(cfg, mesh=mesh)
+    loss1, gnorm1 = run_train_step(trainer, shard_batch(full, mesh), mesh)
+    assert vals[0][0] == pytest.approx(loss1, rel=1e-4), (vals, loss1)
+    assert vals[0][1] == pytest.approx(gnorm1, rel=1e-3), (vals, gnorm1)
+
 
 def test_make_global_batch_places_on_mesh():
     mesh = make_mesh(1)
