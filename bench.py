@@ -533,7 +533,7 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--encoder", default="conv_bigru",
-                   choices=["conv_bigru", "cnn", "transformer"],
+                   choices=["conv_bigru", "cnn", "transformer", "conformer"],
                    help="encoder family for the train-throughput line")
     p.add_argument("--chained", action="store_true",
                    help="all bench iters inside one jitted scan launch")

@@ -20,7 +20,9 @@ CFG = ModelConfig(hidden_size=32, num_gru_layers=1, conv_channels=8,
 V = 12
 
 
-@pytest.mark.parametrize("name", ["conv_bigru", "cnn", "classifier", "transformer"])
+@pytest.mark.parametrize(
+    "name", ["conv_bigru", "cnn", "classifier", "transformer", "conformer"]
+)
 def test_encoder_shapes_and_lengths(name):
     model = build_model(ModelConfig(**{**CFG.__dict__, "encoder": name}), V)
     B, T, D = 2, 37, 40
@@ -179,3 +181,54 @@ def test_patch_front_shapes_and_padding_invariance(name):
         np.testing.assert_allclose(
             np.asarray(a[i, :n]), np.asarray(b[i, :n]), atol=3e-5
         )
+
+
+def test_conformer_padding_invariance():
+    """Conformer blocks (MHSA with rel-pos bias, masked depthwise conv,
+    macaron FFNs) are batch-padding invariant. Padding is a multiple of
+    the front's total stride: SAME-conv padding asymmetry shifts the
+    subsampling grid otherwise (a property of strided SAME convs, shared
+    with the conv2d front everywhere)."""
+    from uasr.models.models import ConformerEncoder
+
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": "conformer",
+                         "transformer_layers": 2, "num_heads": 4,
+                         "conformer_kernel": 7, "conformer_rel_clip": 8})
+    model = ConformerEncoder(cfg, V)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(2, 36, 40), jnp.float32)
+    lengths = jnp.array([36, 13])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, la = model.apply(params, feats, lengths)
+    b, lb = model.apply(
+        params, jnp.pad(feats, ((0, 0), (0, 16), (0, 0))), lengths
+    )
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for i in range(2):
+        n = int(la[i])
+        np.testing.assert_allclose(
+            np.asarray(a[i, :n]), np.asarray(b[i, :n]), atol=3e-5
+        )
+
+
+def test_conformer_rel_bias_shifts_attention():
+    """The learned relative-position bias is live: writing a large value
+    into one relative offset changes the output (guards against the
+    bias being built but dropped by the attention_fn plumbing)."""
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": "conformer",
+                         "transformer_layers": 1, "num_heads": 2,
+                         "conformer_kernel": 3, "conformer_rel_clip": 4})
+    model = build_model(cfg, V)
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(1, 24, 40), jnp.float32)
+    lengths = jnp.array([24])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, _ = model.apply(params, feats, lengths)
+    # bump ONE relative offset only — a constant over the whole table
+    # is invisible to softmax (shift invariance)
+    bumped = jax.tree_util.tree_map_with_path(
+        lambda path, x: x.at[:, 0].add(8.0) if "rel_bias" in str(path)
+        else x, params
+    )
+    b, _ = model.apply(bumped, feats, lengths)
+    assert float(jnp.abs(a - b).max()) > 1e-4

@@ -4,6 +4,7 @@ the global-batch computation, and model-axis sharded params give the
 same forward logits."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -125,15 +126,18 @@ def test_mesh_shapes():
     assert "data" in str(bs.spec)
 
 
-def test_transformer_tp_forward_equivalence():
-    """The transformer encoder's QKV/FFN weights column-shard over the
+@pytest.mark.parametrize("encoder", ["transformer", "conformer"])
+def test_transformer_tp_forward_equivalence(encoder):
+    """The attention encoders' QKV/FFN weights column-shard over the
     model axis via the same generic rule; sharded and replicated
     params must agree."""
     b, vocab = _one_batch()
     cfg = _cfg(len(vocab))
-    cfg.model.encoder = "transformer"
+    cfg.model.encoder = encoder
     cfg.model.transformer_layers = 2
     cfg.model.num_heads = 4
+    cfg.model.conformer_kernel = 7
+    cfg.model.conformer_rel_clip = 8
     mesh = make_mesh(2)
     trainer = CTCTrainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(0), b)

@@ -325,3 +325,35 @@ def test_frame_ce_strided_encoder_label_downsample():
         state, aux = step(state, batch, sub)
         accs.append(float(aux["frame_acc"]))
     assert accs[-1] > 2.0 * max(accs[0], 0.05), (accs[0], accs[-1])
+
+
+@pytest.mark.slow
+def test_conformer_ctc_learns(tiny_setup):
+    """The conformer encoder (macaron FFN / rel-pos MHSA / depthwise
+    conv module) learns the synthetic corpus under CTC and decodes it."""
+    import dataclasses
+
+    examples, vocab, cfg = tiny_setup
+    mcfg = dataclasses.replace(
+        cfg.model, encoder="conformer", hidden_size=64,
+        transformer_layers=2, num_heads=4, ffn_dim=128,
+        conformer_kernel=7, conformer_rel_clip=16,
+    )
+    tcfg = dataclasses.replace(cfg, model=mcfg)
+    trainer = CTCTrainer(tcfg)
+    it = iter(_batches(examples))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(150):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, b, sub)
+        losses.append(float(aux["ctc_loss"]))
+    assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+    per = trainer.evaluate(
+        state.params, itertools.islice(_batches(examples, seed=9), 4)
+    )
+    assert per < 0.3, per

@@ -123,7 +123,8 @@ class ModelConfig:
     generator, and a conv PhoneDiscriminator critic.
     """
 
-    encoder: str = "conv_bigru"  # conv_bigru | cnn | classifier | transformer
+    # conv_bigru | cnn | classifier | transformer | conformer
+    encoder: str = "conv_bigru"
     hidden_size: int = 256
     num_gru_layers: int = 2
     gru_unroll: int = 4  # lax.scan unroll of the recurrent body
@@ -150,6 +151,11 @@ class ModelConfig:
     transformer_layers: int = 4
     num_heads: int = 8
     ffn_dim: int = 0  # 0 -> 4 * hidden_size
+    # Conformer encoder (encoder: conformer) — shares the transformer
+    # depth/heads/ffn fields; adds the conv-module kernel and the
+    # relative-position bias clip radius
+    conformer_kernel: int = 15
+    conformer_rel_clip: int = 64
     # PhoneClassifier (GAN generator / EODM model)
     classifier_hidden: int = 512
     classifier_layers: int = 2

@@ -17,6 +17,8 @@ across families.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -198,6 +200,109 @@ class TransformerEncoder(nn.Module):
         return logits, lengths
 
 
+class ConformerConvModule(nn.Module):
+    """Conformer convolution module: pointwise GLU -> masked depthwise
+    conv -> LayerNorm (BatchNorm-free: no mutable state under jit, and
+    LN is the standard TPU-friendly substitution) -> swish -> pointwise."""
+
+    hidden: int
+    kernel: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        x = nn.Dense(2 * self.hidden, dtype=self.dtype, name="pw_in")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)  # GLU
+        # zero padding frames so the depthwise window never reads them
+        x = x * _length_mask(x, lengths)
+        x = nn.Conv(
+            self.hidden, (self.kernel,), feature_group_count=self.hidden,
+            padding="SAME", dtype=self.dtype, name="depthwise",
+        )(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.swish(x)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="pw_out")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """conv subsampling -> N conformer blocks -> dense logits.
+
+    Beyond the reference model zoo (conv/GRU only — SURVEY.md §2.2):
+    the conv-augmented attention encoder (Gulati et al. 2020) with
+    macaron half-FFNs, MHSA carrying a learned clipped relative-
+    position bias (T5/Shaw-style [heads, 2R+1] table indexed by a
+    static Toeplitz map — T is static under jit, so the bias build is
+    trace-time gather + add, no dynamic shapes), and a masked depthwise
+    conv module. Projections reuse flax MHA's DenseGeneral weights, so
+    the generic model-axis TP sharding rule applies unchanged."""
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x, lengths = _subsample_front(cfg, feats, lengths, dt)
+        B, T, _ = x.shape
+        x = nn.Dense(cfg.hidden_size, dtype=dt, name="in_proj")(x)
+        x = x * _length_mask(x, lengths)
+        key_mask = (jnp.arange(T)[None, :] < lengths[:, None])
+        attn_mask = key_mask[:, None, None, :]  # [B, 1, 1(q), T(k)]
+        ffn = cfg.ffn_dim or 4 * cfg.hidden_size
+        deterministic = not self.has_rng("dropout")
+        R = cfg.conformer_rel_clip
+        # static Toeplitz index of clipped relative distance (j - i)
+        rel_idx = jnp.clip(
+            jnp.arange(T)[None, :] - jnp.arange(T)[:, None], -R, R
+        ) + R  # [T, T] in [0, 2R]
+        for i in range(cfg.transformer_layers):
+            # macaron half-FFN
+            h = nn.LayerNorm(dtype=dt, name=f"ln_f1_{i}")(x)
+            h = nn.Dense(ffn, dtype=dt, name=f"ffn1_in{i}")(h)
+            h = nn.swish(h)
+            h = nn.Dense(cfg.hidden_size, dtype=dt, name=f"ffn1_out{i}")(h)
+            x = x + 0.5 * h
+            # MHSA with relative-position bias
+            table = self.param(
+                f"rel_bias{i}", nn.initializers.zeros,
+                (cfg.num_heads, 2 * R + 1), jnp.float32,
+            )
+            bias = table[:, rel_idx][None]  # [1, H, T, T]
+            h = nn.LayerNorm(dtype=dt, name=f"ln_a{i}")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads,
+                dtype=dt,
+                dropout_rate=cfg.dropout,
+                deterministic=deterministic,
+                attention_fn=functools.partial(
+                    nn.dot_product_attention, bias=bias.astype(dt)
+                ),
+                name=f"mha{i}",
+            )(h, h, mask=attn_mask)
+            x = x + h
+            x = x * _length_mask(x, lengths)
+            # conv module
+            h = nn.LayerNorm(dtype=dt, name=f"ln_c{i}")(x)
+            h = ConformerConvModule(
+                hidden=cfg.hidden_size, kernel=cfg.conformer_kernel,
+                dtype=dt, name=f"cfm_conv{i}",
+            )(h, lengths)
+            x = x + h
+            # second half-FFN
+            h = nn.LayerNorm(dtype=dt, name=f"ln_f2_{i}")(x)
+            h = nn.Dense(ffn, dtype=dt, name=f"ffn2_in{i}")(h)
+            h = nn.swish(h)
+            h = nn.Dense(cfg.hidden_size, dtype=dt, name=f"ffn2_out{i}")(h)
+            x = x + 0.5 * h
+            x = nn.LayerNorm(dtype=dt, name=f"ln_post{i}")(x)
+            x = x * _length_mask(x, lengths)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        logits = logits * _length_mask(logits, lengths)
+        return logits, lengths
+
+
 class CNNEncoder(nn.Module):
     """Pure-CNN CTC encoder: stacked 1-D convs over time (dilated stack
     for receptive field), one strided layer for subsampling. No
@@ -340,7 +445,7 @@ def encoder_time_subsample(cfg: ModelConfig) -> int:
         return 1
     if cfg.encoder == "cnn":
         return cfg.conv_time_stride  # single strided layer
-    if cfg.encoder in ("conv_bigru", "transformer"):
+    if cfg.encoder in ("conv_bigru", "transformer", "conformer"):
         return cfg.conv_time_stride ** cfg.num_conv_layers
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
 
@@ -354,4 +459,6 @@ def build_model(cfg: ModelConfig, vocab_size: int) -> nn.Module:
         return PhoneClassifier(cfg, vocab_size)
     if cfg.encoder == "transformer":
         return TransformerEncoder(cfg, vocab_size)
+    if cfg.encoder == "conformer":
+        return ConformerEncoder(cfg, vocab_size)
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
