@@ -525,6 +525,72 @@ def run_baseline(B=16, seconds=8.0, iters=3):
     return B * seconds * iters / dt, float(aux["ctc_loss"])
 
 
+def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10):
+    """Online serving latency: per-chunk wall time of the jitted
+    StreamingRecognizer step (frontend chunk + window encoder + greedy
+    emit), host read of the emitted-token counts every chunk — exactly
+    the online serving loop, so the per-dispatch cost is PART of the
+    metric, not hidden in a scan. Content is unique per chunk (real
+    random audio), so the tunnel cache cannot serve repeats."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.config import (
+        Config, CTCConfig, FrontendConfig, ModelConfig, TrainConfig,
+    )
+    from uasr.frontend.features import compute_features
+    from uasr.serve import StreamingRecognizer
+    from uasr.train import CTCTrainer
+
+    cfg = Config(
+        name="bench_stream",
+        frontend=FrontendConfig(num_mel_bins=80, cmvn="streaming",
+                                streaming_chunk_frames=chunk_frames,
+                                precision="high"),
+        # the AISHELL streaming recipe's encoder shape (finite RF)
+        model=ModelConfig(encoder="cnn", hidden_size=384,
+                          num_conv_layers=2, conv_time_stride=2,
+                          conv_kernel=5, dtype="bfloat16"),
+        ctc=CTCConfig(),
+        train=TrainConfig(),
+        vocab_size=64,
+    )
+    cs = chunk_frames * cfg.frontend.frame_shift
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(
+        rng.randn(B, cs * (warmup + n_chunks)).astype(np.float32) * 0.1
+    )
+    trainer = CTCTrainer(cfg)
+    f0, l0 = compute_features(
+        audio[:, :cs], jnp.full((B,), cs), trainer.frontend_state,
+        cfg.frontend,
+    )
+    params = trainer.model.init(jax.random.PRNGKey(0), f0, l0)
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk_frames)
+    st = rec.init(B)
+    for k in range(warmup):
+        st, ids, counts = rec.step(st, audio[:, k * cs : (k + 1) * cs])
+        _ = int(counts.sum())
+    lat = []
+    for k in range(warmup, warmup + n_chunks):
+        t0 = time.time()
+        st, ids, counts = rec.step(st, audio[:, k * cs : (k + 1) * cs])
+        _ = int(counts.sum())  # host read = the serving fence
+        lat.append(time.time() - t0)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    chunk_sec = chunk_frames * cfg.frontend.frame_shift_ms / 1000.0
+    p50 = lat_ms[len(lat_ms) // 2]
+    return {
+        "mode": f"streaming:B{B}xC{chunk_frames}",
+        "chunk_ms": round(chunk_sec * 1e3, 1),
+        "latency_ms_p50": round(p50, 2),
+        "latency_ms_p95": round(lat_ms[int(len(lat_ms) * 0.95)], 2),
+        "x_realtime": round(B * chunk_sec / (p50 / 1e3), 0),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--baseline", action="store_true")
@@ -549,7 +615,18 @@ def main():
     p.add_argument("--beam-width", type=int, default=8)
     p.add_argument("--merge-impl", default="fold",
                    choices=["fold", "pairwise", "sort", "pallas"])
+    p.add_argument("--streaming", action="store_true",
+                   help="online serving per-chunk latency "
+                        "(StreamingRecognizer step)")
+    p.add_argument("--chunk-frames", type=int, default=64)
     args = p.parse_args()
+
+    if args.streaming:
+        print(json.dumps(run_streaming(
+            B=args.batch if args.batch != 128 else 8,
+            chunk_frames=args.chunk_frames,
+        )))
+        return
 
     if args.decode:
         print(json.dumps(run_decode(

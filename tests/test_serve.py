@@ -1,0 +1,201 @@
+"""Online streaming recognizer (uasr/serve.py): parity with the offline
+decode path, chunk-size/encoder validation.
+
+Numerics note: the parity contract is jit-vs-jit. The running-CMVN
+cumulative sums are cancellation-sensitive, and eager execution fuses
+differently from jit (measured ~2e-4 feature drift eager-vs-jit, while
+per-chunk jit is BIT-IDENTICAL to the offline lax.scan path). All
+offline references here are therefore jitted, like every real
+training/inference path in the framework.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import Config, CTCConfig, FrontendConfig, ModelConfig
+from uasr.data.dataset import Batch, batch_iterator, make_synthetic_dataset
+from uasr.frontend.features import compute_features
+from uasr.ops.decode import ctc_greedy_decode
+from uasr.serve import StreamingRecognizer, streaming_receptive_field
+from uasr.train import CTCTrainer
+
+
+def _cfg(encoder="cnn", chunk=32):
+    return Config(
+        name="serve_test",
+        frontend=FrontendConfig(
+            num_mel_bins=40, cmvn="streaming", streaming_chunk_frames=chunk,
+        ),
+        model=ModelConfig(
+            encoder=encoder, hidden_size=32, num_conv_layers=2,
+            conv_time_stride=2, conv_kernel=5, classifier_hidden=32,
+            classifier_context=3,
+        ),
+        ctc=CTCConfig(blank_id=0),
+        vocab_size=10,
+    )
+
+
+def _padded_audio(examples, chunk_samples):
+    B = len(examples)
+    L = max(len(a) for a, _ in examples)
+    L = -(-L // chunk_samples) * chunk_samples  # pad to chunk multiple
+    audio = np.zeros((B, L), np.float32)
+    for b, (a, _) in enumerate(examples):
+        audio[b, : len(a)] = a
+    return audio, np.full((B,), L, np.int64)
+
+
+def _offline(trainer, params, audio, lengths, blank):
+    """Jitted offline pipeline: features -> encoder -> greedy decode."""
+
+    @jax.jit
+    def run(audio, lengths):
+        feats, flen = compute_features(
+            audio, lengths, trainer.frontend_state, trainer.cfg.frontend
+        )
+        logits, out_len = trainer.model.apply(params, feats, flen)
+        ids, n = ctc_greedy_decode(logits, out_len, blank)
+        return logits, ids, n
+
+    logits, ids, n = run(jnp.asarray(audio), jnp.asarray(lengths))
+    toks = [list(np.asarray(ids[b, : int(n[b])])) for b in range(len(n))]
+    return np.asarray(logits), toks
+
+
+def _streamed(rec, audio, chunk_samples):
+    B, L = audio.shape
+    st = rec.init(B)
+    got = [[] for _ in range(B)]
+
+    def collect(ids, counts):
+        for b in range(B):
+            got[b].extend(int(x) for x in np.asarray(ids[b, : int(counts[b])]))
+
+    for s in range(0, L, chunk_samples):
+        st, ids, counts = rec.step(st, audio[:, s : s + chunk_samples])
+        collect(ids, counts)
+    _, ids, counts = rec.finish(st)
+    collect(ids, counts)
+    return got
+
+
+@pytest.mark.parametrize("encoder,chunk", [("cnn", 32), ("classifier", 16)])
+def test_streaming_region_logits_match_offline(encoder, chunk):
+    """Each decoded region's logits match the corresponding slice of the
+    offline full-utterance logits (random weights: the window/context
+    arithmetic must hold for ANY parameters, not just trained ones)."""
+    cfg = _cfg(encoder, chunk)
+    half, sub = streaming_receptive_field(cfg.model)
+    assert chunk >= half
+    examples, vocab = make_synthetic_dataset(
+        num_utts=3, num_phones=6, min_len=4, max_len=7, seed=5
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples, cs)
+    B, L = audio.shape
+
+    trainer = CTCTrainer(cfg)
+    f0, l0 = compute_features(
+        jnp.asarray(audio[:, :cs]), jnp.asarray(np.full((B,), cs)),
+        trainer.frontend_state, cfg.frontend,
+    )
+    params = trainer.model.init(jax.random.PRNGKey(3), f0, l0)
+    logits_off, _ = _offline(trainer, params, audio, lengths, cfg.ctc.blank_id)
+
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    region_fn = jax.jit(rec._decode_region_logits)
+    st = rec.init(B)
+    n_chunks = L // cs
+    K = chunk // sub
+    for k in range(n_chunks):
+        st, _, _ = rec.step(st, jnp.asarray(audio[:, k * cs : (k + 1) * cs]))
+        if k >= 1:
+            reg = region_fn(
+                st.feat_buf, st.n_frames,
+                jnp.maximum(st.n_frames - 2 * chunk, 0),
+            )
+            np.testing.assert_allclose(
+                np.asarray(reg), logits_off[:, (k - 1) * K : k * K],
+                atol=2e-4, err_msg=f"chunk {k}",
+            )
+    reg = region_fn(st.feat_buf, st.n_frames, st.n_frames - chunk)
+    np.testing.assert_allclose(
+        np.asarray(reg), logits_off[:, (n_chunks - 1) * K :], atol=2e-4,
+        err_msg="final region",
+    )
+
+
+def test_streaming_matches_offline_greedy_trained():
+    """Token-level parity on a briefly-trained model: the streamed
+    transcript equals the offline greedy decode (the serving contract
+    users actually rely on)."""
+    chunk = 32
+    cfg = _cfg("cnn", chunk)
+    examples, vocab = make_synthetic_dataset(
+        num_utts=32, num_phones=6, min_len=3, max_len=6, seed=0
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    trainer = CTCTrainer(cfg)
+    it = iter(batch_iterator(examples, 8, 16 * 16000 // 10, 8, seed=0,
+                             num_epochs=None))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    for i in range(40):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, b, sub)
+    params = jax.device_get(state.params)
+
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples[:4], cs)
+    _, offline_toks = _offline(trainer, params, audio, lengths,
+                               cfg.ctc.blank_id)
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    streamed = _streamed(rec, jnp.asarray(audio), cs)
+    assert streamed == offline_toks, (streamed, offline_toks)
+    # sanity: the model actually says something
+    assert any(len(t) for t in streamed)
+
+
+def test_streaming_rejects_unbounded_encoders():
+    cfg = _cfg("cnn")
+    with pytest.raises(ValueError, match="unbounded"):
+        streaming_receptive_field(
+            ModelConfig(**{**cfg.model.__dict__, "encoder": "conv_bigru"})
+        )
+
+
+def test_streaming_rejects_offline_cmvn():
+    cfg = _cfg("cnn")
+    cfg.frontend = FrontendConfig(
+        num_mel_bins=40, cmvn="utterance", streaming_chunk_frames=32
+    )
+    with pytest.raises(ValueError, match="cmvn"):
+        StreamingRecognizer(cfg, params={})
+
+
+def test_streaming_chunk_size_validation():
+    cfg = _cfg("cnn", chunk=32)
+    examples, vocab = make_synthetic_dataset(num_utts=1, num_phones=4, seed=1)
+    cfg = cfg.replace(vocab_size=len(vocab))
+    trainer = CTCTrainer(cfg)
+    a = examples[0][0]
+    f0, l0 = compute_features(
+        jnp.asarray(a[None, : 32 * 160]), jnp.asarray([32 * 160]),
+        trainer.frontend_state, cfg.frontend,
+    )
+    params = trainer.model.init(jax.random.PRNGKey(0), f0, l0)
+    rec = StreamingRecognizer(cfg, params, chunk_frames=32)
+    st = rec.init(1)
+    with pytest.raises(ValueError, match="samples"):
+        rec.step(st, jnp.zeros((1, 100)))
+    # too-small chunk (< receptive field) rejected at construction
+    with pytest.raises(ValueError, match="receptive"):
+        StreamingRecognizer(cfg, params, chunk_frames=8)

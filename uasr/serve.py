@@ -1,0 +1,252 @@
+"""Online streaming recognizer: chunked audio in, incremental tokens out.
+
+Serving-side counterpart of the streaming frontend (BASELINE.json
+config #4, SURVEY.md §5 "long-context / streaming seam"). The reference
+had no serving path at all — inference was offline batch decode
+(SURVEY.md §3.4); this module makes the same checkpoint answer online
+with bounded latency and an EXACT-parity guarantee:
+
+    streamed tokens == offline greedy decode of the full utterance
+
+for encoders with a finite receptive field (``cnn``, ``classifier``),
+provided ``chunk_frames`` and ``lookback_frames`` each cover the
+receptive-field half-width (checked at construction). Attention / BiGRU
+encoders have unbounded context and are rejected with a clear error.
+
+How it works (all static shapes, everything jitted):
+
+  - audio arrives in fixed chunks of ``chunk_frames * frame_shift``
+    samples; the causal streaming frontend (`stream_chunk`) turns each
+    into exactly ``chunk_frames`` feature frames (running CMVN state
+    carried across chunks, so features are bit-identical to the
+    offline `streaming_features` path);
+  - a rolling window of W = lookback + 2*chunk feature frames is kept;
+    the encoder runs on the whole window each step and the logits of
+    the *previous* chunk's region — which now has a full chunk of real
+    right context — are decoded (one-chunk emission latency);
+  - CTC greedy collapse carries the last raw argmax id across chunk
+    boundaries, so repeats spanning a boundary collapse exactly as in
+    the offline decode;
+  - `finish()` decodes the final region against the encoder's own
+    length masking, matching the offline tail exactly.
+
+The chunk step is a pure function (state, chunk) -> (state, ids,
+counts); per-chunk latency on hardware is the serving metric
+(`bench.py --streaming`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uasr.config import Config, ModelConfig
+from uasr.frontend.features import frontend_state_from_config
+from uasr.frontend.streaming import (
+    StreamState,
+    init_stream_state,
+    stream_chunk,
+)
+from uasr.models import build_model
+
+
+def streaming_receptive_field(cfg: ModelConfig) -> tuple[int, int]:
+    """(half_width_in_feature_frames, time_subsample) of a finite-RF
+    encoder. Raises for encoders whose context is unbounded (BiGRU scans
+    the whole utterance; attention is global)."""
+    if cfg.encoder == "classifier":
+        return cfg.classifier_context, 1
+    if cfg.encoder == "cnn":
+        half = cfg.conv_kernel // 2  # first (strided) conv, input rate
+        s = cfg.conv_time_stride
+        for _ in range(max(cfg.num_conv_layers, 1) - 1):
+            half += (cfg.conv_kernel // 2) * s
+        for i in range(2):  # dilated residual stack
+            half += (cfg.conv_kernel // 2) * (2 ** (i + 1)) * s
+        return half, s
+    raise ValueError(
+        f"encoder {cfg.encoder!r} has unbounded context and cannot "
+        "stream exactly; use 'cnn' or 'classifier' for online serving"
+    )
+
+
+class RecognizerState(NamedTuple):
+    frontend: StreamState
+    feat_buf: jax.Array  # [B, W, D] rolling feature window (left-aligned)
+    n_frames: jax.Array  # [] int32 — feature frames received so far
+    prev_id: jax.Array  # [B] last raw argmax id of the decoded prefix
+
+
+class StreamingRecognizer:
+    """Chunked online inference over a trained CTC checkpoint.
+
+    Usage:
+        rec = StreamingRecognizer(cfg, params)
+        st = rec.init(batch)
+        for chunk in audio_chunks:          # [B, chunk_samples] each
+            st, ids, counts = rec.step(st, chunk)
+        st, ids, counts = rec.finish(st)
+
+    Each `step`/`finish` returns up to chunk_frames//subsample new token
+    ids per stream, left-compacted and padded with -1; `counts[b]` says
+    how many are valid. Audio must arrive in exact multiples of the
+    chunk size (pad the tail with zeros — the offline path pads the
+    same way, so parity is preserved).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        chunk_frames: int | None = None,
+        lookback_frames: int | None = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.model = build_model(cfg.model, cfg.dim_output)
+        self.fe = frontend_state_from_config(cfg.frontend)
+        half, sub = streaming_receptive_field(cfg.model)
+        self.subsample = sub
+        C = chunk_frames or cfg.frontend.streaming_chunk_frames or 64
+        if C % sub:
+            raise ValueError(
+                f"chunk ({C}) must be a multiple of the encoder "
+                f"subsampling ({sub})"
+            )
+        # lookback: at least the receptive field, rounded UP to a chunk
+        # multiple so the rolling buffer fills exactly before it starts
+        # shifting (the shift is then always one whole chunk)
+        Lb = -(-max(lookback_frames or half, 1) // C) * C
+        if C < half:
+            raise ValueError(
+                f"chunk_frames {C} < receptive-field half-width {half}: "
+                "the decoded region would need context beyond the window"
+            )
+        if Lb < half:
+            raise ValueError(
+                f"lookback_frames {Lb} < receptive-field half-width {half}"
+            )
+        if cfg.frontend.cmvn != "streaming":
+            raise ValueError(
+                "online serving needs frontend.cmvn: streaming (causal "
+                f"running stats); got {cfg.frontend.cmvn!r} — offline "
+                "CMVN modes read the whole utterance"
+            )
+        if cfg.frontend.downsample != 1 or cfg.frontend.splice_left or \
+                cfg.frontend.splice_right:
+            raise ValueError(
+                "streaming serving supports downsample=1 / no splicing "
+                "(the chunked frontend emits frame-rate features)"
+            )
+        self.chunk = C
+        self.lookback = Lb
+        self.window = Lb + 2 * C
+        self.blank = cfg.ctc.blank_id
+        self._step = jax.jit(self._step_impl)
+        self._finish = jax.jit(self._finish_impl)
+
+    # ---- public API
+
+    def init(self, batch: int) -> RecognizerState:
+        D = self.cfg.frontend.num_mel_bins
+        return RecognizerState(
+            frontend=init_stream_state(batch, self.cfg.frontend),
+            feat_buf=jnp.zeros((batch, self.window, D), jnp.float32),
+            n_frames=jnp.zeros((), jnp.int32),
+            prev_id=jnp.full((batch,), self.blank, jnp.int32),
+        )
+
+    def step(self, state: RecognizerState, audio_chunk):
+        """Consume chunk_frames*frame_shift samples; emit the tokens of
+        the PREVIOUS chunk's region (empty on the first call)."""
+        S = self.chunk * self.cfg.frontend.frame_shift
+        if audio_chunk.shape[-1] != S:
+            raise ValueError(
+                f"chunk must be exactly {S} samples "
+                f"({self.chunk} frames), got {audio_chunk.shape[-1]}"
+            )
+        return self._step(state, jnp.asarray(audio_chunk))
+
+    def finish(self, state: RecognizerState):
+        """Decode the final region (the last chunk received)."""
+        return self._finish(state)
+
+    # ---- jitted internals
+
+    def _push(self, buf, n_prev, feats):
+        """Append `chunk` frames, left-aligned; roll once full."""
+        C, W = self.chunk, self.window
+
+        def grow(_):
+            return jax.lax.dynamic_update_slice(buf, feats, (0, n_prev, 0))
+
+        def roll(_):
+            rolled = jnp.roll(buf, -C, axis=1)
+            return jax.lax.dynamic_update_slice(rolled, feats, (0, W - C, 0))
+
+        return jax.lax.cond(n_prev + C <= W, grow, roll, None)
+
+    def _decode_region_logits(self, buf, n, region_start):
+        """Run the encoder on the window; return the logits of feature
+        frames [region_start, region_start + chunk)."""
+        C, W, s = self.chunk, self.window, self.subsample
+        B = buf.shape[0]
+        valid = jnp.minimum(n, W)
+        lengths = jnp.broadcast_to(valid.astype(jnp.int32), (B,))
+        logits, _ = self.model.apply(self.params, buf, lengths)
+        a = jnp.maximum(n - W, 0)  # absolute frame index of buffer row 0
+        off = (region_start - a) // s
+        return jax.lax.dynamic_slice(
+            logits, (0, off, 0), (B, C // s, logits.shape[2])
+        )
+
+    def _decode_region(self, buf, n, region_start):
+        region = self._decode_region_logits(buf, n, region_start)
+        return jnp.argmax(region, axis=-1).astype(jnp.int32)
+
+    def _emit(self, ids, prev_id, active):
+        """CTC greedy collapse with carried prev id; returns
+        (ids_out [B, K] padded with -1, counts [B], new_prev)."""
+        B, K = ids.shape
+        prev_shift = jnp.concatenate([prev_id[:, None], ids[:, :-1]], axis=1)
+        keep = (ids != prev_shift) & (ids != self.blank) & active
+        pos = jnp.cumsum(keep, axis=1) - 1  # target slot per kept token
+        out = jnp.full((B, K + 1), -1, jnp.int32)
+        rows = jnp.arange(B)[:, None]
+        # dump dropped tokens into the K-th scratch column
+        out = out.at[rows, jnp.where(keep, pos, K)].set(
+            jnp.where(keep, ids, -1)
+        )
+        counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+        new_prev = jnp.where(active[:, 0], ids[:, -1], prev_id)
+        return out[:, :K], counts, new_prev
+
+    def _step_impl(self, state: RecognizerState, audio_chunk):
+        C = self.chunk
+        fstate, feats = stream_chunk(
+            state.frontend, audio_chunk, self.fe, self.cfg.frontend
+        )
+        buf = self._push(state.feat_buf, state.n_frames, feats)
+        n = state.n_frames + C
+        # decode the previous chunk's region once it has C frames of
+        # real right context; before that (first call) emit nothing
+        can = n >= 2 * C
+        start = jnp.maximum(n - 2 * C, 0)
+        ids = self._decode_region(buf, n, start)
+        B = ids.shape[0]
+        active = jnp.broadcast_to(can, (B, ids.shape[1]))
+        out, counts, prev = self._emit(ids, state.prev_id, active)
+        return RecognizerState(fstate, buf, n, prev), out, counts
+
+    def _finish_impl(self, state: RecognizerState):
+        C = self.chunk
+        n = state.n_frames
+        can = n >= C
+        start = jnp.maximum(n - C, 0)
+        ids = self._decode_region(state.feat_buf, n, start)
+        B = ids.shape[0]
+        active = jnp.broadcast_to(can, (B, ids.shape[1]))
+        out, counts, prev = self._emit(ids, state.prev_id, active)
+        return state._replace(prev_id=prev), out, counts
