@@ -742,3 +742,39 @@ def test_frame_ce_cli_train_then_infer(tmp_path):
     r2 = _run_cli(common + ["--mode", "infer"], tmp_path)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "PER=" in r2.stdout
+
+
+@pytest.mark.slow
+def test_stream_tool_transcribes(tmp_path):
+    """`uasr.tools.stream` restores a checkpoint trained with the
+    streaming-CMVN frontend and transcribes utterances chunk by chunk
+    (the online serving loop as a CLI)."""
+    model_dir = str(tmp_path / "exp")
+    common = [
+        "-c", "configs/synthetic_smoke.yaml",
+        "--set", f"model_dir={model_dir}",
+        "--set", "frontend.cmvn=streaming",
+        "--set", "frontend.streaming_chunk_frames=32",
+    ]
+    r = _run_cli(
+        common + ["--mode", "train",
+                  "--set", "train.total_steps=40",
+                  "--set", "train.save_every=40",
+                  "--set", "train.log_every=20"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "uasr.tools.stream", *common,
+         "--max-utts", "6", "--batch", "3", "--chunk-frames", "32"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("utt")]
+    assert len(lines) == 6, r2.stdout
+    assert all("\t" in ln for ln in lines)
+    assert "PER=" in r2.stderr, r2.stderr[-500:]
