@@ -152,3 +152,57 @@ def test_transformer_tp_forward_equivalence(encoder):
         sharded_params, shard_batch(gb, mesh), rng
     )
     np.testing.assert_allclose(float(loss_tp), float(loss_rep), rtol=1e-5)
+
+
+@pytest.mark.parametrize("encoder", ["transformer", "conformer"])
+def test_sequence_shard_parity(encoder):
+    """model.sequence_shard (SURVEY.md §5 sequence-parallel seam):
+    activations' time axis is sharding-constrained over the model mesh
+    axis between attention blocks. Values and gradients must equal the
+    unconstrained run — GSPMD may only move data, never change math."""
+    b, vocab = _one_batch()
+    base = _cfg(len(vocab))
+    base.model.encoder = encoder
+    base.model.transformer_layers = 2
+    base.model.num_heads = 4
+    base.model.conformer_kernel = 7
+    base.model.conformer_rel_clip = 8
+    mesh = make_mesh(4)  # (data=2, model=4) on the 8-device CPU mesh
+
+    import dataclasses
+
+    cfg_sp = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, sequence_shard=True)
+    )
+    tr_plain = CTCTrainer(base, mesh=mesh)
+    tr_sp = CTCTrainer(cfg_sp, mesh=mesh)
+    state = tr_plain.init_state(jax.random.PRNGKey(0), b)
+    gb = Batch(*map(jnp.asarray, b))
+    rng = jax.random.PRNGKey(42)
+
+    def lossgrad(trainer):
+        return jax.jit(jax.value_and_grad(
+            lambda p: trainer._loss(p, gb, rng)[0]
+        ))(state.params)
+
+    (l0, g0), (l1, g1) = lossgrad(tr_plain), lossgrad(tr_sp)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    # resharding changes f32 reduction order — bound the drift by each
+    # leaf's RELATIVE L2 error, with an absolute floor for analytically-
+    # zero grads (the MHA key bias: softmax is shift-invariant per
+    # query, so its true grad is 0 and both sides are ~1e-7 noise)
+    for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        a, c = np.asarray(a), np.asarray(c)
+        d = np.linalg.norm(a - c)
+        rel = d / (np.linalg.norm(a) + 1e-8)
+        assert rel < 1e-3 or d < 1e-5, (a.shape, rel, d)
+
+
+def test_sequence_shard_rejected_for_finite_rf_encoders():
+    from uasr.models.models import build_model
+
+    cfg = _cfg(10)
+    cfg.model.sequence_shard = True
+    cfg.model.encoder = "cnn"
+    with pytest.raises(ValueError, match="sequence_shard"):
+        build_model(cfg.model, 10)

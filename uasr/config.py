@@ -156,6 +156,13 @@ class ModelConfig:
     # relative-position bias clip radius
     conformer_kernel: int = 15
     conformer_rel_clip: int = 64
+    # Sequence parallelism for the attention encoders (SURVEY.md §5
+    # "sequence sharding can ride the same mesh axis"): between blocks,
+    # activations' TIME axis is sharding-constrained over the model
+    # mesh axis, so LayerNorm/FFN elementwise work runs sequence-
+    # sharded and GSPMD inserts the all-gather/reduce-scatter pair
+    # around each attention/GEMM (Megatron-SP). No-op on a model=1 mesh.
+    sequence_shard: bool = False
     # PhoneClassifier (GAN generator / EODM model)
     classifier_hidden: int = 512
     classifier_layers: int = 2

@@ -133,6 +133,21 @@ class ConvBiGRUEncoder(nn.Module):
         return jnp.swapaxes(logits, 0, 1), lengths
 
 
+def _seq_shard(x: jax.Array, cfg: ModelConfig, mesh) -> jax.Array:
+    """Sequence-parallel seam (cfg.sequence_shard): constrain the time
+    axis onto the model mesh axis. GSPMD then runs everything
+    elementwise-over-time (LayerNorm, residual adds, FFN pointwise)
+    sequence-sharded and inserts the collective pair around each
+    attention/GEMM that needs the full sequence."""
+    if not cfg.sequence_shard or mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", "model", None))
+    )
+
+
 def _sinusoidal_positions(T: int, D: int) -> jax.Array:
     """Standard fixed sin/cos position table [T, D] (static shapes —
     computed at trace time, folded into the compiled program)."""
@@ -159,6 +174,7 @@ class TransformerEncoder(nn.Module):
 
     cfg: ModelConfig
     vocab_size: int
+    mesh: object = None  # for the sequence_shard constraint only
 
     @nn.compact
     def __call__(self, feats: jax.Array, lengths: jax.Array):
@@ -169,6 +185,7 @@ class TransformerEncoder(nn.Module):
         x = nn.Dense(cfg.hidden_size, dtype=dt, name="in_proj")(x)
         x = x + _sinusoidal_positions(T2, cfg.hidden_size).astype(dt)
         x = x * _length_mask(x, lengths)
+        x = _seq_shard(x, cfg, self.mesh)
         key_mask = (jnp.arange(T2)[None, :] < lengths[:, None])
         attn_mask = key_mask[:, None, None, :]  # [B, 1, 1(q), T(k)]
         ffn = cfg.ffn_dim or 4 * cfg.hidden_size
@@ -194,6 +211,7 @@ class TransformerEncoder(nn.Module):
             # mask already guards keys, so this only keeps the padding
             # region of the output clean for downstream consumers
             x = x * _length_mask(x, lengths)
+            x = _seq_shard(x, cfg, self.mesh)
         x = nn.LayerNorm(dtype=dt, name="ln_out")(x)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
         logits = logits * _length_mask(logits, lengths)
@@ -239,6 +257,7 @@ class ConformerEncoder(nn.Module):
 
     cfg: ModelConfig
     vocab_size: int
+    mesh: object = None  # for the sequence_shard constraint only
 
     @nn.compact
     def __call__(self, feats: jax.Array, lengths: jax.Array):
@@ -248,6 +267,7 @@ class ConformerEncoder(nn.Module):
         B, T, _ = x.shape
         x = nn.Dense(cfg.hidden_size, dtype=dt, name="in_proj")(x)
         x = x * _length_mask(x, lengths)
+        x = _seq_shard(x, cfg, self.mesh)
         key_mask = (jnp.arange(T)[None, :] < lengths[:, None])
         attn_mask = key_mask[:, None, None, :]  # [B, 1, 1(q), T(k)]
         ffn = cfg.ffn_dim or 4 * cfg.hidden_size
@@ -298,6 +318,7 @@ class ConformerEncoder(nn.Module):
             x = x + 0.5 * h
             x = nn.LayerNorm(dtype=dt, name=f"ln_post{i}")(x)
             x = x * _length_mask(x, lengths)
+            x = _seq_shard(x, cfg, self.mesh)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
         logits = logits * _length_mask(logits, lengths)
         return logits, lengths
@@ -450,7 +471,12 @@ def encoder_time_subsample(cfg: ModelConfig) -> int:
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
 
 
-def build_model(cfg: ModelConfig, vocab_size: int) -> nn.Module:
+def build_model(cfg: ModelConfig, vocab_size: int, mesh=None) -> nn.Module:
+    if cfg.sequence_shard and cfg.encoder not in ("transformer", "conformer"):
+        raise ValueError(
+            "model.sequence_shard applies to the attention encoders "
+            f"(transformer/conformer), not {cfg.encoder!r}"
+        )
     if cfg.encoder == "conv_bigru":
         return ConvBiGRUEncoder(cfg, vocab_size)
     if cfg.encoder == "cnn":
@@ -458,7 +484,7 @@ def build_model(cfg: ModelConfig, vocab_size: int) -> nn.Module:
     if cfg.encoder == "classifier":
         return PhoneClassifier(cfg, vocab_size)
     if cfg.encoder == "transformer":
-        return TransformerEncoder(cfg, vocab_size)
+        return TransformerEncoder(cfg, vocab_size, mesh=mesh)
     if cfg.encoder == "conformer":
-        return ConformerEncoder(cfg, vocab_size)
+        return ConformerEncoder(cfg, vocab_size, mesh=mesh)
     raise ValueError(f"unknown encoder {cfg.encoder!r}")

@@ -120,7 +120,7 @@ class CTCTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.parallel.model_parallel
         )
-        self.model = build_model(cfg.model, cfg.dim_output)
+        self.model = build_model(cfg.model, cfg.dim_output, mesh=self.mesh)
         self._frontend_state = None
         self.optimizer = make_optimizer(cfg)
         self._jit_cache: dict = {}
