@@ -778,3 +778,44 @@ def test_stream_tool_transcribes(tmp_path):
     assert len(lines) == 6, r2.stdout
     assert all("\t" in ln for ln in lines)
     assert "PER=" in r2.stderr, r2.stderr[-500:]
+
+
+@pytest.mark.slow
+def test_export_streaming_artifact(tmp_path):
+    """`export --streaming --check` freezes the online chunk step
+    (step/finish StableHLO + state0.npz + params) and the deserialized
+    artifact matches the live recognizer chunk-for-chunk."""
+    model_dir = str(tmp_path / "exp")
+    common = [
+        "-c", "configs/synthetic_smoke.yaml",
+        "--set", f"model_dir={model_dir}",
+        "--set", "frontend.cmvn=streaming",
+        "--set", "frontend.streaming_chunk_frames=32",
+    ]
+    r = _run_cli(
+        common + ["--mode", "train",
+                  "--set", "train.total_steps=30",
+                  "--set", "train.save_every=30",
+                  "--set", "train.log_every=30"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    out = str(tmp_path / "serve")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "uasr.tools.export", *common,
+         "--out", out, "--streaming", "--chunk-frames", "32",
+         "--batch", "2", "--platforms", "cpu", "--check"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "check ok" in r2.stderr
+    for f in ("step.stablehlo", "finish.stablehlo", "state0.npz",
+              "meta.json"):
+        assert os.path.exists(os.path.join(out, f)), f
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["mode"] == "streaming" and meta["chunk_samples"] == 32 * 160

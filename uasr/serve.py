@@ -144,8 +144,17 @@ class StreamingRecognizer:
         self.lookback = Lb
         self.window = Lb + 2 * C
         self.blank = cfg.ctc.blank_id
-        self._step = jax.jit(self._step_impl)
-        self._finish = jax.jit(self._finish_impl)
+        # params threaded explicitly so the same impls are exportable
+        # as (params, state, ...) StableHLO functions (tools/export
+        # --streaming)
+        import functools
+
+        self._step = jax.jit(
+            functools.partial(self._step_impl, self.params)
+        )
+        self._finish = jax.jit(
+            functools.partial(self._finish_impl, self.params)
+        )
 
     # ---- public API
 
@@ -188,22 +197,24 @@ class StreamingRecognizer:
 
         return jax.lax.cond(n_prev + C <= W, grow, roll, None)
 
-    def _decode_region_logits(self, buf, n, region_start):
+    def _decode_region_logits(self, buf, n, region_start, params=None):
         """Run the encoder on the window; return the logits of feature
         frames [region_start, region_start + chunk)."""
         C, W, s = self.chunk, self.window, self.subsample
         B = buf.shape[0]
         valid = jnp.minimum(n, W)
         lengths = jnp.broadcast_to(valid.astype(jnp.int32), (B,))
-        logits, _ = self.model.apply(self.params, buf, lengths)
+        logits, _ = self.model.apply(
+            self.params if params is None else params, buf, lengths
+        )
         a = jnp.maximum(n - W, 0)  # absolute frame index of buffer row 0
         off = (region_start - a) // s
         return jax.lax.dynamic_slice(
             logits, (0, off, 0), (B, C // s, logits.shape[2])
         )
 
-    def _decode_region(self, buf, n, region_start):
-        region = self._decode_region_logits(buf, n, region_start)
+    def _decode_region(self, buf, n, region_start, params=None):
+        region = self._decode_region_logits(buf, n, region_start, params)
         return jnp.argmax(region, axis=-1).astype(jnp.int32)
 
     def _emit(self, ids, prev_id, active):
@@ -223,7 +234,7 @@ class StreamingRecognizer:
         new_prev = jnp.where(active[:, 0], ids[:, -1], prev_id)
         return out[:, :K], counts, new_prev
 
-    def _step_impl(self, state: RecognizerState, audio_chunk):
+    def _step_impl(self, params, state: RecognizerState, audio_chunk):
         C = self.chunk
         fstate, feats = stream_chunk(
             state.frontend, audio_chunk, self.fe, self.cfg.frontend
@@ -234,18 +245,18 @@ class StreamingRecognizer:
         # real right context; before that (first call) emit nothing
         can = n >= 2 * C
         start = jnp.maximum(n - 2 * C, 0)
-        ids = self._decode_region(buf, n, start)
+        ids = self._decode_region(buf, n, start, params)
         B = ids.shape[0]
         active = jnp.broadcast_to(can, (B, ids.shape[1]))
         out, counts, prev = self._emit(ids, state.prev_id, active)
         return RecognizerState(fstate, buf, n, prev), out, counts
 
-    def _finish_impl(self, state: RecognizerState):
+    def _finish_impl(self, params, state: RecognizerState):
         C = self.chunk
         n = state.n_frames
         can = n >= C
         start = jnp.maximum(n - C, 0)
-        ids = self._decode_region(state.feat_buf, n, start)
+        ids = self._decode_region(state.feat_buf, n, start, params)
         B = ids.shape[0]
         active = jnp.broadcast_to(can, (B, ids.shape[1]))
         out, counts, prev = self._emit(ids, state.prev_id, active)

@@ -134,6 +134,10 @@ def main(argv=None):
                    help="comma-separated lowering targets")
     p.add_argument("--check", action="store_true",
                    help="deserialize and run vs the live fn")
+    p.add_argument("--streaming", action="store_true",
+                   help="export the ONLINE chunk step (uasr.serve) "
+                        "instead of the offline batch pipeline")
+    p.add_argument("--chunk-frames", type=int, default=None)
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -189,6 +193,9 @@ def main(argv=None):
     restored_params, step = _restore_params(cfg, mgr, params)
     mgr.close()
 
+    if args.streaming:
+        return _export_streaming(cfg, args, restored_params, step)
+
     exp = jexport.export(
         jax.jit(fn), platforms=args.platforms.split(","),
     )(params, a_spec, l_spec)
@@ -232,6 +239,128 @@ def main(argv=None):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
         print("check ok: deserialized artifact matches the live forward",
               file=sys.stderr)
+    return 0
+
+
+def _export_streaming(cfg, args, restored_params, step):
+    """Freeze the online chunk step (uasr.serve.StreamingRecognizer)
+    as StableHLO. Writes:
+
+      <out>/step.stablehlo    fn(params, state_tuple, chunk [B, S] f32)
+                                -> (state_tuple, ids [B, K] i32,
+                                    counts [B] i32)
+      <out>/finish.stablehlo  fn(params, state_tuple)
+                                -> (state_tuple, ids, counts)
+      <out>/state0.npz        the initial state leaves (state_0..N —
+                              a flat TUPLE of arrays, so a serving
+                              process needs no uasr pytree types)
+      <out>/params/           Orbax checkpoint of the parameters
+      <out>/meta.json         chunk size, emit width, calling convention
+    """
+    import numpy as np
+    from jax import export as jexport
+
+    from uasr.checkpoint import CheckpointManager
+    from uasr.serve import StreamingRecognizer
+
+    if cfg.train.mode in ("ssl",):
+        raise SystemExit("--streaming exports a decoding checkpoint, "
+                         "not an ssl featurizer")
+    if cfg.train.mode in ("gan", "eodm", "gan+eodm") and (
+            cfg.gan.segmenter != "none" or cfg.gan.merge_repeats):
+        # the online recognizer applies the raw classifier; a
+        # segment/merge-trained checkpoint would silently serve a
+        # different representation than it trained on (round-2 lesson)
+        raise SystemExit(
+            "--streaming serves the raw frame-rate classifier; this "
+            "recipe trained with gan.segmenter/merge_repeats — export "
+            "the offline artifact instead"
+        )
+    rec = StreamingRecognizer(
+        cfg, restored_params, chunk_frames=args.chunk_frames
+    )
+    B = args.batch
+    cs = rec.chunk * cfg.frontend.frame_shift
+    state0 = rec.init(B)
+    flat0, treedef = jax.tree.flatten(state0)
+
+    def step_flat(params, flat_state, chunk):
+        st = jax.tree.unflatten(treedef, flat_state)
+        st2, ids, counts = rec._step_impl(params, st, chunk)
+        return tuple(jax.tree.leaves(st2)), ids, counts
+
+    def finish_flat(params, flat_state):
+        st = jax.tree.unflatten(treedef, flat_state)
+        st2, ids, counts = rec._finish_impl(params, st)
+        return tuple(jax.tree.leaves(st2)), ids, counts
+
+    spec = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)  # noqa: E731
+    p_spec = jax.tree.map(spec, restored_params)
+    s_spec = tuple(spec(x) for x in flat0)
+    c_spec = jax.ShapeDtypeStruct((B, cs), jax.numpy.float32)
+    platforms = args.platforms.split(",")
+    step_exp = jexport.export(jax.jit(step_flat), platforms=platforms)(
+        p_spec, s_spec, c_spec
+    )
+    finish_exp = jexport.export(jax.jit(finish_flat), platforms=platforms)(
+        p_spec, s_spec
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    blobs = {}
+    for name, exp in (("step", step_exp), ("finish", finish_exp)):
+        blobs[name] = exp.serialize()
+        with open(os.path.join(args.out, f"{name}.stablehlo"), "wb") as f:
+            f.write(blobs[name])
+    np.savez(os.path.join(args.out, "state0.npz"),
+             **{f"state_{i}": np.asarray(x) for i, x in enumerate(flat0)})
+    pmgr = CheckpointManager(os.path.join(args.out, "params"), max_to_keep=1)
+    pmgr.save(step, restored_params)
+    pmgr.close()
+    meta = {
+        "mode": "streaming",
+        "streams": B,
+        "chunk_samples": cs,
+        "chunk_frames": rec.chunk,
+        "lookback_frames": rec.lookback,
+        "emit_width": rec.chunk // rec.subsample,
+        "sample_rate": cfg.frontend.sample_rate,
+        "vocab_size": cfg.dim_output,
+        "state_leaves": len(flat0),
+        "platforms": platforms,
+        "checkpoint_step": int(step),
+        "calling_convention": (
+            "state = tuple(npz[f'state_{i}'] ...); "
+            "state, ids, counts = step.call(params, state, chunk); "
+            "state, ids, counts = finish.call(params, state)"
+        ),
+    }
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"exported step-{step} STREAMING artifact "
+          f"({len(blobs['step'])}+{len(blobs['finish'])} bytes, "
+          f"platforms {args.platforms}) -> {args.out}", file=sys.stderr)
+
+    if args.check:
+        rng = np.random.RandomState(0)
+        audio = (rng.randn(B, cs * 3) * 0.1).astype(np.float32)
+        re_step = jexport.deserialize(blobs["step"])
+        re_finish = jexport.deserialize(blobs["finish"])
+        st_a = tuple(np.asarray(x) for x in flat0)
+        st_b = rec.init(B)
+        for k in range(3):
+            chunk = audio[:, k * cs : (k + 1) * cs]
+            st_a, ids_a, n_a = re_step.call(restored_params, st_a, chunk)
+            st_b, ids_b, n_b = rec.step(st_b, chunk)
+            np.testing.assert_array_equal(np.asarray(ids_a),
+                                          np.asarray(ids_b))
+            np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+        _, ids_a, n_a = re_finish.call(restored_params, st_a)
+        _, ids_b, n_b = rec.finish(st_b)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+        np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+        print("check ok: deserialized streaming artifact matches the live "
+              "recognizer chunk-for-chunk", file=sys.stderr)
     return 0
 
 
