@@ -199,3 +199,94 @@ def test_streaming_chunk_size_validation():
     # too-small chunk (< receptive field) rejected at construction
     with pytest.raises(ValueError, match="receptive"):
         StreamingRecognizer(cfg, params, chunk_frames=8)
+
+
+def test_beam_advance_chunked_equals_offline():
+    """Feeding logp chunks through beam_advance (carried state +
+    materialized prefixes) reproduces the offline ctc_beam_search_decode
+    transcript EXACTLY — same logits, so this isolates the resumable-
+    scan + chunk-traceback + prefix-append machinery from window
+    numerics."""
+    from uasr.ops.decode import (
+        _logaddexp, ctc_beam_init, ctc_beam_search_decode,
+    )
+    from uasr.serve import beam_advance
+
+    rng = np.random.RandomState(0)
+    B, T, V, W, K = 3, 24, 6, 4, 8
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32) * 2.0)
+    lengths = jnp.array([24, 17, 9])
+
+    ids_off, len_off, score_off = ctc_beam_search_decode(
+        logits, lengths, beam_width=W, blank_id=0
+    )
+
+    logp = jax.nn.log_softmax(logits, -1)
+    beam = ctc_beam_init(B, W)
+    prefix = jnp.full((B, W, T), -1, jnp.int32)
+    plen = jnp.zeros((B, W), jnp.int32)
+    for s in range(0, T, K):
+        beam, prefix, plen = beam_advance(
+            beam, prefix, plen, logp[:, s : s + K],
+            jnp.clip(lengths - s, 0, K), blank_id=0,
+        )
+    best = jnp.argmax(_logaddexp(beam.p_b, beam.p_nb), axis=1)
+    for b in range(B):
+        n = int(len_off[b])
+        got = np.asarray(prefix[b, int(best[b])])
+        assert int(plen[b, int(best[b])]) == n, (b, plen, len_off)
+        np.testing.assert_array_equal(got[:n], np.asarray(ids_off[b, :n]))
+
+
+def test_streaming_beam_matches_offline_beam_trained():
+    """ctc.use_beam recognizer: greedy partials during step(), and
+    finish() returns the full beam transcript equal to the offline
+    beam decode of the same (chunk-padded) utterance."""
+    from uasr.ops.decode import ctc_beam_search_decode
+
+    chunk = 32
+    cfg = _cfg("cnn", chunk)
+    cfg.ctc = CTCConfig(blank_id=0, use_beam=True, beam_width=4)
+    examples, vocab = make_synthetic_dataset(
+        num_utts=32, num_phones=6, min_len=3, max_len=6, seed=0
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    trainer = CTCTrainer(cfg)
+    it = iter(batch_iterator(examples, 8, 16 * 16000 // 10, 8, seed=0,
+                             num_epochs=None))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    for i in range(40):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, b, sub)
+    params = jax.device_get(state.params)
+
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples[:4], cs)
+    B, L = audio.shape
+
+    # offline beam over the same jitted pipeline
+    @jax.jit
+    def offline(audio, lengths):
+        feats, flen = compute_features(
+            audio, lengths, trainer.frontend_state, trainer.cfg.frontend
+        )
+        logits, out_len = trainer.model.apply(params, feats, flen)
+        return ctc_beam_search_decode(logits, out_len, 4, 0)
+
+    ids_off, len_off, _ = offline(jnp.asarray(audio), jnp.asarray(lengths))
+
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    st = rec.init(B)
+    for s in range(0, L, cs):
+        st, partial, counts = rec.step(st, jnp.asarray(audio[:, s : s + cs]))
+    st, final, final_len = rec.finish(st)
+    for b in range(B):
+        n = int(len_off[b])
+        assert int(final_len[b]) == n, (b, final_len, len_off)
+        np.testing.assert_array_equal(
+            np.asarray(final[b, :n]), np.asarray(ids_off[b, :n])
+        )

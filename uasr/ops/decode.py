@@ -167,12 +167,44 @@ def ctc_beam_search_decode(
     """
     B, T, V = logits.shape
     W = beam_width
-    P = min(V, 2 * W) if prune is None else min(V, max(prune, 1))
     logp = jax.nn.log_softmax(logits, axis=-1)
-    if lm_logp is not None:
-        lm_logp = lm_logp.astype(jnp.float32)
+    init = ctc_beam_init(B, W)
+    state, parents, chars = ctc_beam_scan(
+        logp, lengths, init, blank_id=blank_id, prune=prune,
+        lm_logp=lm_logp, lm_weight=lm_weight, lm_bonus=lm_bonus,
+        merge_impl=merge_impl,
+    )
+    best = jnp.argmax(_logaddexp(state.p_b, state.p_nb), axis=1)  # [B]
 
-    init = _BeamState(
+    # ---- traceback: walk parents from t = T-1 down, collecting chars
+    def back(idx, inp):
+        parent_t, char_t = inp  # [B, W]
+        c = jnp.take_along_axis(char_t, idx[:, None], 1)[:, 0]
+        nxt = jnp.take_along_axis(parent_t, idx[:, None], 1)[:, 0]
+        return nxt, c
+
+    _, path_chars = jax.lax.scan(back, best, (parents, chars), reverse=True,
+                                 unroll=min(_BEAM_UNROLL, T))
+    path = path_chars.T  # [B, T]; char emitted at step t, -1 = none
+
+    # compact: drop -1 entries, left-align (same scatter trick as greedy)
+    keep = path >= 0
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, T)
+    ids = jnp.full((B, T), blank_id, dtype=jnp.int32)
+    b_idx = jnp.arange(B)[:, None].repeat(T, 1)
+    ids = ids.at[b_idx, pos].set(jnp.maximum(path, 0), mode="drop")
+    out_len = keep.sum(axis=1)
+    score = jnp.take_along_axis(
+        _logaddexp(state.p_b, state.p_nb), best[:, None], 1
+    )[:, 0]
+    return ids, out_len, score
+
+
+def ctc_beam_init(batch: int, beam_width: int) -> _BeamState:
+    """Fresh beam state: one live beam (the empty prefix)."""
+    B, W = batch, beam_width
+    return _BeamState(
         last=jnp.full((B, W), -1, jnp.int32),
         last2=jnp.full((B, W), -1, jnp.int32),
         hash1=jnp.zeros((B, W), jnp.uint32),
@@ -181,6 +213,33 @@ def ctc_beam_search_decode(
         p_b=jnp.where(jnp.arange(W)[None, :] == 0, 0.0, NEG).repeat(B, 0).reshape(B, W),
         p_nb=jnp.full((B, W), NEG),
     )
+
+
+def ctc_beam_scan(
+    logp: jax.Array,
+    lengths: jax.Array,
+    state: _BeamState,
+    blank_id: int = 0,
+    prune: int | None = None,
+    lm_logp: jax.Array | None = None,
+    lm_weight: float = 1.0,
+    lm_bonus: float = 0.0,
+    merge_impl: str = "fold",
+    t_offset=0,
+) -> tuple[_BeamState, jax.Array, jax.Array]:
+    """Advance a beam state over `logp` [B, T, V] (log-probs, already
+    softmaxed). Returns (state, parents [T, B, W], chars [T, B, W]) —
+    the per-step backpointers for traceback. Steps with
+    `t + t_offset >= lengths[b]` freeze that batch row's state and emit
+    identity backpointers. Resumable: feeding chunks of the same logp
+    sequentially (carrying the state, offsetting t) evolves the state
+    EXACTLY as one full scan — the streaming beam contract
+    (uasr.serve)."""
+    B, T, V = logp.shape
+    W = state.last.shape[1]
+    P = min(V, 2 * W) if prune is None else min(V, max(prune, 1))
+    if lm_logp is not None:
+        lm_logp = lm_logp.astype(jnp.float32)
 
     sym = jnp.arange(V, dtype=jnp.int32)
     not_blank = sym != blank_id  # [V]
@@ -360,7 +419,7 @@ def ctc_beam_search_decode(
             p_nb=new_pnb,
         )
         # freeze finished utterances
-        active = (t < lengths)[:, None]
+        active = ((t + t_offset) < lengths)[:, None]
         merged = jax.tree.map(
             lambda n, o: jnp.where(active, n, o), new_state, state
         )
@@ -372,32 +431,8 @@ def ctc_beam_search_decode(
         out_char = jnp.where(active & is_ext, new_char, -1)
         return merged, (out_parent, out_char)
 
-    state, (parents, chars) = jax.lax.scan(
-        step, init, (jnp.moveaxis(logp, 1, 0), jnp.arange(T)),
+    final, (parents, chars) = jax.lax.scan(
+        step, state, (jnp.moveaxis(logp, 1, 0), jnp.arange(T)),
         unroll=min(_BEAM_UNROLL, T),
     )
-    best = jnp.argmax(_logaddexp(state.p_b, state.p_nb), axis=1)  # [B]
-
-    # ---- traceback: walk parents from t = T-1 down, collecting chars
-    def back(idx, inp):
-        parent_t, char_t = inp  # [B, W]
-        c = jnp.take_along_axis(char_t, idx[:, None], 1)[:, 0]
-        nxt = jnp.take_along_axis(parent_t, idx[:, None], 1)[:, 0]
-        return nxt, c
-
-    _, path_chars = jax.lax.scan(back, best, (parents, chars), reverse=True,
-                                 unroll=min(_BEAM_UNROLL, T))
-    path = path_chars.T  # [B, T]; char emitted at step t, -1 = none
-
-    # compact: drop -1 entries, left-align (same scatter trick as greedy)
-    keep = path >= 0
-    pos = jnp.cumsum(keep, axis=1) - 1
-    pos = jnp.where(keep, pos, T)
-    ids = jnp.full((B, T), blank_id, dtype=jnp.int32)
-    b_idx = jnp.arange(B)[:, None].repeat(T, 1)
-    ids = ids.at[b_idx, pos].set(jnp.maximum(path, 0), mode="drop")
-    out_len = keep.sum(axis=1)
-    score = jnp.take_along_axis(
-        _logaddexp(state.p_b, state.p_nb), best[:, None], 1
-    )[:, 0]
-    return ids, out_len, score
+    return final, parents, chars

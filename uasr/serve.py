@@ -79,6 +79,74 @@ class RecognizerState(NamedTuple):
     prev_id: jax.Array  # [B] last raw argmax id of the decoded prefix
 
 
+class BeamRecognizerState(NamedTuple):
+    """Greedy state + carried beam search: the beam state evolves over
+    the region logits exactly as the offline scan would (ctc_beam_scan
+    is resumable), and each beam's decoded prefix is materialized
+    incrementally so finish() can return the full best transcript."""
+
+    frontend: StreamState
+    feat_buf: jax.Array
+    n_frames: jax.Array
+    prev_id: jax.Array  # greedy-partials carry
+    beam: object  # ops.decode._BeamState
+    prefix: jax.Array  # [B, W, Lmax] int32, -1 padded
+    prefix_len: jax.Array  # [B, W]
+
+
+def beam_advance(
+    beam,
+    prefix: jax.Array,
+    prefix_len: jax.Array,
+    logp: jax.Array,
+    lengths: jax.Array,
+    blank_id: int = 0,
+    lm_logp=None,
+    lm_weight: float = 1.0,
+    lm_bonus: float = 0.0,
+    merge_impl: str = "fold",
+):
+    """Advance a carried beam state AND the materialized per-beam
+    prefixes over one chunk of log-probs [B, K, V].
+
+    The scan emits per-step backpointers; a chunk-local traceback from
+    ALL W beams recovers (a) each surviving beam's ancestor at the
+    chunk start and (b) its tokens emitted within the chunk, which are
+    appended to the ancestor's prefix. Feeding chunks sequentially is
+    bit-identical to one offline scan over the concatenated logp (the
+    scan state carries everything; tested in tests/test_serve.py)."""
+    from uasr.ops.decode import ctc_beam_scan
+
+    B, K, V = logp.shape
+    W = prefix.shape[1]
+    L = prefix.shape[2]
+    new_beam, parents, chars = ctc_beam_scan(
+        logp, lengths, beam, blank_id=blank_id, lm_logp=lm_logp,
+        lm_weight=lm_weight, lm_bonus=lm_bonus, merge_impl=merge_impl,
+    )
+
+    def back(idx, inp):
+        parent_t, char_t = inp  # [B, W]
+        c = jnp.take_along_axis(char_t, idx, 1)
+        nxt = jnp.take_along_axis(parent_t, idx, 1)
+        return nxt, c
+
+    idx0 = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    anc, cs = jax.lax.scan(back, idx0, (parents, chars), reverse=True)
+    cs = jnp.moveaxis(cs, 0, 2)  # [B, W, K] chars along each path, time order
+
+    base = jnp.take_along_axis(prefix, anc[..., None], 1)  # [B, W, L]
+    base_len = jnp.take_along_axis(prefix_len, anc, 1)  # [B, W]
+    keep = cs >= 0
+    pos = base_len[..., None] + jnp.cumsum(keep, axis=-1) - 1  # [B, W, K]
+    pos = jnp.where(keep & (pos < L), pos, L)  # drop overflow + non-emits
+    b_idx = jnp.arange(B)[:, None, None]
+    w_idx = jnp.arange(W)[None, :, None]
+    new_prefix = base.at[b_idx, w_idx, pos].set(cs, mode="drop")
+    new_len = jnp.minimum(base_len + keep.sum(-1), L)
+    return new_beam, new_prefix, new_len
+
+
 class StreamingRecognizer:
     """Chunked online inference over a trained CTC checkpoint.
 
@@ -94,6 +162,14 @@ class StreamingRecognizer:
     how many are valid. Audio must arrive in exact multiples of the
     chunk size (pad the tail with zeros — the offline path pads the
     same way, so parity is preserved).
+
+    Beam mode (`ctc.use_beam`): the prefix-beam state (plus each beam's
+    materialized transcript) is carried across chunks and evolves
+    exactly as the offline scan would (`ctc_beam_scan` is resumable).
+    `step()` still emits greedy PARTIALS (provisional, for display);
+    `finish()` returns `(state, ids [B, max_label_len], lengths [B])` —
+    the COMPLETE best-beam transcript, equal to the offline beam decode
+    (with shallow-fusion LM when `ctc.lm_path` is set).
     """
 
     def __init__(
@@ -144,6 +220,17 @@ class StreamingRecognizer:
         self.lookback = Lb
         self.window = Lb + 2 * C
         self.blank = cfg.ctc.blank_id
+        # beam mode (ctc.use_beam): carry the prefix-beam state across
+        # chunks; step() still emits greedy PARTIALS (provisional),
+        # finish() returns the full beam-decoded transcript
+        self.use_beam = cfg.ctc.use_beam
+        self.beam_width = cfg.ctc.beam_width
+        self.max_tokens = cfg.data.max_label_len
+        self.lm_logp = None
+        if self.use_beam and cfg.ctc.lm_path:
+            from uasr.ops.lm import load_lm
+
+            self.lm_logp = jnp.asarray(load_lm(cfg.ctc.lm_path))
         # params threaded explicitly so the same impls are exportable
         # as (params, state, ...) StableHLO functions (tools/export
         # --streaming)
@@ -160,11 +247,22 @@ class StreamingRecognizer:
 
     def init(self, batch: int) -> RecognizerState:
         D = self.cfg.frontend.num_mel_bins
-        return RecognizerState(
+        base = RecognizerState(
             frontend=init_stream_state(batch, self.cfg.frontend),
             feat_buf=jnp.zeros((batch, self.window, D), jnp.float32),
             n_frames=jnp.zeros((), jnp.int32),
             prev_id=jnp.full((batch,), self.blank, jnp.int32),
+        )
+        if not self.use_beam:
+            return base
+        from uasr.ops.decode import ctc_beam_init
+
+        Wb, L = self.beam_width, self.max_tokens
+        return BeamRecognizerState(
+            *base,
+            beam=ctc_beam_init(batch, Wb),
+            prefix=jnp.full((batch, Wb, L), -1, jnp.int32),
+            prefix_len=jnp.zeros((batch, Wb), jnp.int32),
         )
 
     def step(self, state: RecognizerState, audio_chunk):
@@ -234,6 +332,19 @@ class StreamingRecognizer:
         new_prev = jnp.where(active[:, 0], ids[:, -1], prev_id)
         return out[:, :K], counts, new_prev
 
+    def _advance_beam(self, state, region_logits, can):
+        """Evolve the carried beam over the region's logits; frozen
+        (per-step length gating) when `can` is false."""
+        B, K, _ = region_logits.shape
+        logp = jax.nn.log_softmax(region_logits.astype(jnp.float32), -1)
+        lengths = jnp.where(can, K, 0) * jnp.ones((B,), jnp.int32)
+        return beam_advance(
+            state.beam, state.prefix, state.prefix_len, logp, lengths,
+            blank_id=self.blank, lm_logp=self.lm_logp,
+            lm_weight=self.cfg.ctc.lm_weight,
+            lm_bonus=self.cfg.ctc.lm_bonus,
+        )
+
     def _step_impl(self, params, state: RecognizerState, audio_chunk):
         C = self.chunk
         fstate, feats = stream_chunk(
@@ -245,19 +356,40 @@ class StreamingRecognizer:
         # real right context; before that (first call) emit nothing
         can = n >= 2 * C
         start = jnp.maximum(n - 2 * C, 0)
-        ids = self._decode_region(buf, n, start, params)
+        region = self._decode_region_logits(buf, n, start, params)
+        ids = jnp.argmax(region, axis=-1).astype(jnp.int32)
         B = ids.shape[0]
         active = jnp.broadcast_to(can, (B, ids.shape[1]))
         out, counts, prev = self._emit(ids, state.prev_id, active)
-        return RecognizerState(fstate, buf, n, prev), out, counts
+        if not self.use_beam:
+            return RecognizerState(fstate, buf, n, prev), out, counts
+        beam, prefix, plen = self._advance_beam(state, region, can)
+        new = BeamRecognizerState(fstate, buf, n, prev, beam, prefix, plen)
+        return new, out, counts
 
     def _finish_impl(self, params, state: RecognizerState):
         C = self.chunk
         n = state.n_frames
         can = n >= C
         start = jnp.maximum(n - C, 0)
-        ids = self._decode_region(state.feat_buf, n, start, params)
+        region = self._decode_region_logits(state.feat_buf, n, start, params)
+        ids = jnp.argmax(region, axis=-1).astype(jnp.int32)
         B = ids.shape[0]
         active = jnp.broadcast_to(can, (B, ids.shape[1]))
         out, counts, prev = self._emit(ids, state.prev_id, active)
-        return state._replace(prev_id=prev), out, counts
+        if not self.use_beam:
+            return state._replace(prev_id=prev), out, counts
+        # beam mode: finish returns the COMPLETE best transcript (the
+        # greedy step() partials were provisional)
+        from uasr.ops.decode import _logaddexp
+
+        beam, prefix, plen = self._advance_beam(state, region, can)
+        best = jnp.argmax(_logaddexp(beam.p_b, beam.p_nb), axis=1)  # [B]
+        final = jnp.take_along_axis(
+            prefix, best[:, None, None], 1
+        )[:, 0]  # [B, Lmax]
+        final_len = jnp.take_along_axis(plen, best[:, None], 1)[:, 0]
+        new = BeamRecognizerState(
+            state.frontend, state.feat_buf, n, prev, beam, prefix, plen
+        )
+        return new, final, final_len

@@ -319,6 +319,8 @@ def _export_streaming(cfg, args, restored_params, step):
     pmgr.close()
     meta = {
         "mode": "streaming",
+        "decode": "beam" if rec.use_beam else "greedy",
+        "beam_width": rec.beam_width if rec.use_beam else None,
         "streams": B,
         "chunk_samples": cs,
         "chunk_frames": rec.chunk,

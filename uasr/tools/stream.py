@@ -101,7 +101,15 @@ def stream_list(cfg, utts, vocab, chunk_frames=None, batch=8,
                     print(f"  [{uid} @ {off + cs} samples] {toks}",
                           file=sys.stderr)
         _, ids, counts = rec.finish(st)
-        collect(ids, counts)
+        if rec.use_beam:
+            # beam mode: the step() partials above were provisional
+            # greedy; finish() carries the COMPLETE beam transcript
+            got = [
+                [int(x) for x in np.asarray(ids[b, : int(counts[b])])]
+                for b in range(B)
+            ]
+        else:
+            collect(ids, counts)
         for b, (uid, _, ref) in enumerate(group):
             hyps[uid] = got[b]
             print(f"{uid}\t{' '.join(vocab.tokens[t] for t in got[b])}",
