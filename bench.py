@@ -525,7 +525,8 @@ def run_baseline(B=16, seconds=8.0, iters=3):
     return B * seconds * iters / dt, float(aux["ctc_loss"])
 
 
-def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10):
+def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
+                  beam=False, beam_width=8):
     """Online serving latency: per-chunk wall time of the jitted
     StreamingRecognizer step (frontend chunk + window encoder + greedy
     emit), host read of the emitted-token counts every chunk — exactly
@@ -553,7 +554,7 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10):
         model=ModelConfig(encoder="cnn", hidden_size=384,
                           num_conv_layers=2, conv_time_stride=2,
                           conv_kernel=5, dtype="bfloat16"),
-        ctc=CTCConfig(),
+        ctc=CTCConfig(use_beam=beam, beam_width=beam_width),
         train=TrainConfig(),
         vocab_size=64,
     )
@@ -583,7 +584,8 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10):
     chunk_sec = chunk_frames * cfg.frontend.frame_shift_ms / 1000.0
     p50 = lat_ms[len(lat_ms) // 2]
     return {
-        "mode": f"streaming:B{B}xC{chunk_frames}",
+        "mode": f"streaming{'-beam%d' % beam_width if beam else ''}"
+                f":B{B}xC{chunk_frames}",
         "chunk_ms": round(chunk_sec * 1e3, 1),
         "latency_ms_p50": round(p50, 2),
         "latency_ms_p95": round(lat_ms[int(len(lat_ms) * 0.95)], 2),
@@ -625,6 +627,7 @@ def main():
         print(json.dumps(run_streaming(
             B=args.batch if args.batch != 128 else 8,
             chunk_frames=args.chunk_frames,
+            beam=args.decode == "beam", beam_width=args.beam_width,
         )))
         return
 

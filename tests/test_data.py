@@ -163,3 +163,30 @@ def test_global_cmvn_wiring(tmp_path):
     T = int(flen[0])
     undone = np.asarray(feats[0, :T]) * (std + 1e-8) + mean
     np.testing.assert_allclose(undone, raw[:T], atol=2e-3)
+
+
+def test_aligned_iterator_keeps_remainder_for_eval():
+    """drop_remainder=False yields the final partial batch — frame_ce
+    dev/test evaluation must score every utterance (with the default
+    drop it could evaluate NOTHING when dev < batch_size and log a
+    perfect 0.0 PER)."""
+    from uasr.data.dataset import aligned_batch_iterator, make_synthetic_dataset
+
+    examples, _ = make_synthetic_dataset(
+        num_utts=5, num_phones=4, with_alignments=True, seed=0
+    )
+    full = list(aligned_batch_iterator(
+        examples, 8, 4000, 8, max_frames=16, num_epochs=1,
+        drop_remainder=False,
+    ))
+    assert len(full) == 1 and full[0].audio.shape[0] == 5
+    dropped = list(aligned_batch_iterator(
+        examples, 8, 4000, 8, max_frames=16, num_epochs=1,
+    ))
+    assert dropped == []
+    # mixed: full batches plus the remainder
+    both = list(aligned_batch_iterator(
+        examples, 2, 4000, 8, max_frames=16, num_epochs=1,
+        drop_remainder=False,
+    ))
+    assert [b.audio.shape[0] for b in both] == [2, 2, 1]

@@ -290,3 +290,85 @@ def test_streaming_beam_matches_offline_beam_trained():
         np.testing.assert_array_equal(
             np.asarray(final[b, :n]), np.asarray(ids_off[b, :n])
         )
+
+
+def test_streaming_mixed_length_batch_parity_trained():
+    """Mixed-length batch: init(audio_lengths=...) freezes each stream
+    at its OWN utterance end, so batch zero-padding is never decoded as
+    speech — streamed tokens equal the offline greedy decode with true
+    per-utterance lengths (both greedy and beam finish)."""
+    from uasr.ops.decode import ctc_beam_search_decode
+
+    chunk = 32
+    cfg = _cfg("cnn", chunk)
+    examples, vocab = make_synthetic_dataset(
+        num_utts=32, num_phones=6, min_len=3, max_len=8, seed=2
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    trainer = CTCTrainer(cfg)
+    it = iter(batch_iterator(examples, 8, 16 * 16000 // 10, 8, seed=0,
+                             num_epochs=None))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    for i in range(40):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, b, sub)
+    params = jax.device_get(state.params)
+
+    # deliberately mixed lengths: shortest + longest utterances together
+    picked = sorted(examples[:8], key=lambda e: len(e[0]))[:2] + \
+        sorted(examples[:8], key=lambda e: len(e[0]))[-2:]
+    cs = chunk * cfg.frontend.frame_shift
+    B = len(picked)
+    L = -(-max(len(a) for a, _ in picked) // cs) * cs
+    audio = np.zeros((B, L), np.float32)
+    lens = np.zeros((B,), np.int64)
+    for b2, (a, _) in enumerate(picked):
+        audio[b2, : len(a)] = a
+        lens[b2] = len(a)
+    assert lens.min() < lens.max() - cs, "need genuinely mixed lengths"
+
+    _, offline_toks = _offline(trainer, params, audio, lens,
+                               cfg.ctc.blank_id)
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    B_, L_ = audio.shape
+    st = rec.init(B_, audio_lengths=jnp.asarray(lens))
+    got = [[] for _ in range(B_)]
+    for s0 in range(0, L_, cs):
+        st, ids, counts = rec.step(st, jnp.asarray(audio[:, s0 : s0 + cs]))
+        for b2 in range(B_):
+            got[b2].extend(
+                int(x) for x in np.asarray(ids[b2, : int(counts[b2])])
+            )
+    _, ids, counts = rec.finish(st)
+    for b2 in range(B_):
+        got[b2].extend(int(x) for x in np.asarray(ids[b2, : int(counts[b2])]))
+    assert got == offline_toks, (lens.tolist(), got, offline_toks)
+
+    # beam mode over the same mixed batch
+    cfg2 = cfg.replace(ctc=CTCConfig(blank_id=0, use_beam=True,
+                                     beam_width=4))
+
+    @jax.jit
+    def offline_beam(audio, lengths):
+        feats, flen = compute_features(
+            audio, lengths, trainer.frontend_state, trainer.cfg.frontend
+        )
+        logits, out_len = trainer.model.apply(params, feats, flen)
+        return ctc_beam_search_decode(logits, out_len, 4, 0)
+
+    ids_off, len_off, _ = offline_beam(jnp.asarray(audio), jnp.asarray(lens))
+    rec2 = StreamingRecognizer(cfg2, params, chunk_frames=chunk)
+    st = rec2.init(B_, audio_lengths=jnp.asarray(lens))
+    for s0 in range(0, L_, cs):
+        st, _, _ = rec2.step(st, jnp.asarray(audio[:, s0 : s0 + cs]))
+    _, final, final_len = rec2.finish(st)
+    for b2 in range(B_):
+        n = int(len_off[b2])
+        assert int(final_len[b2]) == n, (b2, final_len, len_off)
+        np.testing.assert_array_equal(
+            np.asarray(final[b2, :n]), np.asarray(ids_off[b2, :n])
+        )

@@ -35,7 +35,9 @@ def _load_source(cfg, split: str):
         "test": cfg.data.test_feature_cache,
     }.get(split)
     if cache_dir:
-        if cfg.train.mode == "frame_ce":
+        if cfg.train.mode == "frame_ce" and split != "test":
+            # the TRAIN/DEV pathway needs alignments; inference from
+            # cached features is fine (decoding needs no alignment)
             raise SystemExit(
                 "train.mode=frame_ce needs per-frame alignments; "
                 "feature caches carry none"
@@ -141,6 +143,7 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True,
             max_frames=max(1 + (max_samples - fl) // fs, 1),
             seed=seed,
             num_epochs=num_epochs,
+            drop_remainder=drop_remainder,
         )
     else:
         # materialized examples may hold [T, D] features (selftrain over

@@ -99,20 +99,24 @@ def aligned_batch_iterator(
     max_frames: int,
     seed: int = 0,
     num_epochs: int | None = None,
+    drop_remainder: bool = True,
 ) -> Iterator[AlignedBatch]:
-    """Padded batches with frame-label alignment tracks (pad = -1)."""
+    """Padded batches with frame-label alignment tracks (pad = -1).
+    drop_remainder=False keeps the final partial batch (dev/test eval
+    must score every utterance, not a batch-size multiple of them)."""
     rng = np.random.RandomState(seed)
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
         order = np.arange(len(examples))
         rng.shuffle(order)
-        for s in range(0, len(order) - batch_size + 1, batch_size):
+        stop = len(order) - (batch_size - 1 if drop_remainder else 0)
+        for s in range(0, max(stop, 0), batch_size):
             exs = [examples[j] for j in order[s : s + batch_size]]
             base = _make_batch(
                 [(a, ids) for a, ids, _ in exs], max_audio_samples,
                 max_label_len,
             )
-            frames = np.full((batch_size, max_frames), -1, np.int32)
+            frames = np.full((len(exs), max_frames), -1, np.int32)
             for i, (_, _, al) in enumerate(exs):
                 n = min(len(al), max_frames)
                 frames[i, :n] = al[:n]

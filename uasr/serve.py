@@ -77,6 +77,7 @@ class RecognizerState(NamedTuple):
     feat_buf: jax.Array  # [B, W, D] rolling feature window (left-aligned)
     n_frames: jax.Array  # [] int32 — feature frames received so far
     prev_id: jax.Array  # [B] last raw argmax id of the decoded prefix
+    valid_frames: jax.Array  # [B] per-stream feature-frame cap (huge = open)
 
 
 class BeamRecognizerState(NamedTuple):
@@ -89,6 +90,7 @@ class BeamRecognizerState(NamedTuple):
     feat_buf: jax.Array
     n_frames: jax.Array
     prev_id: jax.Array  # greedy-partials carry
+    valid_frames: jax.Array  # [B] per-stream feature-frame cap (huge = open)
     beam: object  # ops.decode._BeamState
     prefix: jax.Array  # [B, W, Lmax] int32, -1 padded
     prefix_len: jax.Array  # [B, W]
@@ -101,6 +103,7 @@ def beam_advance(
     logp: jax.Array,
     lengths: jax.Array,
     blank_id: int = 0,
+    prune: int | None = None,
     lm_logp=None,
     lm_weight: float = 1.0,
     lm_bonus: float = 0.0,
@@ -121,8 +124,9 @@ def beam_advance(
     W = prefix.shape[1]
     L = prefix.shape[2]
     new_beam, parents, chars = ctc_beam_scan(
-        logp, lengths, beam, blank_id=blank_id, lm_logp=lm_logp,
-        lm_weight=lm_weight, lm_bonus=lm_bonus, merge_impl=merge_impl,
+        logp, lengths, beam, blank_id=blank_id, prune=prune,
+        lm_logp=lm_logp, lm_weight=lm_weight, lm_bonus=lm_bonus,
+        merge_impl=merge_impl,
     )
 
     def back(idx, inp):
@@ -230,7 +234,18 @@ class StreamingRecognizer:
         if self.use_beam and cfg.ctc.lm_path:
             from uasr.ops.lm import load_lm
 
-            self.lm_logp = jnp.asarray(load_lm(cfg.ctc.lm_path))
+            lm = load_lm(cfg.ctc.lm_path)
+            V = cfg.dim_output
+            if lm.shape not in ((V + 1, V), (V + 1, V + 1, V)):
+                # same loud guard as uasr/infer.py: a silent mismatch
+                # would clip out-of-bounds gathers on device and decode
+                # garbage
+                raise ValueError(
+                    f"ctc.lm_path table shape {lm.shape} does not match "
+                    f"vocab ({V} tokens): expected {(V + 1, V)} (bigram) "
+                    f"or {(V + 1, V + 1, V)} (trigram)"
+                )
+            self.lm_logp = jnp.asarray(lm)
         # params threaded explicitly so the same impls are exportable
         # as (params, state, ...) StableHLO functions (tools/export
         # --streaming)
@@ -245,13 +260,29 @@ class StreamingRecognizer:
 
     # ---- public API
 
-    def init(self, batch: int) -> RecognizerState:
+    def init(self, batch: int, audio_lengths=None) -> RecognizerState:
+        """Fresh state for `batch` parallel streams.
+
+        audio_lengths (optional, [batch] samples): when the utterance
+        lengths are known up front (file-driven serving, mixed-length
+        batches), decoding freezes per stream at its own audio end —
+        zero padding to the batch max is then never decoded as speech,
+        matching the offline decode's length masking exactly. Omit for
+        open-ended streams."""
         D = self.cfg.frontend.num_mel_bins
+        if audio_lengths is None:
+            valid = jnp.full((batch,), 1 << 30, jnp.int32)
+        else:
+            # samples -> frontend frames, the same ceil the offline
+            # pipeline uses; the logits-rate cap is derived where needed
+            fs = self.cfg.frontend.frame_shift
+            valid = (jnp.asarray(audio_lengths, jnp.int32) + fs - 1) // fs
         base = RecognizerState(
             frontend=init_stream_state(batch, self.cfg.frontend),
             feat_buf=jnp.zeros((batch, self.window, D), jnp.float32),
             n_frames=jnp.zeros((), jnp.int32),
             prev_id=jnp.full((batch,), self.blank, jnp.int32),
+            valid_frames=valid,
         )
         if not self.use_beam:
             return base
@@ -295,25 +326,32 @@ class StreamingRecognizer:
 
         return jax.lax.cond(n_prev + C <= W, grow, roll, None)
 
-    def _decode_region_logits(self, buf, n, region_start, params=None):
+    def _decode_region_logits(self, buf, n, region_start, params=None,
+                              valid_frames=None):
         """Run the encoder on the window; return the logits of feature
-        frames [region_start, region_start + chunk)."""
+        frames [region_start, region_start + chunk).
+
+        valid_frames [B] (optional): per-stream feature-frame caps —
+        window rows past a stream's own utterance end are masked by the
+        encoder's length handling, exactly like the offline pipeline's
+        per-utterance masking (mixed-length batch parity)."""
         C, W, s = self.chunk, self.window, self.subsample
         B = buf.shape[0]
-        valid = jnp.minimum(n, W)
-        lengths = jnp.broadcast_to(valid.astype(jnp.int32), (B,))
+        valid = jnp.minimum(n, W).astype(jnp.int32)
+        a = jnp.maximum(n - W, 0)  # absolute frame index of buffer row 0
+        if valid_frames is None:
+            lengths = jnp.broadcast_to(valid, (B,))
+        else:
+            lengths = jnp.minimum(
+                jnp.clip(valid_frames.astype(jnp.int32) - a, 0, W), valid
+            )
         logits, _ = self.model.apply(
             self.params if params is None else params, buf, lengths
         )
-        a = jnp.maximum(n - W, 0)  # absolute frame index of buffer row 0
         off = (region_start - a) // s
         return jax.lax.dynamic_slice(
             logits, (0, off, 0), (B, C // s, logits.shape[2])
         )
-
-    def _decode_region(self, buf, n, region_start, params=None):
-        region = self._decode_region_logits(buf, n, region_start, params)
-        return jnp.argmax(region, axis=-1).astype(jnp.int32)
 
     def _emit(self, ids, prev_id, active):
         """CTC greedy collapse with carried prev id; returns
@@ -332,15 +370,22 @@ class StreamingRecognizer:
         new_prev = jnp.where(active[:, 0], ids[:, -1], prev_id)
         return out[:, :K], counts, new_prev
 
-    def _advance_beam(self, state, region_logits, can):
-        """Evolve the carried beam over the region's logits; frozen
-        (per-step length gating) when `can` is false."""
-        B, K, _ = region_logits.shape
+    def _advance_beam(self, state, region_logits, can, region_logit_start):
+        """Evolve the carried beam over the region's logits; per-stream
+        length gating freezes rows past their utterance end (and all
+        rows when `can` is false). prune=V: the streaming beam runs the
+        EXACT candidate set, so finish() matches the exact offline beam
+        (the offline TPU path dispatches to the exact Pallas kernel)."""
+        B, K, V = region_logits.shape
+        s = self.subsample
         logp = jax.nn.log_softmax(region_logits.astype(jnp.float32), -1)
-        lengths = jnp.where(can, K, 0) * jnp.ones((B,), jnp.int32)
+        vlog = (state.valid_frames + s - 1) // s  # frame cap -> logits cap
+        lengths = jnp.where(
+            can, jnp.clip(vlog - region_logit_start, 0, K), 0
+        )
         return beam_advance(
             state.beam, state.prefix, state.prefix_len, logp, lengths,
-            blank_id=self.blank, lm_logp=self.lm_logp,
+            blank_id=self.blank, prune=V, lm_logp=self.lm_logp,
             lm_weight=self.cfg.ctc.lm_weight,
             lm_bonus=self.cfg.ctc.lm_bonus,
         )
@@ -356,15 +401,28 @@ class StreamingRecognizer:
         # real right context; before that (first call) emit nothing
         can = n >= 2 * C
         start = jnp.maximum(n - 2 * C, 0)
-        region = self._decode_region_logits(buf, n, start, params)
+        region = self._decode_region_logits(
+            buf, n, start, params, state.valid_frames
+        )
         ids = jnp.argmax(region, axis=-1).astype(jnp.int32)
-        B = ids.shape[0]
-        active = jnp.broadcast_to(can, (B, ids.shape[1]))
+        B, K = ids.shape
+        # positional mask: region logit (start//s + t) must be inside
+        # the stream's own utterance (huge cap = open-ended stream)
+        s = self.subsample
+        pos = start // s + jnp.arange(K)[None, :]
+        vlog = (state.valid_frames + s - 1) // s
+        active = can & (pos < vlog[:, None])
         out, counts, prev = self._emit(ids, state.prev_id, active)
         if not self.use_beam:
-            return RecognizerState(fstate, buf, n, prev), out, counts
-        beam, prefix, plen = self._advance_beam(state, region, can)
-        new = BeamRecognizerState(fstate, buf, n, prev, beam, prefix, plen)
+            return RecognizerState(
+                fstate, buf, n, prev, state.valid_frames
+            ), out, counts
+        beam, prefix, plen = self._advance_beam(
+            state, region, can, start // self.subsample
+        )
+        new = BeamRecognizerState(
+            fstate, buf, n, prev, state.valid_frames, beam, prefix, plen
+        )
         return new, out, counts
 
     def _finish_impl(self, params, state: RecognizerState):
@@ -372,10 +430,15 @@ class StreamingRecognizer:
         n = state.n_frames
         can = n >= C
         start = jnp.maximum(n - C, 0)
-        region = self._decode_region_logits(state.feat_buf, n, start, params)
+        region = self._decode_region_logits(
+            state.feat_buf, n, start, params, state.valid_frames
+        )
         ids = jnp.argmax(region, axis=-1).astype(jnp.int32)
-        B = ids.shape[0]
-        active = jnp.broadcast_to(can, (B, ids.shape[1]))
+        B, K = ids.shape
+        s = self.subsample
+        pos = start // s + jnp.arange(K)[None, :]
+        vlog = (state.valid_frames + s - 1) // s
+        active = can & (pos < vlog[:, None])
         out, counts, prev = self._emit(ids, state.prev_id, active)
         if not self.use_beam:
             return state._replace(prev_id=prev), out, counts
@@ -383,13 +446,16 @@ class StreamingRecognizer:
         # greedy step() partials were provisional)
         from uasr.ops.decode import _logaddexp
 
-        beam, prefix, plen = self._advance_beam(state, region, can)
+        beam, prefix, plen = self._advance_beam(
+            state, region, can, start // self.subsample
+        )
         best = jnp.argmax(_logaddexp(beam.p_b, beam.p_nb), axis=1)  # [B]
         final = jnp.take_along_axis(
             prefix, best[:, None, None], 1
         )[:, 0]  # [B, Lmax]
         final_len = jnp.take_along_axis(plen, best[:, None], 1)[:, 0]
         new = BeamRecognizerState(
-            state.frontend, state.feat_buf, n, prev, beam, prefix, plen
+            state.frontend, state.feat_buf, n, prev, state.valid_frames,
+            beam, prefix, plen,
         )
         return new, final, final_len

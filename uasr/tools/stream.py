@@ -11,9 +11,14 @@ tests/test_serve.py):
       [--chunk-frames 64] [--batch 8] [--verbose]
 
 Requires `frontend.cmvn: streaming` (the AISHELL streaming recipe) and
-a finite-receptive-field encoder (cnn / classifier). With --verbose the
-partial transcript is printed after every chunk; the final lines are
-`utt_id\\ttokens`, plus a PER summary when the list carries references.
+a finite-receptive-field encoder (cnn / classifier). Mixed-length
+batches are safe: per-utterance lengths are passed to the recognizer,
+so decoding freezes at each utterance's own end and batch zero-padding
+is never transcribed. With --verbose the partial transcript is printed
+after every chunk; the final lines are `utt_id\\ttokens` (real ids from
+the list file), plus a PER summary when the list carries references.
+With `ctc.use_beam` the partials are provisional greedy and the final
+lines carry the complete beam transcript.
 """
 
 from __future__ import annotations
@@ -28,17 +33,18 @@ import numpy as np
 import uasr  # noqa: F401  (applies uasr._maybe_force_cpu)
 
 
-def _levenshtein(a: list, b: list) -> int:
-    if not a:
-        return len(b)
-    prev = list(range(len(b) + 1))
-    for i, x in enumerate(a, 1):
-        cur = [i]
-        for j, y in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1,
-                           prev[j - 1] + (x != y)))
-        prev = cur
-    return prev[-1]
+def _edit_distance(hyp: list, ref: list) -> int:
+    """One hyp/ref pair through the shared host edit distance (the
+    threaded C++ path infer.py's folded scoring uses, with its pure-
+    Python fallback) — no third Levenshtein implementation."""
+    from uasr.native import batch_edit_distance_native
+
+    h = np.asarray([hyp or [0]], np.int32)
+    r = np.asarray([ref or [0]], np.int32)
+    return int(batch_edit_distance_native(
+        r, np.array([len(ref)], np.int32),
+        h, np.array([len(hyp)], np.int32),
+    )[0])
 
 
 def stream_list(cfg, utts, vocab, chunk_frames=None, batch=8,
@@ -80,10 +86,15 @@ def stream_list(cfg, utts, vocab, chunk_frames=None, batch=8,
         L = max(len(a) for _, a, _ in group)
         L = -(-L // cs) * cs
         audio = np.zeros((B, L), np.float32)
+        lens = np.zeros((B,), np.int64)
         for b, (_, a, _) in enumerate(group):
             audio[b, : len(a)] = a
+            lens[b] = len(a)
         audio = jnp.asarray(audio)
-        st = rec.init(B)
+        # per-utterance lengths: decoding freezes at each stream's own
+        # audio end, so batch zero-padding is never decoded as speech
+        # (matches offline --mode infer's length masking)
+        st = rec.init(B, audio_lengths=lens)
         got: list[list[int]] = [[] for _ in range(B)]
 
         def collect(ids, counts):
@@ -108,6 +119,12 @@ def stream_list(cfg, utts, vocab, chunk_frames=None, batch=8,
                 [int(x) for x in np.asarray(ids[b, : int(counts[b])])]
                 for b in range(B)
             ]
+            for b, (uid, _, _) in enumerate(group):
+                if int(counts[b]) >= rec.max_tokens:
+                    print(f"WARNING: {uid}: transcript hit the "
+                          f"{rec.max_tokens}-token beam-prefix cap "
+                          "(data.max_label_len) and was truncated",
+                          file=sys.stderr)
         else:
             collect(ids, counts)
         for b, (uid, _, ref) in enumerate(group):
@@ -115,7 +132,7 @@ def stream_list(cfg, utts, vocab, chunk_frames=None, batch=8,
             print(f"{uid}\t{' '.join(vocab.tokens[t] for t in got[b])}",
                   file=out)
             if ref is not None:
-                errs += _levenshtein(got[b], list(ref))
+                errs += _edit_distance(got[b], list(ref))
                 total += len(ref)
     per = errs / total if total else None
     return hyps, per
@@ -151,8 +168,16 @@ def main(argv=None):
     if kind == "features":
         raise SystemExit("streaming serving consumes raw audio, not a "
                          "feature cache")
-    utts = [(f"utt{i:05d}", a, ids if ids else None)
-            for i, (a, ids) in enumerate(payload)]
+    names = None
+    lst = args.list or cfg.data.test_list
+    if not cfg.data.synthetic and lst:
+        from uasr.data.io import read_utterance_list
+
+        names = [u.utt_id for u in read_utterance_list(lst)]
+    utts = [
+        ((names[i] if names else f"utt{i:05d}"), a, ids if ids else None)
+        for i, (a, ids) in enumerate(payload)
+    ]
     if args.max_utts:
         utts = utts[: args.max_utts]
     _, per = stream_list(cfg, utts, vocab, chunk_frames=args.chunk_frames,
