@@ -745,14 +745,17 @@ def test_frame_ce_cli_train_then_infer(tmp_path):
 
 
 @pytest.mark.slow
-def test_stream_tool_transcribes(tmp_path):
+@pytest.mark.parametrize("encoder", ["cnn", "uni_gru"])
+def test_stream_tool_transcribes(tmp_path, encoder):
     """`uasr.tools.stream` restores a checkpoint trained with the
     streaming-CMVN frontend and transcribes utterances chunk by chunk
-    (the online serving loop as a CLI)."""
+    (the online serving loop as a CLI) — both serving encoder classes:
+    finite-RF window replay (cnn) and causal carried state (uni_gru)."""
     model_dir = str(tmp_path / "exp")
     common = [
         "-c", "configs/synthetic_smoke.yaml",
         "--set", f"model_dir={model_dir}",
+        "--set", f"model.encoder={encoder}",
         "--set", "frontend.cmvn=streaming",
         "--set", "frontend.streaming_chunk_frames=32",
     ]

@@ -21,7 +21,9 @@ V = 12
 
 
 @pytest.mark.parametrize(
-    "name", ["conv_bigru", "cnn", "classifier", "transformer", "conformer"]
+    "name",
+    ["conv_bigru", "cnn", "classifier", "transformer", "conformer",
+     "uni_gru"],
 )
 def test_encoder_shapes_and_lengths(name):
     model = build_model(ModelConfig(**{**CFG.__dict__, "encoder": name}), V)
@@ -232,3 +234,63 @@ def test_conformer_rel_bias_shifts_attention():
     )
     b, _ = model.apply(bumped, feats, lengths)
     assert float(jnp.abs(a - b).max()) > 1e-4
+
+
+def test_uni_gru_padding_invariance():
+    """Causal encoder: extending batch padding must not change
+    valid-frame outputs (inputs zero-masked, causal ops, GRU freezes)."""
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": "uni_gru",
+                         "num_gru_layers": 2})
+    model = build_model(cfg, V)
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(2, 36, 40), jnp.float32)
+    lengths = jnp.array([36, 17])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    a, la = model.apply(params, feats, lengths)
+    b, lb = model.apply(
+        params, jnp.pad(feats, ((0, 0), (0, 16), (0, 0))), lengths
+    )
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for i in range(2):
+        n = int(la[i])
+        np.testing.assert_allclose(
+            np.asarray(a[i, :n]), np.asarray(b[i, :n]), atol=3e-5
+        )
+
+
+def test_uni_gru_chunked_step_matches_offline_call():
+    """The streaming seam itself: feeding chunks through
+    UniGRUEncoder.step with the carried state reproduces the offline
+    __call__ logits exactly (zero carry IS the causal left pad; the
+    GRU scan carries its own state) — including a stream whose
+    utterance ends mid-chunk."""
+    from uasr.models.models import uni_gru_initial_carry
+
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": "uni_gru",
+                         "num_gru_layers": 2})
+    model = build_model(cfg, V)
+    P = cfg.conv_time_stride ** cfg.num_conv_layers
+    B, T, D = 3, 48, 40
+    C = 16  # chunk frames (multiple of P=4)
+    rng = np.random.RandomState(9)
+    feats = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    lengths = jnp.array([48, 23, 7])  # ends mid-chunk and chunk-aligned
+    params = model.init(jax.random.PRNGKey(1), feats, lengths)
+    off, off_len = jax.jit(model.apply)(params, feats, lengths)
+
+    step = jax.jit(
+        lambda f, fv, c: model.apply(params, f, fv, c, method="step")
+    )
+    carry = uni_gru_initial_carry(cfg, B)
+    got = []
+    for s in range(0, T, C):
+        fv = jnp.clip(lengths - s, 0, C)
+        logits, carry = step(feats[:, s : s + C], fv, carry)
+        got.append(np.asarray(logits))
+    got = np.concatenate(got, axis=1)
+    for b in range(B):
+        n = int(off_len[b])
+        np.testing.assert_allclose(
+            got[b, :n], np.asarray(off[b, :n]), atol=1e-5,
+            err_msg=f"stream {b}",
+        )

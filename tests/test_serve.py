@@ -372,3 +372,102 @@ def test_streaming_mixed_length_batch_parity_trained():
         np.testing.assert_array_equal(
             np.asarray(final[b2, :n]), np.asarray(ids_off[b2, :n])
         )
+
+
+def _train_briefly(cfg, seed=0, steps=40):
+    examples, vocab = make_synthetic_dataset(
+        num_utts=32, num_phones=6, min_len=3, max_len=8, seed=seed
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    trainer = CTCTrainer(cfg)
+    it = iter(batch_iterator(examples, 8, 16 * 16000 // 10, 8, seed=0,
+                             num_epochs=None))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    for i in range(steps):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, b, sub)
+    return cfg, trainer, jax.device_get(state.params), examples
+
+
+def test_recurrent_streaming_matches_offline_greedy_trained():
+    """uni_gru (causal recurrent) serving: the carried conv-tail + GRU
+    state replaces the feature window entirely — tokens are emitted with
+    ZERO right-context latency and the streamed transcript equals the
+    offline greedy decode exactly, on a genuinely mixed-length batch."""
+    chunk = 32
+    cfg = _cfg("uni_gru", chunk)
+    # causal models see no right context and need more steps before
+    # they emit anything at all (the parity assert below is what the
+    # test is really about; the any() sanity check needs a non-trivial
+    # transcript)
+    cfg, trainer, params, examples = _train_briefly(cfg, seed=2, steps=120)
+
+    picked = sorted(examples[:8], key=lambda e: len(e[0]))[:2] + \
+        sorted(examples[:8], key=lambda e: len(e[0]))[-2:]
+    cs = chunk * cfg.frontend.frame_shift
+    B = len(picked)
+    L = -(-max(len(a) for a, _ in picked) // cs) * cs
+    audio = np.zeros((B, L), np.float32)
+    lens = np.zeros((B,), np.int64)
+    for b, (a, _) in enumerate(picked):
+        audio[b, : len(a)] = a
+        lens[b] = len(a)
+    assert lens.min() < lens.max() - cs, "need genuinely mixed lengths"
+
+    _, offline_toks = _offline(trainer, params, audio, lens,
+                               cfg.ctc.blank_id)
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    assert rec.recurrent and rec.lookback == 0
+    st = rec.init(B, audio_lengths=jnp.asarray(lens))
+    got = [[] for _ in range(B)]
+    for s0 in range(0, L, cs):
+        st, ids, counts = rec.step(st, jnp.asarray(audio[:, s0 : s0 + cs]))
+        for b in range(B):
+            got[b].extend(int(x) for x in np.asarray(ids[b, : int(counts[b])]))
+    _, ids, counts = rec.finish(st)
+    for b in range(B):
+        got[b].extend(int(x) for x in np.asarray(ids[b, : int(counts[b])]))
+    assert got == offline_toks, (lens.tolist(), got, offline_toks)
+    assert any(len(t) for t in got)
+
+
+def test_recurrent_streaming_beam_matches_offline_beam_trained():
+    """uni_gru beam serving: the carried prefix-beam evolves over each
+    chunk's logits as they are produced; finish() returns the complete
+    best transcript equal to the offline beam decode."""
+    from uasr.ops.decode import ctc_beam_search_decode
+
+    chunk = 32
+    cfg = _cfg("uni_gru", chunk)
+    cfg.ctc = CTCConfig(blank_id=0, use_beam=True, beam_width=4)
+    cfg, trainer, params, examples = _train_briefly(cfg, seed=3)
+
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples[:4], cs)
+    B, L = audio.shape
+
+    @jax.jit
+    def offline(audio, lengths):
+        feats, flen = compute_features(
+            audio, lengths, trainer.frontend_state, trainer.cfg.frontend
+        )
+        logits, out_len = trainer.model.apply(params, feats, flen)
+        return ctc_beam_search_decode(logits, out_len, 4, 0)
+
+    ids_off, len_off, _ = offline(jnp.asarray(audio), jnp.asarray(lengths))
+
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    st = rec.init(B)
+    for s in range(0, L, cs):
+        st, _, _ = rec.step(st, jnp.asarray(audio[:, s : s + cs]))
+    _, final, final_len = rec.finish(st)
+    for b in range(B):
+        n = int(len_off[b])
+        assert int(final_len[b]) == n, (b, final_len, len_off)
+        np.testing.assert_array_equal(
+            np.asarray(final[b, :n]), np.asarray(ids_off[b, :n])
+        )

@@ -123,7 +123,11 @@ class ModelConfig:
     generator, and a conv PhoneDiscriminator critic.
     """
 
-    # conv_bigru | cnn | classifier | transformer | conformer
+    # conv_bigru | uni_gru | cnn | classifier | transformer | conformer
+    # (uni_gru = causal patch embed + context conv + unidirectional GRU
+    # stack: the online-streamable sibling of conv_bigru — serving
+    # carries its recurrent state across chunks with zero right-context
+    # latency, uasr/serve.py)
     encoder: str = "conv_bigru"
     hidden_size: int = 256
     num_gru_layers: int = 2

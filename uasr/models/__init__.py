@@ -12,5 +12,6 @@ from uasr.models.models import (  # noqa: F401
     ConvBiGRUEncoder,
     PhoneClassifier,
     PhoneDiscriminator,
+    UniGRUEncoder,
     build_model,
 )

@@ -36,7 +36,19 @@ class GRULayer(nn.Module):
     use_pallas: bool = False  # whole recurrence as one Pallas kernel
 
     @nn.compact
-    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        lengths: jax.Array,
+        h0: jax.Array | None = None,
+        return_final: bool = False,
+    ):
+        """h0 [B, H] (optional): initial hidden state — the streaming
+        seam (UniGRUEncoder carries it across chunks; feeding chunks
+        sequentially reproduces the full scan exactly). return_final:
+        also return the PRE-masking state after the last step (frozen
+        past each utterance's end), i.e. the carry for the next chunk.
+        h0 is only supported for the scan path (forward direction)."""
         B, T, D = x.shape
         H = self.hidden
         wx = self.param("wx", nn.initializers.lecun_normal(), (D, 3 * H))
@@ -72,7 +84,15 @@ class GRULayer(nn.Module):
             h_new = jnp.where(m[:, None], h_new, h)
             return h_new, h_new
 
-        if self.use_pallas:
+        if h0 is not None and self.reverse:
+            raise ValueError(
+                "GRULayer h0 carry is a forward-scan feature (streaming); "
+                "unsupported with reverse=True"
+            )
+        if self.use_pallas and h0 is None:
+            # (a given h0 means a streaming chunk step: tiny T, the
+            # lax.scan below is the right tool — the Pallas kernel has
+            # no initial-state input)
             # single-group (G=1) call into the grouped Pallas recurrence
             # used by BiGRU — the SSL context network's hot path on TPU
             from uasr.models.pallas_gru import pallas_gru_scan
@@ -81,10 +101,15 @@ class GRULayer(nn.Module):
                 xproj[:, None], wh[None].astype(self.dtype),
                 bh[None].astype(self.dtype), tmask[:, None],
             )[:, 0]
+            h_final = ys[-1]  # pre-mask emit = frozen state past ends
         else:
-            h0 = jnp.zeros((B, H), self.dtype)
-            _, ys = jax.lax.scan(
-                step, h0, (xproj, tmask), unroll=self.unroll
+            h_init = (
+                jnp.zeros((B, H), self.dtype)
+                if h0 is None
+                else h0.astype(self.dtype)
+            )
+            h_final, ys = jax.lax.scan(
+                step, h_init, (xproj, tmask), unroll=self.unroll
             )
         ys = jnp.moveaxis(ys, 0, 1)  # [B, T, H]
 
@@ -94,7 +119,10 @@ class GRULayer(nn.Module):
             ys = jnp.take_along_axis(ys, idx[:, :, None], axis=1)
         # zero padding frames
         valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
-        return jnp.where(valid, ys, 0.0).astype(jnp.float32)
+        out = jnp.where(valid, ys, 0.0).astype(jnp.float32)
+        if return_final:
+            return out, h_final
+        return out
 
 
 class BiGRU(nn.Module):

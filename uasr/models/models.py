@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from uasr.config import ModelConfig
-from uasr.models.layers import BiGRU, ConvBlock, conv_out_length
+from uasr.models.layers import BiGRU, ConvBlock, GRULayer, conv_out_length
 
 
 def _dtype(cfg: ModelConfig):
@@ -324,6 +324,110 @@ class ConformerEncoder(nn.Module):
         return logits, lengths
 
 
+class UniGRUEncoder(nn.Module):
+    """Causal streaming CTC encoder (``model.encoder: uni_gru``):
+    non-overlapping patch embed -> causal context conv1d -> N x
+    unidirectional GRU -> dense logits.
+
+    Every op is causal at patch granularity, so online serving carries
+    only a small recurrent state — the conv tail (kernel-1 patch
+    embeddings) and one hidden vector per GRU layer — and emits tokens
+    with ZERO right-context latency, unlike the window-replay path the
+    finite-RF encoders use (one-chunk latency). The offline ``__call__``
+    IS one streaming ``step`` from the zero state, so chunked serving
+    reproduces offline inference by construction (token parity tested
+    in tests/test_serve.py). The reference had no streaming or serving
+    at all (SURVEY.md §3.4: offline batch decode only); its closest
+    model is the conv+BiGRU — this is the online-capable sibling, with
+    the BiGRU flagship remaining the offline-accuracy model.
+    """
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    def setup(self):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        self.patch = cfg.conv_time_stride ** cfg.num_conv_layers
+        self.kernel = cfg.conv_kernel
+        self.embed = nn.Dense(cfg.hidden_size, dtype=dt, name="embed")
+        self.embed_ln = nn.LayerNorm(dtype=dt, name="embed_ln")
+        # causality via an explicit carried tail + VALID conv: offline
+        # and streaming share the exact same op (the zero-init tail IS
+        # the causal left pad)
+        self.ctx = nn.Conv(cfg.hidden_size, (self.kernel,),
+                           padding="VALID", dtype=dt, name="context")
+        self.ctx_ln = nn.LayerNorm(dtype=dt, name="context_ln")
+        self.grus = [
+            GRULayer(cfg.hidden_size, dtype=dt, unroll=cfg.gru_unroll,
+                     use_pallas=cfg.gru_pallas, name=f"gru{i}")
+            for i in range(cfg.num_gru_layers)
+        ]
+        self.out = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                            name="logits")
+
+    def _trunk(self, feats, frame_valid, carry):
+        """Shared offline/streaming body. feats [B, C, D] with C a
+        multiple of the patch size; frame_valid [B] = valid frames of
+        this span per stream; carry None (offline: zero state, Pallas
+        recurrence allowed) or (ctx_tail, h)."""
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        B, C, D = feats.shape
+        P = self.patch
+        x = feats.astype(dt)
+        x = x * _length_mask(x, frame_valid)
+        if C % P:  # offline callers may pass any T; chunks are aligned
+            x = jnp.pad(x, ((0, 0), (0, P - C % P), (0, 0)))
+        x = x.reshape(B, x.shape[1] // P, P * D)
+        pvalid = (frame_valid + P - 1) // P
+        e = nn.relu(self.embed_ln(self.embed(x)))
+        tail = (
+            jnp.zeros((B, self.kernel - 1, cfg.hidden_size), dt)
+            if carry is None
+            else carry[0].astype(dt)
+        )
+        cat = jnp.concatenate([tail, e], axis=1)
+        y = nn.relu(self.ctx_ln(self.ctx(cat)))
+        x = e + y  # residual context block (causal)
+        new_tail = cat[:, cat.shape[1] - (self.kernel - 1):]
+        hs = []
+        for i, gru in enumerate(self.grus):
+            if carry is None:
+                x = gru(x, pvalid)
+            else:
+                x, h_i = gru(x, pvalid, h0=carry[1][i], return_final=True)
+                hs.append(h_i)
+        logits = self.out(x)
+        logits = logits * _length_mask(logits, pvalid)
+        new_carry = None if carry is None else (new_tail, jnp.stack(hs))
+        return logits, pvalid, new_carry
+
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        logits, plens, _ = self._trunk(feats, lengths, None)
+        return logits, plens
+
+    def step(self, feats: jax.Array, frame_valid: jax.Array, carry):
+        """One streaming chunk: feats [B, C, D] (C % patch == 0),
+        frame_valid [B] in [0, C], carry from initial_carry / a prior
+        step. Returns (logits [B, C/patch, V], new_carry). Streams past
+        their utterance end have frame_valid 0: the GRU state freezes
+        and emitted logits rows are zeroed/masked by the caller."""
+        logits, _, new_carry = self._trunk(feats, frame_valid, carry)
+        return logits, new_carry
+
+
+def uni_gru_initial_carry(cfg: ModelConfig, batch: int):
+    """Zero streaming state for UniGRUEncoder.step:
+    (ctx_tail [B, kernel-1, H], h [num_gru_layers, B, H]). The zero
+    tail IS the causal left pad, so step-from-zero == offline call."""
+    dt = _dtype(cfg)
+    return (
+        jnp.zeros((batch, cfg.conv_kernel - 1, cfg.hidden_size), dt),
+        jnp.zeros((cfg.num_gru_layers, batch, cfg.hidden_size), dt),
+    )
+
+
 class CNNEncoder(nn.Module):
     """Pure-CNN CTC encoder: stacked 1-D convs over time (dilated stack
     for receptive field), one strided layer for subsampling. No
@@ -466,7 +570,7 @@ def encoder_time_subsample(cfg: ModelConfig) -> int:
         return 1
     if cfg.encoder == "cnn":
         return cfg.conv_time_stride  # single strided layer
-    if cfg.encoder in ("conv_bigru", "transformer", "conformer"):
+    if cfg.encoder in ("conv_bigru", "transformer", "conformer", "uni_gru"):
         return cfg.conv_time_stride ** cfg.num_conv_layers
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
 
@@ -479,6 +583,8 @@ def build_model(cfg: ModelConfig, vocab_size: int, mesh=None) -> nn.Module:
         )
     if cfg.encoder == "conv_bigru":
         return ConvBiGRUEncoder(cfg, vocab_size)
+    if cfg.encoder == "uni_gru":
+        return UniGRUEncoder(cfg, vocab_size)
     if cfg.encoder == "cnn":
         return CNNEncoder(cfg, vocab_size)
     if cfg.encoder == "classifier":

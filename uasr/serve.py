@@ -8,10 +8,20 @@ with bounded latency and an EXACT-parity guarantee:
 
     streamed tokens == offline greedy decode of the full utterance
 
-for encoders with a finite receptive field (``cnn``, ``classifier``),
-provided ``chunk_frames`` and ``lookback_frames`` each cover the
-receptive-field half-width (checked at construction). Attention / BiGRU
-encoders have unbounded context and are rejected with a clear error.
+for two encoder classes:
+
+  - **finite receptive field** (``cnn``, ``classifier``): a rolling
+    feature window is re-encoded each chunk, provided ``chunk_frames``
+    and ``lookback_frames`` each cover the receptive-field half-width
+    (checked at construction); emission latency is one chunk (the
+    decoded region needs a chunk of real right context);
+  - **causal recurrent** (``uni_gru``): no window at all — the
+    encoder's own streaming state (conv tail + GRU hidden) is carried
+    across chunks and each chunk's tokens are emitted immediately
+    (ZERO right-context latency; `finish()` only flushes beam mode).
+
+Attention / BiGRU encoders have unbounded bidirectional context and are
+rejected with a clear error.
 
 How it works (all static shapes, everything jitted):
 
@@ -68,7 +78,8 @@ def streaming_receptive_field(cfg: ModelConfig) -> tuple[int, int]:
         return half, s
     raise ValueError(
         f"encoder {cfg.encoder!r} has unbounded context and cannot "
-        "stream exactly; use 'cnn' or 'classifier' for online serving"
+        "stream exactly; use 'cnn' or 'classifier' (window replay) or "
+        "'uni_gru' (carried recurrent state) for online serving"
     )
 
 
@@ -91,6 +102,29 @@ class BeamRecognizerState(NamedTuple):
     n_frames: jax.Array
     prev_id: jax.Array  # greedy-partials carry
     valid_frames: jax.Array  # [B] per-stream feature-frame cap (huge = open)
+    beam: object  # ops.decode._BeamState
+    prefix: jax.Array  # [B, W, Lmax] int32, -1 padded
+    prefix_len: jax.Array  # [B, W]
+
+
+class RecurrentState(NamedTuple):
+    """State of the causal-recurrent path (``uni_gru``): instead of a
+    feature window, the encoder's own streaming carry (conv tail + GRU
+    hidden per layer) rides across chunks."""
+
+    frontend: StreamState
+    carry: tuple  # models.uni_gru_initial_carry: (ctx_tail, h)
+    n_frames: jax.Array  # [] int32 — feature frames received so far
+    prev_id: jax.Array  # [B] last raw argmax id of the decoded prefix
+    valid_frames: jax.Array  # [B] per-stream feature-frame cap
+
+
+class BeamRecurrentState(NamedTuple):
+    frontend: StreamState
+    carry: tuple
+    n_frames: jax.Array
+    prev_id: jax.Array
+    valid_frames: jax.Array
     beam: object  # ops.decode._BeamState
     prefix: jax.Array  # [B, W, Lmax] int32, -1 padded
     prefix_len: jax.Array  # [B, W]
@@ -187,7 +221,14 @@ class StreamingRecognizer:
         self.params = params
         self.model = build_model(cfg.model, cfg.dim_output)
         self.fe = frontend_state_from_config(cfg.frontend)
-        half, sub = streaming_receptive_field(cfg.model)
+        # causal-recurrent encoders carry their own state — no window,
+        # no receptive-field constraints, zero right-context latency
+        self.recurrent = cfg.model.encoder == "uni_gru"
+        if self.recurrent:
+            half = 0
+            sub = cfg.model.conv_time_stride ** cfg.model.num_conv_layers
+        else:
+            half, sub = streaming_receptive_field(cfg.model)
         self.subsample = sub
         C = chunk_frames or cfg.frontend.streaming_chunk_frames or 64
         if C % sub:
@@ -198,7 +239,7 @@ class StreamingRecognizer:
         # lookback: at least the receptive field, rounded UP to a chunk
         # multiple so the rolling buffer fills exactly before it starts
         # shifting (the shift is then always one whole chunk)
-        Lb = -(-max(lookback_frames or half, 1) // C) * C
+        Lb = 0 if self.recurrent else -(-max(lookback_frames or half, 1) // C) * C
         if C < half:
             raise ValueError(
                 f"chunk_frames {C} < receptive-field half-width {half}: "
@@ -277,6 +318,27 @@ class StreamingRecognizer:
             # pipeline uses; the logits-rate cap is derived where needed
             fs = self.cfg.frontend.frame_shift
             valid = (jnp.asarray(audio_lengths, jnp.int32) + fs - 1) // fs
+        if self.recurrent:
+            from uasr.models.models import uni_gru_initial_carry
+
+            rbase = RecurrentState(
+                frontend=init_stream_state(batch, self.cfg.frontend),
+                carry=uni_gru_initial_carry(self.cfg.model, batch),
+                n_frames=jnp.zeros((), jnp.int32),
+                prev_id=jnp.full((batch,), self.blank, jnp.int32),
+                valid_frames=valid,
+            )
+            if not self.use_beam:
+                return rbase
+            from uasr.ops.decode import ctc_beam_init
+
+            Wb, L = self.beam_width, self.max_tokens
+            return BeamRecurrentState(
+                *rbase,
+                beam=ctc_beam_init(batch, Wb),
+                prefix=jnp.full((batch, Wb, L), -1, jnp.int32),
+                prefix_len=jnp.zeros((batch, Wb), jnp.int32),
+            )
         base = RecognizerState(
             frontend=init_stream_state(batch, self.cfg.frontend),
             feat_buf=jnp.zeros((batch, self.window, D), jnp.float32),
@@ -390,7 +452,58 @@ class StreamingRecognizer:
             lm_bonus=self.cfg.ctc.lm_bonus,
         )
 
+    def _step_recurrent(self, params, state: RecurrentState, audio_chunk):
+        """Causal path: frontend chunk -> encoder.step with the carried
+        recurrent state -> the CURRENT chunk's tokens, immediately."""
+        C, s = self.chunk, self.subsample
+        fstate, feats = stream_chunk(
+            state.frontend, audio_chunk, self.fe, self.cfg.frontend
+        )
+        a = state.n_frames  # absolute frame index of this chunk's start
+        fv = jnp.clip(state.valid_frames - a, 0, C)  # valid frames here
+        logits, new_carry = self.model.apply(
+            params, feats, fv, state.carry, method="step"
+        )
+        n = a + C
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        B, K = ids.shape
+        pos = a // s + jnp.arange(K)[None, :]
+        vlog = (state.valid_frames + s - 1) // s
+        active = pos < vlog[:, None]
+        out, counts, prev = self._emit(ids, state.prev_id, active)
+        if not self.use_beam:
+            return RecurrentState(
+                fstate, new_carry, n, prev, state.valid_frames
+            ), out, counts
+        beam, prefix, plen = self._advance_beam(state, logits, True, a // s)
+        new = BeamRecurrentState(
+            fstate, new_carry, n, prev, state.valid_frames,
+            beam, prefix, plen,
+        )
+        return new, out, counts
+
+    def _finish_recurrent(self, params, state: RecurrentState):
+        """Causal path: every chunk was decoded on arrival, so greedy
+        has nothing to flush; beam mode reads out the best transcript."""
+        B = state.prev_id.shape[0]
+        K = self.chunk // self.subsample
+        if not self.use_beam:
+            return state, jnp.full((B, K), -1, jnp.int32), \
+                jnp.zeros((B,), jnp.int32)
+        from uasr.ops.decode import _logaddexp
+
+        best = jnp.argmax(_logaddexp(state.beam.p_b, state.beam.p_nb), 1)
+        final = jnp.take_along_axis(
+            state.prefix, best[:, None, None], 1
+        )[:, 0]
+        final_len = jnp.take_along_axis(
+            state.prefix_len, best[:, None], 1
+        )[:, 0]
+        return state, final, final_len
+
     def _step_impl(self, params, state: RecognizerState, audio_chunk):
+        if self.recurrent:
+            return self._step_recurrent(params, state, audio_chunk)
         C = self.chunk
         fstate, feats = stream_chunk(
             state.frontend, audio_chunk, self.fe, self.cfg.frontend
@@ -426,6 +539,8 @@ class StreamingRecognizer:
         return new, out, counts
 
     def _finish_impl(self, params, state: RecognizerState):
+        if self.recurrent:
+            return self._finish_recurrent(params, state)
         C = self.chunk
         n = state.n_frames
         can = n >= C

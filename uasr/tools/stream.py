@@ -11,7 +11,9 @@ tests/test_serve.py):
       [--chunk-frames 64] [--batch 8] [--verbose]
 
 Requires `frontend.cmvn: streaming` (the AISHELL streaming recipe) and
-a finite-receptive-field encoder (cnn / classifier). Mixed-length
+a streamable encoder: finite receptive field (cnn / classifier, window
+replay, one-chunk latency) or causal recurrent (uni_gru, carried conv
+tail + GRU state, zero right-context latency). Mixed-length
 batches are safe: per-utterance lengths are passed to the recognizer,
 so decoding freezes at each utterance's own end and batch zero-padding
 is never transcribed. With --verbose the partial transcript is printed
