@@ -526,7 +526,7 @@ def run_baseline(B=16, seconds=8.0, iters=3):
 
 
 def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
-                  beam=False, beam_width=8):
+                  beam=False, beam_width=8, encoder="cnn"):
     """Online serving latency: per-chunk wall time of the jitted
     StreamingRecognizer step (frontend chunk + window encoder + greedy
     emit), host read of the emitted-token counts every chunk — exactly
@@ -550,10 +550,13 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
         frontend=FrontendConfig(num_mel_bins=80, cmvn="streaming",
                                 streaming_chunk_frames=chunk_frames,
                                 precision="high"),
-        # the AISHELL streaming recipe's encoder shape (finite RF)
-        model=ModelConfig(encoder="cnn", hidden_size=384,
+        # cnn = the AISHELL streaming recipe's encoder shape (finite
+        # RF, window replay); uni_gru = the causal recurrent class
+        # (carried conv tail + GRU state, zero-latency emission)
+        model=ModelConfig(encoder=encoder, hidden_size=384,
                           num_conv_layers=2, conv_time_stride=2,
-                          conv_kernel=5, dtype="bfloat16"),
+                          conv_kernel=5, num_gru_layers=2,
+                          dtype="bfloat16"),
         ctc=CTCConfig(use_beam=beam, beam_width=beam_width),
         train=TrainConfig(),
         vocab_size=64,
@@ -584,7 +587,8 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
     chunk_sec = chunk_frames * cfg.frontend.frame_shift_ms / 1000.0
     p50 = lat_ms[len(lat_ms) // 2]
     return {
-        "mode": f"streaming{'-beam%d' % beam_width if beam else ''}"
+        "mode": f"streaming-{encoder}"
+                f"{'-beam%d' % beam_width if beam else ''}"
                 f":B{B}xC{chunk_frames}",
         "chunk_ms": round(chunk_sec * 1e3, 1),
         "latency_ms_p50": round(p50, 2),
@@ -601,8 +605,10 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--encoder", default="conv_bigru",
-                   choices=["conv_bigru", "cnn", "transformer", "conformer"],
-                   help="encoder family for the train-throughput line")
+                   choices=["conv_bigru", "cnn", "transformer", "conformer",
+                            "uni_gru"],
+                   help="encoder family for the train-throughput line "
+                        "(with --streaming: cnn | uni_gru)")
     p.add_argument("--chained", action="store_true",
                    help="all bench iters inside one jitted scan launch")
     p.add_argument("--mfu", action="store_true",
@@ -628,6 +634,7 @@ def main():
             B=args.batch if args.batch != 128 else 8,
             chunk_frames=args.chunk_frames,
             beam=args.decode == "beam", beam_width=args.beam_width,
+            encoder="uni_gru" if args.encoder == "uni_gru" else "cnn",
         )))
         return
 
