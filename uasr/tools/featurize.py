@@ -29,7 +29,11 @@ import uasr  # noqa: F401  (applies uasr._maybe_force_cpu)
 
 
 def dump_features(cfg, source, out_dir: str, layer: str | None = None,
-                  batches=None, cmvn: bool = False) -> int:
+                  batches=None, cmvn: bool = False,
+                  pca_dim: int | None = None,
+                  pool_clusters: int | None = None,
+                  transforms_from: str | None = None,
+                  sample_frames: int = 200_000) -> int:
     """Run the restored CPC model over a split and write the cache.
     Returns the number of utterances written.
 
@@ -38,7 +42,16 @@ def dump_features(cfg, source, out_dir: str, layer: str | None = None,
     path bypasses the audio frontend's CMVN entirely, and the
     unsupervised GAN is sensitive to input scale (measured on the
     synthetic corpus: held-out PER 0.62 raw vs 0.48 standardized,
-    chance 0.83)."""
+    chance 0.83).
+
+    pca_dim / pool_clusters implement the wav2vec-U prep between the
+    SSL model and the GAN (Baevski et al. 2021; BASELINE config #5):
+    PCA projection, then mean-pooling adjacent frames with equal
+    k-means ids so the cache holds near-phone-rate features. Fitting
+    is streaming (two passes over the split, O(D^2) memory); the
+    fitted transforms are saved beside the cache (pca.npz /
+    pool_kmeans.npz) and `transforms_from=<train dump dir>` reuses
+    them for dev/test splits instead of refitting."""
     from uasr.checkpoint import CheckpointManager
     from uasr.data.cache import write_cache
     from uasr.data.dataset import Batch
@@ -47,12 +60,27 @@ def dump_features(cfg, source, out_dir: str, layer: str | None = None,
     layer = layer or cfg.ssl.feature_layer
     if layer not in ("context", "latents"):
         raise SystemExit(f"unknown feature layer {layer!r}")
-    if batches is None:
+    needs_fit = transforms_from is None and (pca_dim or pool_clusters)
+    two_pass = bool(pca_dim or pool_clusters) and transforms_from is None
+
+    def fresh_batches():
         from uasr.cli import _batches
 
-        batches = _batches(cfg, source, num_epochs=1, drop_remainder=False)
+        return _batches(cfg, source, num_epochs=1, drop_remainder=False)
+
+    if batches is None:
+        make_batches = fresh_batches
+    elif two_pass:
+        # caller-supplied iterator but fitting needs two passes:
+        # materialize (test-scale path; recipes pass batches=None)
+        batches = list(batches)
+        make_batches = lambda: iter(batches)  # noqa: E731
+    else:
+        _once = [batches]
+        make_batches = lambda: _once.pop()  # noqa: E731
+
     trainer = SSLTrainer(cfg)
-    it = iter(batches)
+    it = iter(make_batches())
     first = next(it)
     import itertools
 
@@ -76,9 +104,9 @@ def dump_features(cfg, source, out_dir: str, layer: str | None = None,
         feats = c if layer == "context" else z
         return feats.astype(jnp.float32), flen
 
-    def examples():
+    def raw_examples(batch_iter):
         n = 0
-        for b in it:
+        for b in batch_iter:
             b = Batch(*b)
             feats, flen = apply_fn(
                 state.params, jnp.asarray(b.audio),
@@ -96,11 +124,69 @@ def dump_features(cfg, source, out_dir: str, layer: str | None = None,
                 yield (f"utt{n:08d}", f, ids)
                 n += 1
 
+    from uasr.data import transforms as T
+
+    pca = km = None
+    if transforms_from is not None:
+        pca, km = T.load_transforms(transforms_from)
+        if pca_dim and pca is None:
+            raise SystemExit(
+                f"--pca given but no {T.PCA_FILE} under {transforms_from}"
+            )
+        if pool_clusters and km is None:
+            raise SystemExit(
+                f"--pool-kmeans given but no {T.KMEANS_FILE} under "
+                f"{transforms_from}"
+            )
+    elif needs_fit:
+        # fit pass: streaming PCA moments + a uniform frame reservoir
+        # for the pooling k-means (both O(1) in corpus length)
+        import os
+
+        from uasr.ops.segment import kmeans_fit
+
+        acc = T.StreamingPCA() if pca_dim else None
+        res = T.Reservoir(sample_frames, seed=0) if pool_clusters else None
+        for _, f, _ in raw_examples(it):
+            if acc is not None:
+                acc.update(f)
+            if res is not None:
+                res.update(f)
+        os.makedirs(out_dir, exist_ok=True)
+        if acc is not None:
+            pca = acc.finalize(pca_dim)
+            pca.save(os.path.join(out_dir, T.PCA_FILE))
+            print(
+                "featurize: PCA fit on "
+                f"{acc.n} frames -> {pca_dim} dims", file=sys.stderr,
+            )
+        if res is not None:
+            sample = res.sample()
+            if pca is not None:
+                sample = pca(sample)
+            km = kmeans_fit(sample, pool_clusters)
+            T.save_kmeans(os.path.join(out_dir, T.KMEANS_FILE), km)
+            print(
+                f"featurize: pooling k-means fit on {len(sample)} frames "
+                f"-> {pool_clusters} clusters", file=sys.stderr,
+            )
+        it = raw_examples(iter(make_batches()))  # write pass
+    if not needs_fit:
+        it = raw_examples(it)
+
+    def transformed(ex_iter):
+        for uid, f, ids in ex_iter:
+            if pca is not None:
+                f = pca(f)
+            if km is not None:
+                f = T.pool_adjacent(f, T.assign_clusters(f, km))
+            yield (uid, f, ids)
+
     count = 0
 
     def counted():
         nonlocal count
-        for ex in examples():
+        for ex in transformed(it):
             count += 1
             yield ex
 
@@ -122,6 +208,20 @@ def main(argv=None):
                    help="standardize each utterance's features (the "
                         "cache path bypasses the frontend's CMVN; the "
                         "unsupervised GAN wants normalized inputs)")
+    p.add_argument("--pca", type=int, default=None, metavar="DIM",
+                   help="fit (streaming) and apply a PCA projection to "
+                        "DIM dims — the wav2vec-U prep step")
+    p.add_argument("--pool-kmeans", type=int, default=None, metavar="K",
+                   help="fit k-means with K clusters (on a frame "
+                        "reservoir, after any PCA) and mean-pool "
+                        "adjacent frames with equal cluster id — the "
+                        "wav2vec-U phone-rate pooling step")
+    p.add_argument("--transforms-from", default=None, metavar="DIR",
+                   help="reuse the PCA/k-means fitted by a previous "
+                        "dump (point dev/test at the train dump dir) "
+                        "instead of refitting")
+    p.add_argument("--sample-frames", type=int, default=200_000,
+                   help="reservoir size for the k-means fit")
     p.add_argument("--set", action="append", default=[],
                    help="config override, e.g. --set model_dir=exp/ssl")
     args = p.parse_args(argv)
@@ -134,7 +234,10 @@ def main(argv=None):
     source, vocab = _load_source(cfg, args.split)
     if cfg.vocab_size is None:
         cfg = cfg.replace(vocab_size=len(vocab))
-    dump_features(cfg, source, args.out, layer=args.layer, cmvn=args.cmvn)
+    dump_features(cfg, source, args.out, layer=args.layer, cmvn=args.cmvn,
+                  pca_dim=args.pca, pool_clusters=args.pool_kmeans,
+                  transforms_from=args.transforms_from,
+                  sample_frames=args.sample_frames)
     return 0
 
 
