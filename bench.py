@@ -293,7 +293,7 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
     }
 
 
-def run_stages(B=128, seconds=8.0, iters=20):
+def run_stages(B=128, seconds=8.0, iters=20, encoder="conv_bigru"):
     """Per-stage ms breakdown of the train step (frontend / encoder fwd /
     CTC / backward / optimizer) — prints one line per stage to stderr and
     returns the dict."""
@@ -306,7 +306,7 @@ def run_stages(B=128, seconds=8.0, iters=20):
     from uasr.frontend.features import compute_features
     from uasr.train import CTCTrainer
 
-    cfg = _bench_cfg()
+    cfg = _bench_cfg(encoder)
     batch = _make_batch(B, seconds)
     db = Batch(*map(jnp.asarray, batch))
     tr = CTCTrainer(cfg)
@@ -656,7 +656,8 @@ def main():
         return
 
     if args.stages:
-        print(json.dumps(run_stages(B=args.batch, seconds=args.seconds)))
+        print(json.dumps(run_stages(B=args.batch, seconds=args.seconds,
+                                    encoder=args.encoder)))
         return
 
     if args.mfu:
