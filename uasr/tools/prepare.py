@@ -196,9 +196,10 @@ def cmd_import_features(args):
     """Import externally-computed features (SSL/wav2vec representations
     — wav2vec-U's actual input, BASELINE config #5) into the uasr
     feature cache consumed by `data.feature_cache`. Accepts a directory
-    of per-utterance `<utt_id>.npy` [T, D] arrays or one `.npz` keyed by
-    utterance id; labels (for scoring only) come from the TSV list's
-    transcript column."""
+    of per-utterance `<utt_id>.npy` [T, D] arrays, one `.npz` keyed by
+    utterance id, or a Kaldi table (`feats.scp` / `.ark`, incl.
+    compressed matrices); labels (for scoring only) come from the TSV
+    list's transcript column."""
     from uasr.data.cache import write_cache
     from uasr.vocab import load_vocab
 
@@ -209,6 +210,36 @@ def cmd_import_features(args):
             parts = ln.rstrip("\n").split("\t")
             if parts and parts[0]:
                 utts.append((parts[0], parts[2] if len(parts) > 2 else ""))
+
+    if args.features.endswith((".scp", ".ark")):
+        from uasr.data import kaldi
+
+        text = dict(utts)
+        it = (kaldi.iter_feats_scp(args.features)
+              if args.features.endswith(".scp")
+              else kaldi.iter_feats_ark(args.features))
+
+        def gen_kaldi():
+            seen = set()
+            for utt, feat in it:
+                if utt not in text:
+                    continue  # table may cover more splits than the list
+                seen.add(utt)
+                ids = (vocab.encode(text[utt].split())
+                       if (vocab and text[utt]) else [])
+                yield utt, feat, ids
+            missing = [u for u, _ in utts if u not in seen]
+            if missing:
+                raise SystemExit(
+                    f"{len(missing)} list utterances absent from "
+                    f"{args.features} (first: {missing[0]!r})"
+                )
+
+        write_cache(args.out, gen_kaldi(), shard_size=args.shard_size)
+        print(f"imported kaldi features for {len(utts)} utterances "
+              f"-> {args.out}")
+        return
+
     npz = np.load(args.features) if os.path.isfile(args.features) else None
 
     def gen():
@@ -233,6 +264,69 @@ def cmd_import_features(args):
 
     write_cache(args.out, gen(), shard_size=args.shard_size)
     print(f"imported features for {len(utts)} utterances -> {args.out}")
+
+
+def cmd_export_kaldi(args):
+    """Export a uasr feature cache as a Kaldi feats table (binary FM
+    ark + scp) so features computed here (SSL latents, fused-frontend
+    fbank) can feed an existing Kaldi pipeline."""
+    from uasr.data.cache import FeatureCache
+    from uasr.data.kaldi import write_feats_ark
+
+    cache = FeatureCache(args.feature_cache)
+    ark, scp = write_feats_ark(
+        args.out, ((utt, feat) for utt, feat, _ in cache)
+    )
+    print(f"wrote {len(cache)} utterances -> {ark} / {scp}")
+
+
+def cmd_import_ali(args):
+    """Merge Kaldi per-frame alignments (`ali-to-phones --per-frame`
+    output, ark or scp) into a uasr list as the 4th column consumed by
+    `train.mode: frame_ce` (reference `ASR_align_DataSet` pathway).
+
+    Frame ids map to vocab symbols via --phone-map (Kaldi phones.txt,
+    '<symbol> <id>' lines); without it, ids index the --vocab table
+    directly."""
+    from uasr.data.kaldi import iter_ali
+    from uasr.vocab import load_vocab
+
+    vocab = load_vocab(args.vocab)
+    id2sym: dict[int, str]
+    if args.phone_map:
+        id2sym = {}
+        with open(args.phone_map) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) >= 2:
+                    id2sym[int(parts[1])] = parts[0]
+    else:
+        id2sym = dict(enumerate(vocab.tokens))
+
+    ali = {}
+    for utt, ids in iter_ali(args.ali):
+        try:
+            ali[utt] = " ".join(id2sym[int(i)] for i in ids)
+        except KeyError as e:
+            raise SystemExit(
+                f"{utt}: alignment id {e.args[0]} has no symbol "
+                "(wrong --phone-map? alignments must be per-frame "
+                "phone ids, not transition-ids)"
+            )
+
+    out_lines = []
+    with open(args.list) as f:
+        for ln in f:
+            parts = ln.rstrip("\n").split("\t")
+            if not parts or not parts[0]:
+                continue
+            utt = parts[0]
+            if utt not in ali:
+                raise SystemExit(f"no alignment for list utterance {utt!r}")
+            out_lines.append("\t".join(parts[:3]) + "\t" + ali[utt])
+    with open(args.out, "w") as f:
+        f.write("\n".join(out_lines) + "\n")
+    print(f"wrote {len(out_lines)} aligned utterances -> {args.out}")
 
 
 def cmd_synth(args):
@@ -337,8 +431,9 @@ def main(argv=None):
 
     imp = sub.add_parser("import-features")
     imp.add_argument("--features", required=True,
-                     help="directory of <utt_id>.npy [T, D] files, or "
-                          "one .npz keyed by utterance id")
+                     help="directory of <utt_id>.npy [T, D] files, one "
+                          ".npz keyed by utterance id, or a Kaldi "
+                          "feats.scp/.ark table")
     imp.add_argument("--list", required=True,
                      help="TSV utterance list (utt_id\\twav\\ttranscript)")
     imp.add_argument("--vocab", default=None,
@@ -347,6 +442,23 @@ def main(argv=None):
     imp.add_argument("--shard-size", type=int, default=512)
     imp.add_argument("--out", required=True)
     imp.set_defaults(fn=cmd_import_features)
+
+    ek = sub.add_parser("export-kaldi")
+    ek.add_argument("--feature-cache", required=True)
+    ek.add_argument("--out", required=True,
+                    help="output base path (writes <out>.ark + <out>.scp)")
+    ek.set_defaults(fn=cmd_export_kaldi)
+
+    ia = sub.add_parser("import-ali")
+    ia.add_argument("--ali", required=True,
+                    help="Kaldi per-frame phone alignments (.ark or .scp)")
+    ia.add_argument("--list", required=True,
+                    help="TSV utterance list to merge the 4th column into")
+    ia.add_argument("--vocab", required=True)
+    ia.add_argument("--phone-map", default=None,
+                    help="Kaldi phones.txt mapping '<symbol> <id>'")
+    ia.add_argument("--out", required=True)
+    ia.set_defaults(fn=cmd_import_ali)
 
     s = sub.add_parser("synth")
     s.add_argument("--out-dir", required=True)
