@@ -86,7 +86,7 @@ def streaming_receptive_field(cfg: ModelConfig) -> tuple[int, int]:
 class RecognizerState(NamedTuple):
     frontend: StreamState
     feat_buf: jax.Array  # [B, W, D] rolling feature window (left-aligned)
-    n_frames: jax.Array  # [] int32 — feature frames received so far
+    n_frames: jax.Array  # [B] int32 — feature frames received PER STREAM
     prev_id: jax.Array  # [B] last raw argmax id of the decoded prefix
     valid_frames: jax.Array  # [B] per-stream feature-frame cap (huge = open)
 
@@ -114,7 +114,7 @@ class RecurrentState(NamedTuple):
 
     frontend: StreamState
     carry: tuple  # models.uni_gru_initial_carry: (ctx_tail, h)
-    n_frames: jax.Array  # [] int32 — feature frames received so far
+    n_frames: jax.Array  # [B] int32 — feature frames received PER STREAM
     prev_id: jax.Array  # [B] last raw argmax id of the decoded prefix
     valid_frames: jax.Array  # [B] per-stream feature-frame cap
 
@@ -324,7 +324,7 @@ class StreamingRecognizer:
             rbase = RecurrentState(
                 frontend=init_stream_state(batch, self.cfg.frontend),
                 carry=uni_gru_initial_carry(self.cfg.model, batch),
-                n_frames=jnp.zeros((), jnp.int32),
+                n_frames=jnp.zeros((batch,), jnp.int32),
                 prev_id=jnp.full((batch,), self.blank, jnp.int32),
                 valid_frames=valid,
             )
@@ -342,7 +342,7 @@ class StreamingRecognizer:
         base = RecognizerState(
             frontend=init_stream_state(batch, self.cfg.frontend),
             feat_buf=jnp.zeros((batch, self.window, D), jnp.float32),
-            n_frames=jnp.zeros((), jnp.int32),
+            n_frames=jnp.zeros((batch,), jnp.int32),
             prev_id=jnp.full((batch,), self.blank, jnp.int32),
             valid_frames=valid,
         )
@@ -373,20 +373,109 @@ class StreamingRecognizer:
         """Decode the final region (the last chunk received)."""
         return self._finish(state)
 
+    # ---- dynamic-batching primitives (tools/serve_daemon.py)
+    #
+    # A serving daemon multiplexes many live client streams onto the
+    # slots of ONE batched recognizer: slots join, idle, and leave at
+    # different times. All per-stream state is per-slot (n_frames
+    # included), so slot b's trajectory is independent of every other
+    # slot's; these helpers step a masked subset, reset freed slots,
+    # and stamp a slot's final length — each a single device dispatch.
+
+    def _select_slots(self, mask, new, old):
+        """Per-slot pytree select: slot b takes `new` where mask[b].
+        Every state leaf has batch leading except the uni_gru hidden
+        carry ([L, B, H]), handled explicitly."""
+        mask = jnp.asarray(mask, bool)
+
+        def sel(nl, ol):
+            m = mask.reshape((mask.shape[0],) + (1,) * (nl.ndim - 1))
+            return jnp.where(m, nl, ol)
+
+        if self.recurrent:
+            tail = sel(new.carry[0], old.carry[0])
+            h = jnp.where(mask[None, :, None], new.carry[1], old.carry[1])
+            rest = jax.tree.map(
+                sel, new._replace(carry=None), old._replace(carry=None)
+            )
+            return rest._replace(carry=(tail, h))
+        return jax.tree.map(sel, new, old)
+
+    def masked_step(self, state, audio_chunks, mask):
+        """Step only the slots with mask[b]=True; masked-out slots keep
+        their state bit-for-bit and report 0 emitted tokens. One jitted
+        dispatch regardless of how many slots are active."""
+        S = self.chunk * self.cfg.frontend.frame_shift
+        if audio_chunks.shape[-1] != S:
+            raise ValueError(
+                f"chunk must be exactly {S} samples, got "
+                f"{audio_chunks.shape[-1]}"
+            )
+        if not hasattr(self, "_masked_step_fn"):
+            import functools
+
+            def impl(params, state, chunks, mask):
+                new, ids, counts = self._step_impl(params, state, chunks)
+                kept = self._select_slots(mask, new, state)
+                return kept, ids, jnp.where(mask, counts, 0)
+
+            self._masked_step_fn = jax.jit(
+                functools.partial(impl, self.params)
+            )
+        return self._masked_step_fn(
+            state, jnp.asarray(audio_chunks), jnp.asarray(mask, bool)
+        )
+
+    def reset_slots(self, state, mask):
+        """Return `state` with the masked slots re-initialized (fresh
+        open-ended streams), ready for the next client."""
+        if not hasattr(self, "_reset_fn"):
+            template = self.init(len(state.prev_id))
+
+            def impl(state, mask):
+                return self._select_slots(mask, template, state)
+
+            self._reset_fn = jax.jit(impl)
+        return self._reset_fn(state, jnp.asarray(mask, bool))
+
+    def set_valid_samples(self, state, mask, samples):
+        """Stamp the masked slots' utterance length (in samples) so the
+        tail's zero padding is never decoded as speech — the same
+        length-freezing contract as init(audio_lengths)."""
+        if not hasattr(self, "_set_valid_fn"):
+            def impl(state, mask, samples):
+                fs = self.cfg.frontend.frame_shift
+                frames = (samples.astype(jnp.int32) + fs - 1) // fs
+                return state._replace(
+                    valid_frames=jnp.where(mask, frames, state.valid_frames)
+                )
+
+            self._set_valid_fn = jax.jit(impl)
+        return self._set_valid_fn(
+            state, jnp.asarray(mask, bool), jnp.asarray(samples, jnp.int32)
+        )
+
     # ---- jitted internals
 
     def _push(self, buf, n_prev, feats):
-        """Append `chunk` frames, left-aligned; roll once full."""
+        """Append `chunk` frames, left-aligned; roll once full.
+
+        n_prev is PER-SLOT [B] (streams in a dynamic batch have
+        different ages, tools/serve_daemon.py), so grow-vs-roll is a
+        per-row gather: slot b shifts its window by C once full
+        (n_prev[b] only takes multiples of C, so the insert position is
+        min(n_prev, W-C) and a rolling slot always shifts one chunk)."""
         C, W = self.chunk, self.window
-
-        def grow(_):
-            return jax.lax.dynamic_update_slice(buf, feats, (0, n_prev, 0))
-
-        def roll(_):
-            rolled = jnp.roll(buf, -C, axis=1)
-            return jax.lax.dynamic_update_slice(rolled, feats, (0, W - C, 0))
-
-        return jax.lax.cond(n_prev + C <= W, grow, roll, None)
+        pos = jnp.minimum(n_prev, W - C)[:, None]  # [B, 1] insert row
+        rolling = (n_prev + C > W)[:, None, None]  # [B, 1, 1]
+        w = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+        # a rolling slot always shifts exactly one chunk, so the shifted
+        # rows are a static rotate selected per slot (no gather)
+        old_rows = jnp.where(rolling, jnp.roll(buf, -C, axis=1), buf)
+        fidx = jnp.clip(w - pos, 0, C - 1)
+        feat_rows = jnp.take_along_axis(feats, fidx[..., None], axis=1)
+        in_feat = (w >= pos) & (w < pos + C)
+        return jnp.where(in_feat[..., None], feat_rows, old_rows)
 
     def _decode_region_logits(self, buf, n, region_start, params=None,
                               valid_frames=None):
@@ -399,10 +488,14 @@ class StreamingRecognizer:
         per-utterance masking (mixed-length batch parity)."""
         C, W, s = self.chunk, self.window, self.subsample
         B = buf.shape[0]
-        valid = jnp.minimum(n, W).astype(jnp.int32)
-        a = jnp.maximum(n - W, 0)  # absolute frame index of buffer row 0
+        n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (B,))
+        region_start = jnp.broadcast_to(
+            jnp.asarray(region_start, jnp.int32), (B,)
+        )
+        valid = jnp.minimum(n, W)  # [B]
+        a = jnp.maximum(n - W, 0)  # [B] absolute frame index of buf row 0
         if valid_frames is None:
-            lengths = jnp.broadcast_to(valid, (B,))
+            lengths = valid
         else:
             lengths = jnp.minimum(
                 jnp.clip(valid_frames.astype(jnp.int32) - a, 0, W), valid
@@ -410,10 +503,9 @@ class StreamingRecognizer:
         logits, _ = self.model.apply(
             self.params if params is None else params, buf, lengths
         )
-        off = (region_start - a) // s
-        return jax.lax.dynamic_slice(
-            logits, (0, off, 0), (B, C // s, logits.shape[2])
-        )
+        off = (region_start - a) // s  # [B] per-slot region offset
+        idx = off[:, None] + jnp.arange(C // s, dtype=jnp.int32)[None, :]
+        return jnp.take_along_axis(logits, idx[..., None], axis=1)
 
     def _emit(self, ids, prev_id, active):
         """CTC greedy collapse with carried prev id; returns
@@ -459,7 +551,7 @@ class StreamingRecognizer:
         fstate, feats = stream_chunk(
             state.frontend, audio_chunk, self.fe, self.cfg.frontend
         )
-        a = state.n_frames  # absolute frame index of this chunk's start
+        a = state.n_frames  # [B] absolute frame index of this chunk's start
         fv = jnp.clip(state.valid_frames - a, 0, C)  # valid frames here
         logits, new_carry = self.model.apply(
             params, feats, fv, state.carry, method="step"
@@ -467,7 +559,7 @@ class StreamingRecognizer:
         n = a + C
         ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         B, K = ids.shape
-        pos = a // s + jnp.arange(K)[None, :]
+        pos = (a // s)[:, None] + jnp.arange(K)[None, :]
         vlog = (state.valid_frames + s - 1) // s
         active = pos < vlog[:, None]
         out, counts, prev = self._emit(ids, state.prev_id, active)
@@ -509,10 +601,10 @@ class StreamingRecognizer:
             state.frontend, audio_chunk, self.fe, self.cfg.frontend
         )
         buf = self._push(state.feat_buf, state.n_frames, feats)
-        n = state.n_frames + C
+        n = state.n_frames + C  # [B] per-slot stream age
         # decode the previous chunk's region once it has C frames of
         # real right context; before that (first call) emit nothing
-        can = n >= 2 * C
+        can = n >= 2 * C  # [B]
         start = jnp.maximum(n - 2 * C, 0)
         region = self._decode_region_logits(
             buf, n, start, params, state.valid_frames
@@ -522,9 +614,9 @@ class StreamingRecognizer:
         # positional mask: region logit (start//s + t) must be inside
         # the stream's own utterance (huge cap = open-ended stream)
         s = self.subsample
-        pos = start // s + jnp.arange(K)[None, :]
+        pos = (start // s)[:, None] + jnp.arange(K)[None, :]
         vlog = (state.valid_frames + s - 1) // s
-        active = can & (pos < vlog[:, None])
+        active = can[:, None] & (pos < vlog[:, None])
         out, counts, prev = self._emit(ids, state.prev_id, active)
         if not self.use_beam:
             return RecognizerState(
@@ -542,7 +634,7 @@ class StreamingRecognizer:
         if self.recurrent:
             return self._finish_recurrent(params, state)
         C = self.chunk
-        n = state.n_frames
+        n = state.n_frames  # [B]
         can = n >= C
         start = jnp.maximum(n - C, 0)
         region = self._decode_region_logits(
@@ -551,9 +643,9 @@ class StreamingRecognizer:
         ids = jnp.argmax(region, axis=-1).astype(jnp.int32)
         B, K = ids.shape
         s = self.subsample
-        pos = start // s + jnp.arange(K)[None, :]
+        pos = (start // s)[:, None] + jnp.arange(K)[None, :]
         vlog = (state.valid_frames + s - 1) // s
-        active = can & (pos < vlog[:, None])
+        active = can[:, None] & (pos < vlog[:, None])
         out, counts, prev = self._emit(ids, state.prev_id, active)
         if not self.use_beam:
             return state._replace(prev_id=prev), out, counts
