@@ -57,6 +57,30 @@ def test_cli_train_then_infer(tmp_path):
     assert os.path.exists(os.path.join(model_dir, "hyp.txt"))
 
 
+@pytest.mark.slow
+def test_cli_infer_with_checkpoint_averaging(tmp_path):
+    """train.average_checkpoints=N decodes the mean of the newest N
+    retained checkpoints (classic ASR checkpoint averaging)."""
+    model_dir = str(tmp_path / "exp")
+    r = _run_cli(
+        ["-c", "configs/synthetic_smoke.yaml", "--mode", "train",
+         "--set", f"model_dir={model_dir}",
+         "--set", "train.total_steps=60",
+         "--set", "train.save_every=20"],  # retains steps 20/40/60
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    r2 = _run_cli(
+        ["-c", "configs/synthetic_smoke.yaml", "--mode", "infer",
+         "--set", f"model_dir={model_dir}",
+         "--set", "train.average_checkpoints=3"],
+        tmp_path,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "avg of last 3" in r2.stdout
+    assert "PER=" in r2.stdout
+
+
 def _run_prepare(args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

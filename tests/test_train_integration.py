@@ -109,6 +109,42 @@ def test_keep_n_checkpoints(tmp_path, tiny_setup):
     mgr.close()
 
 
+def test_restore_averaged_exact_mean(tmp_path):
+    """Checkpoint averaging: float leaves are the exact arithmetic mean
+    of the newest N retained steps; int leaves come from the newest;
+    N larger than the retained count falls back to all of them."""
+    from uasr.checkpoint import CheckpointManager, restore_averaged
+
+    state = {
+        "step": np.asarray(0, np.int32),
+        "w": np.zeros((3, 2), np.float32),
+        "b": np.zeros((4,), np.float64),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    for s in (1, 2, 3, 4):  # step 1 is GC'd by keep-3
+        mgr.save(s, {
+            "step": np.asarray(s, np.int32),
+            "w": np.full((3, 2), float(s), np.float32),
+            "b": np.full((4,), 10.0 * s, np.float64),
+        })
+        mgr.wait()
+
+    avg, step = restore_averaged(mgr, state, 2)  # steps 3, 4
+    assert step == 4
+    assert avg["step"] == 4  # int leaf: newest wins
+    np.testing.assert_allclose(np.asarray(avg["w"]), 3.5)
+    np.testing.assert_allclose(np.asarray(avg["b"]), 35.0)
+    assert np.asarray(avg["w"]).dtype == np.float32
+
+    avg_all, step = restore_averaged(mgr, state, 99)  # only 2..4 retained
+    np.testing.assert_allclose(np.asarray(avg_all["w"]), 3.0)
+    mgr.close()
+
+    empty = CheckpointManager(str(tmp_path / "none"), max_to_keep=2)
+    assert restore_averaged(empty, state, 2) is None
+    empty.close()
+
+
 def test_grad_accum_matches_big_batch(tiny_setup):
     """train.grad_accum=k over k equal micro-batches produces EXACTLY
     the parameters of one big-batch step (mean-reduced loss, equal

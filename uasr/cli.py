@@ -358,6 +358,16 @@ def _load_text(cfg, source, vocab):
     return [ids for _, ids in payload if ids]
 
 
+def _restore_for_eval(cfg, mgr, template):
+    """restore_latest, or the averaged last-N when
+    train.average_checkpoints > 1 (checkpoint averaging)."""
+    if cfg.train.average_checkpoints > 1:
+        from uasr.checkpoint import restore_averaged
+
+        return restore_averaged(mgr, template, cfg.train.average_checkpoints)
+    return mgr.restore_latest(template)
+
+
 def _infer(cfg, source, vocab):
     from uasr.checkpoint import CheckpointManager
     from uasr.infer import run_inference
@@ -404,7 +414,7 @@ def _infer(cfg, source, vocab):
         gan = GANTrainer(cfg)
         text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
         gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
-        restored = mgr.restore_latest(gstate)
+        restored = _restore_for_eval(cfg, mgr, gstate)
         if restored is None:
             raise SystemExit(f"no checkpoint under {ckpt_dir}")
         gstate, step = restored
@@ -417,7 +427,7 @@ def _infer(cfg, source, vocab):
         # ctc and eodm both checkpoint a TrainState over their model
         trainer = CTCTrainer(cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), first)
-        restored = mgr.restore_latest(state)
+        restored = _restore_for_eval(cfg, mgr, state)
         if restored is None:
             raise SystemExit(f"no checkpoint under {ckpt_dir}")
         state, step = restored
@@ -432,9 +442,13 @@ def _infer(cfg, source, vocab):
     folded = (
         f" PER_folded={res['per_folded']:.4f}" if "per_folded" in res else ""
     )
+    avg = (
+        f" (avg of last {cfg.train.average_checkpoints})"
+        if cfg.train.average_checkpoints > 1 else ""
+    )
     print(
-        f"step {step}: PER={res['per']:.4f}{folded} RTF={res['rtf']:.4f} "
-        f"({res['audio_seconds']:.1f}s audio)"
+        f"step {step}{avg}: PER={res['per']:.4f}{folded} "
+        f"RTF={res['rtf']:.4f} ({res['audio_seconds']:.1f}s audio)"
     )
     mgr.close()
     return 0

@@ -360,6 +360,10 @@ class TrainConfig:
     # infer restores model_dir/best_ckpt (written by the unsupervised
     # LM selector, gan.select_lm_path) instead of the latest checkpoint
     restore_best: bool = False
+    # infer/export average the float leaves of the newest N retained
+    # checkpoints (classic ASR checkpoint averaging; 1 = plain latest).
+    # Bounded by keep_checkpoints — only retained steps can be averaged
+    average_checkpoints: int = 1
 
 
 @dataclass

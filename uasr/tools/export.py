@@ -367,16 +367,27 @@ def _export_streaming(cfg, args, restored_params, step):
 
 
 def _restore_params(cfg, mgr, params_template):
-    """Restore model params out of whichever state type the run saved."""
+    """Restore model params out of whichever state type the run saved.
+    train.average_checkpoints > 1 averages the newest N retained
+    snapshots (checkpoint averaging) before export."""
     import jax.numpy as jnp
 
     from uasr.train import TrainState
+
+    def restore(template):
+        if cfg.train.average_checkpoints > 1:
+            from uasr.checkpoint import restore_averaged
+
+            return restore_averaged(
+                mgr, template, cfg.train.average_checkpoints
+            )
+        return mgr.restore_latest(template)
 
     mode = cfg.train.mode
     if mode in ("gan", "gan+eodm"):
         # generator params live in GANState.g_params; build a template
         # with matching structure (opt states restored then discarded)
-        restored = mgr.restore_latest(_gan_template(cfg))
+        restored = restore(_gan_template(cfg))
         if restored is None:
             raise SystemExit(f"no checkpoint to export under {mgr.directory}")
         gstate, step = restored
@@ -386,7 +397,7 @@ def _restore_params(cfg, mgr, params_template):
     opt = make_optimizer(cfg)  # pytree structure must match the run's
     state = TrainState(jnp.zeros((), jnp.int32), params_template,
                        opt.init(params_template))
-    restored = mgr.restore_latest(state)
+    restored = restore(state)
     if restored is None:
         raise SystemExit(f"no checkpoint to export under {mgr.directory}")
     st, step = restored
