@@ -597,6 +597,104 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
     }
 
 
+def run_serve(B=8, chunk_frames=64, utt_chunks=25, n_utts=48,
+              warmup_utts=16):
+    """Dynamic-batching daemon throughput: B closed-loop clients stream
+    utterances through the ServingEngine back-to-back (open -> feed ->
+    end -> final -> next utterance), so every tick runs the real serving
+    path — masked step, length stamping, finish, slot reset — with slots
+    joining and leaving continuously. Every final transcript is a host
+    read (the fence); every utterance is fresh random audio (the tunnel
+    cache cannot serve repeats). Metric: sustained audio-sec/sec through
+    the daemon."""
+    import queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.config import Config, FrontendConfig, ModelConfig, TrainConfig
+    from uasr.frontend.features import compute_features
+    from uasr.serve import StreamingRecognizer
+    from uasr.tools.serve_daemon import ServingEngine
+    from uasr.train import CTCTrainer
+
+    cfg = Config(
+        name="bench_serve",
+        frontend=FrontendConfig(num_mel_bins=80, cmvn="streaming",
+                                streaming_chunk_frames=chunk_frames,
+                                precision="high"),
+        model=ModelConfig(encoder="cnn", hidden_size=384,
+                          num_conv_layers=2, conv_time_stride=2,
+                          conv_kernel=5, dtype="bfloat16"),
+        train=TrainConfig(),
+        vocab_size=64,
+    )
+    cs = chunk_frames * cfg.frontend.frame_shift
+    trainer = CTCTrainer(cfg)
+    rng = np.random.RandomState(0)
+    a0 = jnp.asarray(rng.randn(B, cs).astype(np.float32) * 0.1)
+    f0, l0 = compute_features(
+        a0, jnp.full((B,), cs), trainer.frontend_state, cfg.frontend
+    )
+    params = trainer.model.init(jax.random.PRNGKey(0), f0, l0)
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk_frames)
+    engine = ServingEngine(rec, linger_s=0.002)
+    engine.start(B)
+
+    utts: "queue.Queue[np.ndarray]" = queue.Queue()
+    done = []
+    done_lock = threading.Lock()
+
+    def client():
+        while True:
+            try:
+                audio = utts.get_nowait()
+            except queue.Empty:
+                return
+            sess = None
+            while sess is None:
+                sess = engine.open()
+            engine.feed(sess, audio)
+            engine.end(sess)
+            while True:  # drain to the final (host read = the fence)
+                kind, ids = sess.events.get()
+                if kind == "final":
+                    break
+            with done_lock:
+                done.append(len(audio))
+
+    def run_wave(n):
+        for i in range(n):
+            # utterance lengths vary ±20% so slots go in and out of sync
+            n_ch = max(2, utt_chunks + int((i % 5 - 2) * 0.1 * utt_chunks))
+            utts.put((rng.randn(n_ch * cs) * 0.1).astype(np.float32))
+        threads = [threading.Thread(target=client) for _ in range(B)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    run_wave(warmup_utts)  # jit compiles: masked step/stamp/finish/reset
+    done.clear()
+    t0 = time.time()
+    run_wave(n_utts)
+    dt = time.time() - t0
+    engine.stop()
+    sr = cfg.frontend.sample_rate
+    audio_sec = sum(done) / sr
+    return {
+        "mode": f"serve-daemon:B{B}xC{chunk_frames}",
+        "metric": "serving_throughput",
+        "value": round(audio_sec / dt, 1),
+        "unit": "audio_sec/sec/chip",
+        "utts_per_sec": round(len(done) / dt, 2),
+        "mean_utt_sec": round(audio_sec / max(len(done), 1), 2),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--baseline", action="store_true")
@@ -626,8 +724,18 @@ def main():
     p.add_argument("--streaming", action="store_true",
                    help="online serving per-chunk latency "
                         "(StreamingRecognizer step)")
+    p.add_argument("--serve", action="store_true",
+                   help="dynamic-batching daemon throughput "
+                        "(ServingEngine, closed-loop clients)")
     p.add_argument("--chunk-frames", type=int, default=64)
     args = p.parse_args()
+
+    if args.serve:
+        print(json.dumps(run_serve(
+            B=args.batch if args.batch != 128 else 8,
+            chunk_frames=args.chunk_frames,
+        )))
+        return
 
     if args.streaming:
         print(json.dumps(run_streaming(

@@ -401,10 +401,28 @@ class StreamingRecognizer:
             return rest._replace(carry=(tail, h))
         return jax.tree.map(sel, new, old)
 
-    def masked_step(self, state, audio_chunks, mask):
+    def masked_step(self, state, audio_chunks, mask,
+                    stamp_mask=None, stamp_samples=None, packed=False):
         """Step only the slots with mask[b]=True; masked-out slots keep
         their state bit-for-bit and report 0 emitted tokens. One jitted
-        dispatch regardless of how many slots are active."""
+        dispatch regardless of how many slots are active.
+
+        stamp_mask/stamp_samples (optional): additionally stamp those
+        slots' utterance length (see set_valid_samples) in the SAME
+        dispatch — the stamp applies before the step, so a tick that
+        both learns a stream's true length and consumes its (padded)
+        tail chunk masks the padding correctly.
+
+        Transfer discipline (the serving hot loop may run over a
+        remote-tunneled device where EVERY transfer is a round trip):
+        all inputs ride ONE upload — mask/stamp/samples are bitcast
+        into 3 trailing f32 columns of the audio matrix — and ids+
+        counts come back as ONE [B, K+1] i32 download. packed=True
+        returns that un-materialized device array (column K = count)
+        so a caller can pipeline the readback; default splits it.
+        """
+        import numpy as np
+
         S = self.chunk * self.cfg.frontend.frame_shift
         if audio_chunks.shape[-1] != S:
             raise ValueError(
@@ -414,17 +432,76 @@ class StreamingRecognizer:
         if not hasattr(self, "_masked_step_fn"):
             import functools
 
-            def impl(params, state, chunks, mask):
+            def impl(params, state, packed_in):
+                chunks = packed_in[:, :S]
+                aux = jax.lax.bitcast_convert_type(
+                    packed_in[:, S:], jnp.int32
+                )
+                mask = aux[:, 0] != 0
+                smask = aux[:, 1] != 0
+                fs = self.cfg.frontend.frame_shift
+                frames = (aux[:, 2] + fs - 1) // fs
+                state = state._replace(
+                    valid_frames=jnp.where(smask, frames,
+                                           state.valid_frames)
+                )
                 new, ids, counts = self._step_impl(params, state, chunks)
                 kept = self._select_slots(mask, new, state)
-                return kept, ids, jnp.where(mask, counts, 0)
+                counts = jnp.where(mask, counts, 0)
+                return kept, jnp.concatenate(
+                    [ids, counts[:, None]], axis=1
+                )
 
             self._masked_step_fn = jax.jit(
                 functools.partial(impl, self.params)
             )
-        return self._masked_step_fn(
-            state, jnp.asarray(audio_chunks), jnp.asarray(mask, bool)
+        B = len(mask)
+        aux = np.zeros((B, 3), np.int32)
+        aux[:, 0] = np.asarray(mask, bool)
+        if stamp_mask is not None:
+            aux[:, 1] = np.asarray(stamp_mask, bool)
+            aux[:, 2] = np.asarray(stamp_samples, np.int64).clip(
+                0, 2**31 - 1
+            )
+        packed_in = np.concatenate(
+            [np.asarray(audio_chunks, np.float32), aux.view(np.float32)],
+            axis=1,
         )
+        kept, out = self._masked_step_fn(state, packed_in)
+        if packed:
+            return kept, out
+        o = np.asarray(out)
+        return kept, o[:, :-1], o[:, -1]
+
+    def finish_and_reset(self, state, mask, packed=False):
+        """Decode the masked slots' final region AND re-initialize them
+        for the next client, in one dispatch: returns (state_with_masked_
+        slots_reset, final_ids, final_counts). Unmasked slots keep their
+        state bit-for-bit (their returned ids/counts are meaningless).
+        packed=True returns (state, [B, K+1] device array) as in
+        masked_step."""
+        import numpy as np
+
+        if not hasattr(self, "_finish_reset_fn"):
+            import functools
+
+            template = self.init(len(state.prev_id))
+
+            def impl(params, state, mask):
+                fin, ids, counts = self._finish_impl(params, state)
+                kept = self._select_slots(mask, template, state)
+                return kept, jnp.concatenate(
+                    [ids, counts[:, None].astype(ids.dtype)], axis=1
+                )
+
+            self._finish_reset_fn = jax.jit(
+                functools.partial(impl, self.params)
+            )
+        kept, out = self._finish_reset_fn(state, jnp.asarray(mask, bool))
+        if packed:
+            return kept, out
+        o = np.asarray(out)
+        return kept, o[:, :-1], o[:, -1]
 
     def reset_slots(self, state, mask):
         """Return `state` with the masked slots re-initialized (fresh

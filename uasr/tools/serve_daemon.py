@@ -143,9 +143,35 @@ class ServingEngine:
                     final.append(sess)
         return chunks, stamp, final
 
+    def _drain(self, pending):
+        """Materialize a dispatched tick's packed output (the only
+        device->host transfer of the steady-state loop) and emit
+        partial events."""
+        if pending is None:
+            return
+        chunk_sessions, out = pending
+        out = np.asarray(out)  # [B, K+1]; column K = emitted count
+        for sess in chunk_sessions:
+            toks = out[sess.slot, : out[sess.slot, -1]].tolist()
+            if toks:
+                sess.partials.extend(toks)
+                sess.events.put(("partial", toks))
+
     def _loop(self):
+        """Engine tick. Throughput-critical structure (every host<->
+        device hop may be a remote round trip):
+
+          - length stamping rides the SAME dispatch as the chunk step
+            (masked_step stamp args), and finish+reset are one fused
+            dispatch (finish_and_reset) — a stream's whole lifecycle
+            costs chunk-ticks + 1 extra dispatch, not +3;
+          - readback is PIPELINED one tick behind dispatch: tick k's
+            ids/counts are pulled while tick k+1's step is already in
+            flight, so the transfer latency hides behind compute
+            (partials arrive one tick late; finals drain everything)."""
         S = self.chunk_samples
         B = self.batch
+        pending = None  # last tick's (chunk_sessions, ids_dev, counts_dev)
         while True:
             with self._lock:
                 chunks, stamp, final = self._collect()
@@ -153,9 +179,12 @@ class ServingEngine:
                     self._running
                     and not chunks and not stamp and not final
                 ):
+                    if pending is not None:
+                        break  # drain the in-flight tick before sleeping
                     self._lock.wait(timeout=0.1)
                     chunks, stamp, final = self._collect()
                 if not self._running:
+                    self._drain(pending)
                     return
             if self.linger_s and chunks and len(chunks) < len(self._live):
                 # tiny batching window: let co-arriving chunks join
@@ -167,51 +196,54 @@ class ServingEngine:
                     stamp += [s for s in stamp2 if s not in stamp]
                     final += [s for s in final2 if s not in final]
 
-            if stamp:
-                mask = np.zeros((B,), bool)
-                samples = np.zeros((B,), np.int64)
-                for sess in stamp:
-                    mask[sess.slot] = True
-                    samples[sess.slot] = sess.total_samples
-                    sess.stamped = True
-                self.state = self.rec.set_valid_samples(
-                    self.state, mask, samples
-                )
-
-            if chunks:
+            dispatched = None
+            if chunks or stamp:
                 mask = np.zeros((B,), bool)
                 audio = np.zeros((B, S), np.float32)
                 for sess, chunk in chunks:
                     mask[sess.slot] = True
                     audio[sess.slot] = chunk
-                self.state, ids, counts = self.rec.masked_step(
-                    self.state, audio, mask
+                smask = np.zeros((B,), bool)
+                samples = np.zeros((B,), np.int64)
+                for sess in stamp:
+                    smask[sess.slot] = True
+                    samples[sess.slot] = sess.total_samples
+                    sess.stamped = True
+                self.state, out = self.rec.masked_step(
+                    self.state, audio, mask, smask, samples, packed=True
                 )
-                ids, counts = np.asarray(ids), np.asarray(counts)
-                for sess, _ in chunks:
-                    toks = ids[sess.slot, : counts[sess.slot]].tolist()
-                    if toks:
-                        sess.partials.extend(toks)
-                        sess.events.put(("partial", toks))
+                dispatched = ([s for s, _ in chunks], out)
+
+            # previous tick's outputs are ready (or nearly); pull them
+            # while this tick's step runs on device
+            self._drain(pending)
+            pending = dispatched
 
             if final:
+                # finals must observe every emitted partial: drain the
+                # in-flight tick too (finalizing sessions have no chunk
+                # in it, but their last chunk may be the one in flight)
+                self._drain(pending)
+                pending = None
                 reset = np.zeros((B,), bool)
+                for sess in final:
+                    reset[sess.slot] = True
                 need_finish = [s for s in final if not s.dead]
+                self.state, fout = self.rec.finish_and_reset(
+                    self.state, reset, packed=True
+                )
                 if need_finish:
-                    _, fids, fcounts = self.rec.finish(self.state)
-                    fids, fcounts = np.asarray(fids), np.asarray(fcounts)
+                    fout = np.asarray(fout)  # [B, K+1]; col K = count
                 for sess in final:
                     if not sess.dead:
-                        tail = fids[
-                            sess.slot, : fcounts[sess.slot]
+                        tail = fout[
+                            sess.slot, : fout[sess.slot, -1]
                         ].tolist()
                         if self.rec.use_beam:
                             full = tail  # beam finish returns everything
                         else:
                             full = sess.partials + tail
                         sess.events.put(("final", full))
-                    reset[sess.slot] = True
-                self.state = self.rec.reset_slots(self.state, reset)
                 with self._lock:
                     for sess in final:
                         del self._live[sess.slot]
