@@ -172,3 +172,181 @@ def test_selector_rejects_mismatched_lm(tmp_path):
         assert "does not match" in str(e)
     else:
         raise AssertionError("shape mismatch not rejected")
+
+
+# ---------------------------------------------------------------- ARPA
+
+ARPA_TRI = """\
+\\data\\
+ngram 1=5
+ngram 2=4
+ngram 3=2
+
+\\1-grams:
+-0.60206\ta\t-0.30103
+-0.69897\tb\t-0.17609
+-1.00000\tc
+-0.90000\t<s>\t-0.20000
+-1.30103\t</s>
+
+\\2-grams:
+-0.30103\ta b\t-0.10000
+-0.52288\tb a
+-0.39794\t<s> a\t-0.05000
+-0.80000\tb c
+
+\\3-grams:
+-0.17609\ta b c
+-0.45000\t<s> a b
+
+\\end\\
+"""
+
+
+def _write_arpa(tmp_path, text=ARPA_TRI):
+    p = tmp_path / "lm.arpa"
+    p.write_text(text)
+    return str(p)
+
+
+def test_arpa_parse_sections(tmp_path):
+    from uasr.ops.lm import parse_arpa
+
+    ng = parse_arpa(_write_arpa(tmp_path))
+    assert set(ng) == {1, 2, 3}
+    assert ng[1][("a",)] == (-0.60206, -0.30103)
+    assert ng[1][("c",)] == (-1.0, 0.0)  # no backoff field -> 0
+    assert ng[2][("a", "b")] == (-0.30103, -0.1)
+    assert ng[3][("a", "b", "c")] == (-0.17609, 0.0)
+
+
+def test_arpa_bigram_backoff_chain(tmp_path):
+    """Probability RATIOS within a row are normalization-independent,
+    so they pin the Katz chain exactly: listed bigram = 10^lp;
+    unlisted = 10^bo(h) * 10^lp1(w)."""
+    from uasr.ops.lm import load_arpa
+
+    tokens = ["<blk>", "a", "b", "c"]
+    logp, uni = load_arpa(_write_arpa(tmp_path), tokens, order=2,
+                          exclude=(0,))
+    V = len(tokens)
+    assert logp.shape == (V + 1, V)
+    P = np.exp(logp.astype(np.float64))
+    ia, ib, ic = 1, 2, 3
+    # row 'a': listed (a,b) = 10^-0.30103; unlisted (a,c) backs off:
+    # 10^bo(a) * 10^lp1(c) = 10^-0.30103 * 10^-1.0
+    want_ab = 10 ** -0.30103
+    want_ac = 10 ** (-0.30103 - 1.0)
+    np.testing.assert_allclose(P[ia, ib] / P[ia, ic], want_ab / want_ac,
+                               rtol=1e-5)
+    # row 'b': listed (b,a) and (b,c)
+    np.testing.assert_allclose(
+        P[ib, ia] / P[ib, ic], 10 ** (-0.52288 + 0.8), rtol=1e-5
+    )
+    # start row V = '<s>': listed (<s>,a); unlisted (<s>,b) backs off
+    want_sa = 10 ** -0.39794
+    want_sb = 10 ** (-0.2 - 0.69897)
+    np.testing.assert_allclose(P[V, ia] / P[V, ib], want_sa / want_sb,
+                               rtol=1e-5)
+    # blank column excluded, rows normalized over the rest
+    assert P[ia, 0] < 1e-10
+    np.testing.assert_allclose(P.sum(-1), 1.0, rtol=1e-5)
+    # unigram over real tokens
+    np.testing.assert_allclose(
+        uni[ia] / uni[ic], 10 ** (-0.60206 + 1.0), rtol=1e-5
+    )
+
+
+def test_arpa_trigram_backoff_chain(tmp_path):
+    from uasr.ops.lm import load_arpa
+
+    tokens = ["<blk>", "a", "b", "c"]
+    logp, _ = load_arpa(_write_arpa(tmp_path), tokens, order=3,
+                        exclude=(0,))
+    V = len(tokens)
+    assert logp.shape == (V + 1, V + 1, V)
+    P = np.exp(logp.astype(np.float64))
+    ia, ib, ic = 1, 2, 3
+    # (a, b): listed trigram (a,b,c); unlisted (a,b,a) backs off with
+    # bo2(a,b)=10^-0.1 to the bigram chain value of (b -> a)
+    want_abc = 10 ** -0.17609
+    want_aba = 10 ** (-0.1 - 0.52288)
+    np.testing.assert_allclose(P[ia, ib, ic] / P[ia, ib, ia],
+                               want_abc / want_aba, rtol=1e-5)
+    # unlisted HISTORY (c, a) backs off with weight 1 to bigram (a -> .)
+    # so its in-row ratios equal the bigram row's
+    want_ab = 10 ** -0.30103
+    want_ac = 10 ** (-0.30103 - 1.0)
+    np.testing.assert_allclose(P[ic, ia, ib] / P[ic, ia, ic],
+                               want_ab / want_ac, rtol=1e-5)
+    # (<s>, a) row: listed trigram (<s>,a,b)
+    want_sab = 10 ** -0.45
+    want_sac = 10 ** (-0.05 - 0.30103 - 1.0)  # bo2(<s>,a)*bo1(a)*p1(c)
+    np.testing.assert_allclose(P[V, ia, ib] / P[V, ia, ic],
+                               want_sab / want_sac, rtol=1e-5)
+    np.testing.assert_allclose(P.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_arpa_missing_token_stays_finite(tmp_path):
+    from uasr.ops.lm import load_arpa
+
+    tokens = ["<blk>", "a", "b", "c", "zz"]  # zz absent from the ARPA
+    logp, _ = load_arpa(_write_arpa(tmp_path), tokens, order=2,
+                        exclude=(0,))
+    assert np.isfinite(logp).all()
+    # absent token is penalized but decodable
+    assert logp[1, 4] < logp[1, 2]
+
+
+def test_arpa_order_errors(tmp_path):
+    import pytest
+
+    from uasr.ops.lm import load_arpa
+
+    bigram_only = ARPA_TRI.split("\\3-grams:")[0] + "\\end\\\n"
+    p = tmp_path / "bi.arpa"
+    p.write_text(bigram_only)
+    with pytest.raises(ValueError, match="only has 2-grams"):
+        load_arpa(str(p), ["a", "b"], order=3)
+    bad = tmp_path / "bad.arpa"
+    bad.write_text("not an arpa file\n")
+    with pytest.raises(ValueError, match="no n-gram"):
+        load_arpa(str(bad), ["a", "b"])
+
+
+def test_arpa_import_cli_and_beam_decode(tmp_path):
+    """prepare import-arpa writes the npz the decoder consumes; the
+    shallow-fusion beam runs on it and the LM visibly biases decoding."""
+    import jax.numpy as jnp
+
+    from uasr.ops.decode import ctc_beam_search_decode
+    from uasr.ops.lm import load_lm, load_unigram
+    from uasr.tools.prepare import main as prepare_main
+
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("a\nb\nc\n")  # loader prepends <blk>
+    out = tmp_path / "lm.npz"
+    prepare_main([
+        "import-arpa", "--arpa", _write_arpa(tmp_path),
+        "--vocab", str(vocab_path), "--out", str(out),
+    ])
+    logp = load_lm(str(out))
+    assert logp.shape == (5, 5, 4)  # trigram auto-detected, V=4
+    assert load_unigram(str(out)) is not None
+
+    # beam with a strong LM prefers the LM-favored continuation on
+    # acoustically ambiguous logits
+    T, V = 6, 4
+    logits = jnp.zeros((1, T, V))
+    ids_free, n_free, _ = ctc_beam_search_decode(
+        logits, jnp.array([T]), 4, 0
+    )
+    ids_lm, n_lm, _ = ctc_beam_search_decode(
+        logits, jnp.array([T]), 4, 0, lm_logp=jnp.asarray(logp),
+        lm_weight=5.0,
+    )
+    hyp = list(np.asarray(ids_lm[0][: int(n_lm[0])]))
+    assert len(hyp) > 0
+    # the ARPA strongly favors <s> -> a -> b: the LM-fused hypothesis
+    # must start with 'a' (id 1)
+    assert hyp[0] == 1

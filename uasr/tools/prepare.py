@@ -134,6 +134,24 @@ def cmd_lm(args):
           f"-> {args.out}")
 
 
+def cmd_import_arpa(args):
+    """ARPA-format n-gram LM (KenLM/SRILM — what the wav2vec-U lineage
+    ships) -> the dense decode-table npz `ctc.lm_path` /
+    `gan.select_lm_path` consume. The Katz backoff chain is evaluated
+    into every (history, token) cell at import time; row V = '<s>'."""
+    from uasr.ops.lm import load_arpa, save_lm
+    from uasr.vocab import BLK, load_vocab
+
+    vocab = load_vocab(args.vocab)
+    blank = vocab.tokens.index(BLK) if BLK in vocab.tokens else 0
+    logp, uni = load_arpa(
+        args.arpa, vocab.tokens, order=args.order, exclude=(blank,)
+    )
+    save_lm(args.out, logp, unigram=uni)
+    print(f"imported ARPA {args.arpa} -> {list(logp.shape)} decode "
+          f"table + unigram -> {args.out}")
+
+
 def cmd_kmeans(args):
     """Fit segmenter centroids in the SAME feature space the trainer
     quantizes in (the runtime chain via compute_features; raw pre-CMVN
@@ -411,6 +429,17 @@ def main(argv=None):
     lm.add_argument("--add-k", type=float, default=0.5)
     lm.add_argument("--out", required=True)
     lm.set_defaults(fn=cmd_lm)
+
+    ia2 = sub.add_parser(
+        "import-arpa",
+        help="ARPA n-gram LM (KenLM/SRILM) -> dense decode table npz",
+    )
+    ia2.add_argument("--arpa", required=True)
+    ia2.add_argument("--vocab", required=True)
+    ia2.add_argument("--order", type=int, default=None, choices=[2, 3],
+                     help="default: highest available order, capped at 3")
+    ia2.add_argument("--out", required=True)
+    ia2.set_defaults(fn=cmd_import_arpa)
 
     km = sub.add_parser("kmeans")
     km.add_argument("--list")
