@@ -227,7 +227,7 @@ def run_tpu_chained(B=128, seconds=8.0, iters=40):
 
 
 def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
-               merge_impl="pairwise"):
+               merge_impl="pairwise", lm_order=0):
     """On-device decode throughput (frontend + encoder + greedy/beam),
     the BASELINE.md '×realtime' rows — chained iterations inside one
     jitted lax.scan so the axon tunnel cannot serve cached dispatches."""
@@ -248,6 +248,17 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
     audio = jnp.asarray(batch.audio)
     lens = jnp.asarray(batch.audio_lengths)
 
+    lm = None
+    if lm_order:
+        from uasr.ops.lm import build_bigram_lm, build_trigram_lm
+
+        V = cfg.vocab_size
+        rng = np.random.RandomState(5)
+        seqs = [rng.randint(1, V, size=rng.randint(4, 20)).tolist()
+                for _ in range(200)]
+        build = build_bigram_lm if lm_order == 2 else build_trigram_lm
+        lm = jnp.asarray(build(seqs, V, add_k=0.5, exclude=(0,)))
+
     def body(a, _):
         feats, flen = compute_features(
             a, lens, trainer.frontend_state, cfg.frontend
@@ -259,12 +270,14 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
             from uasr.ops.pallas_beam import ctc_beam_search_decode_pallas
 
             ids, n, _sc = ctc_beam_search_decode_pallas(
-                logits, out_len, beam_width, cfg.ctc.blank_id
+                logits, out_len, beam_width, cfg.ctc.blank_id,
+                lm_logp=lm, lm_weight=0.5, lm_bonus=0.5,
             )
         else:
             ids, n, _sc = ctc_beam_search_decode(
                 logits, out_len, beam_width, cfg.ctc.blank_id,
                 merge_impl=merge_impl,
+                lm_logp=lm, lm_weight=0.5, lm_bonus=0.5,
             )
         # data dependency so scan iterations cannot be elided
         return a + 0.0 * n.sum().astype(a.dtype), n.sum()
@@ -285,8 +298,11 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
     ns = loop(audio_t)
     _ = int(ns[-1])  # airtight fence
     dt = (time.time() - t0) / iters
+    tag = mode if mode == "greedy" else f"beam{beam_width}:{merge_impl}"
+    if lm_order:
+        tag += f"+lm{lm_order}"
     return {
-        "mode": mode if mode == "greedy" else f"beam{beam_width}:{merge_impl}",
+        "mode": tag,
         "ms_per_batch": round(dt * 1e3, 2),
         "x_realtime": round(B * seconds / dt, 0),
         "rtf": round(dt / (B * seconds), 8),
@@ -597,8 +613,8 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
     }
 
 
-def run_serve(B=8, chunk_frames=64, utt_chunks=25, n_utts=48,
-              warmup_utts=16):
+def run_serve(B=8, chunk_frames=64, utt_chunks=25, n_utts=None,
+              warmup_utts=None):
     """Dynamic-batching daemon throughput: B closed-loop clients stream
     utterances through the ServingEngine back-to-back (open -> feed ->
     end -> final -> next utterance), so every tick runs the real serving
@@ -632,6 +648,10 @@ def run_serve(B=8, chunk_frames=64, utt_chunks=25, n_utts=48,
         train=TrainConfig(),
         vocab_size=64,
     )
+    # workload scales with the slot count so the timed region is
+    # steady-state multiplexing, not ramp-up/drain
+    n_utts = n_utts if n_utts is not None else 6 * B
+    warmup_utts = warmup_utts if warmup_utts is not None else 2 * B
     cs = chunk_frames * cfg.frontend.frame_shift
     trainer = CTCTrainer(cfg)
     rng = np.random.RandomState(0)
@@ -721,6 +741,9 @@ def main():
     p.add_argument("--beam-width", type=int, default=8)
     p.add_argument("--merge-impl", default="fold",
                    choices=["fold", "pairwise", "sort", "pallas"])
+    p.add_argument("--lm-order", type=int, default=0, choices=[0, 2, 3],
+                   help="fuse a shallow n-gram LM into --decode beam "
+                        "(0 = no LM)")
     p.add_argument("--streaming", action="store_true",
                    help="online serving per-chunk latency "
                         "(StreamingRecognizer step)")
@@ -750,6 +773,7 @@ def main():
         print(json.dumps(run_decode(
             B=args.batch, seconds=args.seconds, mode=args.decode,
             beam_width=args.beam_width, merge_impl=args.merge_impl,
+            lm_order=args.lm_order,
         )))
         return
 

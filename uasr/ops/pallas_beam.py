@@ -27,8 +27,14 @@ O(W^2) merge — see uasr/ops/decode.py):
   - everything stays 2D [BT, lanes] (per-beam scalars are [BT, 1]
     columns) — Mosaic-friendly layouts, no 1D vectors.
 
-Shallow-LM fusion needs a per-beam dynamic row gather from the LM table
-and stays on the XLA path (`uasr/ops/decode.py`).
+Shallow n-gram LM fusion runs IN-KERNEL: phone-vocabulary LM tables are
+small (bigram [V+1, V] ~17 KB, trigram [(V+1)^2, V] ~1 MB at V=64), so
+the whole table lives in VMEM for the entire recursion and the per-beam
+"dynamic row gather" the XLA path does becomes a one-hot GEMM on the
+MXU: onehot(history) [BT, H] @ table [H, V] -> the LM row for every
+batch element of a beam in one matmul (H = V+1 for bigram, (V+1)^2 for
+trigram with the joint (last2, last) history flattened). Tables too big
+for VMEM dispatch to the XLA path (`lm_table_fits_vmem`).
 
 Verified in interpreter mode against the XLA implementation (which is
 itself brute-force-verified) — tests/test_pallas_beam.py; compiled-path
@@ -62,19 +68,31 @@ def _logaddexp(a, b):
 
 
 def _beam_kernel(
-    lp_ref,      # [1, BT, V] log-softmax at step t
-    len_ref,     # [BT, W] lengths (lane-broadcast)
-    parent_ref,  # out [1, BT, W]
-    char_ref,    # out [1, BT, W]
-    pb_ref,      # out [BT, W] (final state; overwritten every step)
-    pnb_ref,     # out [BT, W]
-    last_s, last2_s, h1_s, h2_s,  # scratch int32 [BT, W]
-    pb_s, pnb_s,                  # scratch f32 [BT, W]
-    *,
+    *refs,
     W: int,
     V: int,
     blank_id: int,
+    lm_order: int = 0,      # 0 = no LM, 2 = bigram, 3 = trigram
+    lm_weight: float = 1.0,
+    lm_bonus: float = 0.0,
+    H: int = 0,             # padded history-row count of the LM table
 ):
+    # positional refs: inputs, outputs, scratch (lm_ref only when fused)
+    #   lp_ref   [1, BT, V] log-softmax at step t
+    #   len_ref  [BT, W]    lengths (lane-broadcast)
+    #   lm_ref   [H, V]     dense LM log-prob table (lm_order > 0 only)
+    #   parent_ref / char_ref  out [1, BT, W] backpointers
+    #   pb_ref / pnb_ref       out [BT, W] final state
+    #   *_s                    scratch [BT, W]
+    if lm_order:
+        lp_ref, len_ref, lm_ref = refs[:3]
+        rest = refs[3:]
+    else:
+        lp_ref, len_ref = refs[:2]
+        lm_ref = None
+        rest = refs[2:]
+    (parent_ref, char_ref, pb_ref, pnb_ref,
+     last_s, last2_s, h1_s, h2_s, pb_s, pnb_s) = rest
     t = pl.program_id(1)
     BT = pb_s.shape[0]
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -113,6 +131,9 @@ def _beam_kernel(
     stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG)
 
     # ---- extend candidates, per-beam [BT, V] columns (col = w*V + c)
+    if lm_order:
+        h_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, H), 1)
+        lm_tab = lm_ref[...]                     # [H, V], VMEM-resident
     ext_cols = []
     for w in range(W):
         base_w = jnp.where(
@@ -121,6 +142,24 @@ def _beam_kernel(
             total_prev[:, w : w + 1],
         )
         e = base_w + lp
+        if lm_order:
+            # per-beam LM row = one-hot(history) @ table: the MXU does
+            # the dynamic gather (matches decode.py's lm_logp[hist] /
+            # lm_logp[hist2, hist] exactly, incl. the start row V)
+            lw = last[:, w : w + 1]              # [BT, 1]
+            hist = jnp.where(lw >= 0, lw, V)
+            if lm_order == 3:
+                lw2 = last2[:, w : w + 1]
+                hist2 = jnp.where(lw2 >= 0, lw2, V)
+                hist = hist2 * (V + 1) + hist    # joint flattened row
+            onehot = (h_iota == hist).astype(jnp.float32)
+            # HIGHEST: the default MXU precision rounds the f32 table
+            # to bf16 before the multiply (measured 0.07 score drift on
+            # v5e); full-precision passes keep 1.0 * logp exact
+            lm_row = jnp.dot(onehot, lm_tab,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            e = e + lm_weight * lm_row + lm_bonus
         e = jnp.where(v_iota == blank_id, NEG, e)
         ext_cols.append(e)
 
@@ -239,16 +278,35 @@ def _batch_tile(B: int, cap: int = 128) -> int:
     return bt
 
 
+# LM tables above this stay on the XLA beam (the table is VMEM-resident
+# for the whole recursion; leave headroom for the beam state + logits
+# blocks in v5e's ~16 MB VMEM)
+_LM_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def lm_table_fits_vmem(lm_logp) -> bool:
+    """True if a [V+1, V] / [V+1, V+1, V] LM table is small enough for
+    the in-kernel fusion (dispatch guard used by uasr.infer)."""
+    n = 1
+    for d in lm_logp.shape:
+        n *= int(d)
+    return n * 4 <= _LM_VMEM_BUDGET
+
+
 def ctc_beam_search_decode_pallas(
     logits: jax.Array,
     lengths: jax.Array,
     beam_width: int = 8,
     blank_id: int = 0,
+    lm_logp: jax.Array | None = None,
+    lm_weight: float = 1.0,
+    lm_bonus: float = 0.0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Drop-in replacement for `ctc_beam_search_decode` (no LM fusion):
-    returns (ids [B, T], out_lengths [B], best log-prob [B]). Exact
-    (prune >= V semantics)."""
+    """Drop-in replacement for `ctc_beam_search_decode` (incl. shallow
+    bigram/trigram LM fusion via `lm_logp`, same table layout as
+    uasr.ops.lm): returns (ids [B, T], out_lengths [B], best log-prob
+    [B]). Exact (prune >= V semantics)."""
     B, T, V = logits.shape
     W = beam_width
     BT = _batch_tile(B)
@@ -258,15 +316,31 @@ def ctc_beam_search_decode_pallas(
         lengths.astype(jnp.int32)[:, None], (B, W)
     )
 
+    lm_order, H = 0, 0
+    inputs = [lp_t, len_w]
+    lm_spec = []
+    if lm_logp is not None:
+        lm_order = 2 if lm_logp.ndim == 2 else 3
+        flat = jnp.asarray(lm_logp, jnp.float32).reshape(-1, V)
+        H = ((flat.shape[0] + 127) // 128) * 128  # sublane-pad history
+        flat = jnp.pad(flat, ((0, H - flat.shape[0]), (0, 0)))
+        inputs.append(flat)
+        lm_spec = [pl.BlockSpec((H, V), lambda b, t: (0, 0),
+                                memory_space=pltpu.VMEM)]
+
     parents, chars, pb, pnb = pl.pallas_call(
-        functools.partial(_beam_kernel, W=W, V=V, blank_id=blank_id),
+        functools.partial(
+            _beam_kernel, W=W, V=V, blank_id=blank_id,
+            lm_order=lm_order, lm_weight=float(lm_weight),
+            lm_bonus=float(lm_bonus), H=H,
+        ),
         grid=(B // BT, T),
         in_specs=[
             pl.BlockSpec((1, BT, V), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, W), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + lm_spec,
         out_specs=[
             pl.BlockSpec((1, BT, W), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
@@ -291,8 +365,16 @@ def ctc_beam_search_decode_pallas(
             pltpu.VMEM((BT, W), jnp.float32),
             pltpu.VMEM((BT, W), jnp.float32),
         ],
+        # the VMEM-resident LM table (double-buffered by the pipeline)
+        # pushes past the default 16 MB scoped-vmem limit at trigram
+        # sizes; v5e has 128 MiB physical VMEM (same conditional-raise
+        # pattern as pallas_gru.py)
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+            if lm_order else pltpu.CompilerParams()
+        ),
         interpret=interpret,
-    )(lp_t, len_w)
+    )(*inputs)
 
     total = _logaddexp(pb, pnb)                  # [B, W]
     best = jnp.argmax(total, axis=1)

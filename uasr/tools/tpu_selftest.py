@@ -198,7 +198,27 @@ def _beam():
     dsc = float(jnp.max(jnp.abs(p[2] - r[2])))
     assert ids_eq and len_eq, "beam ids/lengths differ from XLA beam"
     assert dsc <= 1e-4, f"beam score max|Δ|={dsc}"
-    return f"ids/len exact, score max|Δ|={dsc:.1e}"
+
+    # in-kernel trigram LM fusion (one-hot GEMM against the
+    # VMEM-resident table) vs the XLA gather path
+    from uasr.ops.lm import build_trigram_lm
+
+    lm = jnp.asarray(build_trigram_lm(
+        [rng.randint(1, V, size=rng.randint(2, 10)).tolist()
+         for _ in range(40)], V, add_k=0.5, exclude=(0,),
+    ))
+    kw = dict(lm_weight=0.6, lm_bonus=0.4)
+    pl_ = jax.jit(lambda lg: ctc_beam_search_decode_pallas(
+        lg, lengths, W, 0, lm_logp=lm, **kw))(logits)
+    rl = jax.jit(lambda lg: ctc_beam_search_decode(
+        lg, lengths, W, 0, prune=V, merge_impl="fold",
+        lm_logp=lm, **kw))(logits)
+    lm_eq = bool(jnp.all(pl_[0] == rl[0])) and bool(jnp.all(pl_[1] == rl[1]))
+    dlm = float(jnp.max(jnp.abs(pl_[2] - rl[2])))
+    assert lm_eq, "LM beam ids/lengths differ from XLA beam"
+    assert dlm <= 1e-3, f"LM beam score max|Δ|={dlm}"
+    return (f"ids/len exact, score max|Δ|={dsc:.1e}; "
+            f"trigram-LM ids/len exact, score max|Δ|={dlm:.1e}")
 
 
 CHECKS = {"gru": _gru, "ctc": _ctc, "frontend": _frontend, "beam": _beam}
