@@ -206,3 +206,43 @@ def test_sequence_shard_rejected_for_finite_rf_encoders():
     cfg.model.encoder = "cnn"
     with pytest.raises(ValueError, match="sequence_shard"):
         build_model(cfg.model, 10)
+
+
+@pytest.mark.parametrize("use_beam", [False, True])
+def test_sharded_inference_matches_single_device(tmp_path, use_beam):
+    """run_inference over the 8-device mesh == single-device decode:
+    same PER/error counts and identical hyp files, including a ragged
+    batch (B=10 not divisible by 8 -> zero-pad + slice-back path)."""
+    from uasr.config import CTCConfig
+    from uasr.infer import run_inference
+
+    examples, vocab = make_synthetic_dataset(num_utts=20, num_phones=8,
+                                             seed=11)
+    cfg = _cfg(len(vocab))
+    if use_beam:
+        cfg = cfg.replace(ctc=CTCConfig(blank_id=0, use_beam=True,
+                                        beam_width=4))
+
+    def batches():
+        return batch_iterator(
+            examples, batch_size=10, max_audio_samples=16000,
+            max_label_len=8, shuffle=False, drop_remainder=False,
+            num_epochs=1,
+        )
+
+    t_multi = CTCTrainer(cfg)
+    assert int(t_multi.mesh.shape["data"]) == 8
+    state = t_multi.init_state(jax.random.PRNGKey(0), next(batches()))
+    t_single = CTCTrainer(
+        cfg, mesh=make_mesh(1, devices=[jax.devices()[0]])
+    )
+
+    res_m = run_inference(cfg, t_multi, state, batches(), vocab=vocab,
+                          hyp_path=str(tmp_path / "hyp_multi.txt"))
+    res_s = run_inference(cfg, t_single, state, batches(), vocab=vocab,
+                          hyp_path=str(tmp_path / "hyp_single.txt"))
+    assert res_m["errors"] == res_s["errors"]
+    assert res_m["ref_tokens"] == res_s["ref_tokens"]
+    assert res_m["per"] == pytest.approx(res_s["per"])
+    assert (tmp_path / "hyp_multi.txt").read_text() == \
+        (tmp_path / "hyp_single.txt").read_text()

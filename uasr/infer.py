@@ -36,8 +36,20 @@ def run_inference(
     `logits_fn(params, audio, lengths) -> (logits, out_len)` overrides
     the default frontend+encoder forward — GAN/EODM runs pass
     `GeneratorInfer.logits_fn` so decoding sees the same segment/merge
-    representation the checkpoint trained on."""
+    representation the checkpoint trained on.
+
+    Decode is DATA-SHARDED over the trainer's mesh (scaling-book
+    recipe: shard the batch axis, let GSPMD partition the whole
+    frontend+encoder+decode graph and psum the error counts) — on a
+    pod, `--mode infer` rides every chip. Ragged tail batches are
+    zero-padded to the data-axis size (zero-length rows decode to
+    nothing and score nothing) and sliced back before hyps are
+    written."""
+    from uasr.parallel.mesh import shard_batch
+
     fcfg = cfg.frontend
+    mesh = getattr(trainer, "mesh", None)
+    dp = int(mesh.shape[cfg.parallel.data_axis]) if mesh is not None else 1
     lm_logp = None
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
@@ -76,14 +88,24 @@ def run_inference(
             )
             logits, out_len = trainer.model.apply(params, feats, flen)
         if cfg.ctc.use_beam:
-            if lm_logp is None and jax.default_backend() not in ("cpu",):
+            from uasr.ops.pallas_beam import lm_table_fits_vmem
+
+            if (dp == 1 and jax.default_backend() not in ("cpu",)
+                    and (lm_logp is None or lm_table_fits_vmem(lm_logp))):
+                # (dp == 1: the whole-recursion Pallas kernel is a
+                # single-device program; under a sharded batch GSPMD
+                # would gather around it — the XLA scan shards cleanly)
                 # whole-recursion Pallas kernel: exact (prune >= V
-                # semantics), ~6x the XLA scan on v5e. LM fusion needs
-                # per-beam dynamic LM-table gathers and stays on XLA.
+                # semantics), ~6x the XLA scan on v5e. LM fusion runs
+                # in-kernel when the table fits VMEM (one-hot GEMM
+                # against the resident table); bigger tables fall back
+                # to the XLA scan's dynamic gathers.
                 from uasr.ops.pallas_beam import ctc_beam_search_decode_pallas
 
                 hyps, hyp_len, _ = ctc_beam_search_decode_pallas(
-                    logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id
+                    logits, out_len, cfg.ctc.beam_width, cfg.ctc.blank_id,
+                    lm_logp=lm_logp, lm_weight=cfg.ctc.lm_weight,
+                    lm_bonus=cfg.ctc.lm_bonus,
                 )
             else:
                 hyps, hyp_len, _ = ctc_beam_search_decode(
@@ -105,11 +127,28 @@ def run_inference(
     n_utts = 0
     fold_pairs: list[tuple[list[str], list[str]]] = []
     for b in batches:
-        db = Batch(*map(jnp.asarray, b))
+        b_np = Batch(*(np.asarray(x) for x in b))
+        B0 = b_np.audio.shape[0]
+        if dp > 1:
+            pad = (-B0) % dp
+            if pad:
+                b_np = Batch(*(
+                    np.concatenate(
+                        [x, np.zeros((pad,) + x.shape[1:], x.dtype)]
+                    ) for x in b_np
+                ))
+            db = shard_batch(b_np, mesh, cfg.parallel.data_axis)
+        else:
+            db = Batch(*map(jnp.asarray, b_np))
         t0 = time.time()
         hyps, hyp_len, e, t = decode_batch(state.params, db)
         jax.block_until_ready(hyps)
         wall += time.time() - t0
+        # one device->host transfer per batch: per-utterance slicing of a
+        # GSPMD-sharded array would dispatch (and compile) a fresh sharded
+        # gather for every distinct (i, length) shape
+        hyps = np.asarray(hyps)[:B0]
+        hyp_len = np.asarray(hyp_len)[:B0]
         if np.ndim(b.audio) == 3:
             # feature batches: lengths are frames; approximate seconds
             # by the recipe's frame shift (external SSL features carry
