@@ -68,8 +68,8 @@ def run_train_step(trainer, state_batch, mesh):
     step = jax.jit(
         lambda s, b: trainer.train_step(s, b, jax.random.PRNGKey(1))
     )
-    _, aux = step(state, state_batch)
-    return float(aux["loss"]), float(aux["grad_norm"])
+    new_state, aux = step(state, state_batch)
+    return float(aux["loss"]), float(aux["grad_norm"]), new_state
 
 
 def main():
@@ -112,8 +112,37 @@ def main():
     local = Batch(*(np.asarray(f)[start:start + size] for f in full))
     gbatch = make_global_batch(local, mesh)
     trainer = CTCTrainer(cfg, mesh=mesh)
-    loss, gnorm = run_train_step(trainer, gbatch, mesh)
+    loss, gnorm, new_state = run_train_step(trainer, gbatch, mesh)
     print(f"TRAIN {pid} {loss:.6f} {gnorm:.6f}", flush=True)
+
+    # phase 3: multi-process Orbax checkpointing — the one pod surface
+    # the virtual mesh cannot exercise. BOTH processes save the post-
+    # step state (global, replicated arrays) into ONE shared directory
+    # (Orbax coordinates the commit across processes over the same
+    # jax.distributed service), wait for the async write, then restore
+    # and verify bitwise equality; the printed checksum must agree
+    # across processes AND with what the test recomputes.
+    if len(sys.argv) > 4 and sys.argv[4]:
+        from uasr.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(sys.argv[4], max_to_keep=2)
+        mgr.save(1, new_state)
+        mgr.wait()
+        restored, rstep = mgr.restore_latest(new_state)
+        assert rstep == 1, rstep
+        saved_leaves = jax.tree.leaves(jax.device_get(new_state))
+        rest_leaves = jax.tree.leaves(jax.device_get(restored))
+        ok = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(saved_leaves, rest_leaves)
+        )
+        cks = sum(
+            float(np.abs(np.asarray(x, np.float64)).sum())
+            for x in rest_leaves
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+        )
+        print(f"CKPT {pid} {int(ok)} {cks:.6f}", flush=True)
+        mgr.close()
     jax.distributed.shutdown()
 
 

@@ -50,9 +50,12 @@ def test_two_process_coordination():
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = repo
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="uasr_dist_ckpt_")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", addr],
+            [sys.executable, worker, str(i), "2", addr, ckpt_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=repo,
         )
@@ -61,7 +64,7 @@ def test_two_process_coordination():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=240)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -92,9 +95,20 @@ def test_two_process_coordination():
     cfg, full = build_case()
     mesh = make_mesh(1)
     trainer = CTCTrainer(cfg, mesh=mesh)
-    loss1, gnorm1 = run_train_step(trainer, shard_batch(full, mesh), mesh)
+    loss1, gnorm1, _ = run_train_step(trainer, shard_batch(full, mesh), mesh)
     assert vals[0][0] == pytest.approx(loss1, rel=1e-4), (vals, loss1)
     assert vals[0][1] == pytest.approx(gnorm1, rel=1e-3), (vals, gnorm1)
+
+    # phase 3: both processes committed ONE shared Orbax checkpoint,
+    # restored it, and verified bitwise round-trip (ok flag == 1); the
+    # float-leaf checksums must agree across processes
+    cks = []
+    for i, out in enumerate(outs):
+        m = re.search(rf"CKPT {i} (\d) ([-\d.]+)", out)
+        assert m, (i, out)
+        assert m.group(1) == "1", (i, out)
+        cks.append(float(m.group(2)))
+    assert cks[0] == pytest.approx(cks[1], rel=1e-9), cks
 
 
 def test_make_global_batch_places_on_mesh():
