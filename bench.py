@@ -720,7 +720,9 @@ def main():
     p.add_argument("--baseline", action="store_true")
     p.add_argument("--stages", action="store_true",
                    help="per-stage ms breakdown instead of the JSON line")
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=None,
+                   help="batch/slot count (default: 128 for train/decode "
+                        "modes, 64 for --ssl, 8 for --streaming/--serve)")
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--encoder", default="conv_bigru",
                    choices=["conv_bigru", "cnn", "transformer", "conformer",
@@ -755,14 +757,14 @@ def main():
 
     if args.serve:
         print(json.dumps(run_serve(
-            B=args.batch if args.batch != 128 else 8,
+            B=args.batch or 8,
             chunk_frames=args.chunk_frames,
         )))
         return
 
     if args.streaming:
         print(json.dumps(run_streaming(
-            B=args.batch if args.batch != 128 else 8,
+            B=args.batch or 8,
             chunk_frames=args.chunk_frames,
             beam=args.decode == "beam", beam_width=args.beam_width,
             encoder="uni_gru" if args.encoder == "uni_gru" else "cnn",
@@ -771,7 +773,7 @@ def main():
 
     if args.decode:
         print(json.dumps(run_decode(
-            B=args.batch, seconds=args.seconds, mode=args.decode,
+            B=args.batch or 128, seconds=args.seconds, mode=args.decode,
             beam_width=args.beam_width, merge_impl=args.merge_impl,
             lm_order=args.lm_order,
         )))
@@ -779,21 +781,21 @@ def main():
 
     if args.ssl:
         print(json.dumps(run_ssl(
-            B=min(args.batch, 64), seconds=args.seconds
+            B=min(args.batch or 64, 64), seconds=args.seconds
         )))
         return
 
     if args.gan:
-        print(json.dumps(run_gan(B=args.batch, seconds=args.seconds)))
+        print(json.dumps(run_gan(B=args.batch or 128, seconds=args.seconds)))
         return
 
     if args.stages:
-        print(json.dumps(run_stages(B=args.batch, seconds=args.seconds,
+        print(json.dumps(run_stages(B=args.batch or 128, seconds=args.seconds,
                                     encoder=args.encoder)))
         return
 
     if args.mfu:
-        print(json.dumps(run_mfu(B=args.batch, seconds=args.seconds)))
+        print(json.dumps(run_mfu(B=args.batch or 128, seconds=args.seconds)))
         return
 
     if args.baseline:
@@ -808,9 +810,9 @@ def main():
         return
 
     if args.chained:
-        thr, loss = run_tpu_chained(B=args.batch, seconds=args.seconds)
+        thr, loss = run_tpu_chained(B=args.batch or 128, seconds=args.seconds)
     else:
-        thr, loss = run_tpu(B=args.batch, seconds=args.seconds,
+        thr, loss = run_tpu(B=args.batch or 128, seconds=args.seconds,
                             encoder=args.encoder)
     base = BASELINE_AUDIO_SEC_PER_SEC
     if base is None and os.path.exists(_BASELINE_FILE):
