@@ -157,6 +157,55 @@ def test_wav2vecu_stretch_recipe_runs(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
+def test_semisup_labeled_list_cli(tmp_path):
+    """data.labeled_list end to end: the GAN+EODM recipe trains with a
+    dedicated small paired split feeding the semi-supervised CTC mix-in
+    (gan.supervised_weight > 0) and logs finite sup_ctc — the main
+    train split stays unlabeled (reference semantics, SURVEY.md §3.2)."""
+    data = str(tmp_path / "data")
+    r = _run_prepare(["synth", "--out-dir", data, "--num-utts", "16"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    model_dir = str(tmp_path / "exp")
+    r = _run_cli(
+        ["-c", "configs/timit_unsup_gan_eodm.yaml",
+         "--set", f"model_dir={model_dir}",
+         "--set", f"data.train_list={os.path.join(data, 'train.tsv')}",
+         "--set", f"data.dev_list={os.path.join(data, 'dev.tsv')}",
+         "--set", f"data.labeled_list={os.path.join(data, 'dev.tsv')}",
+         "--set", f"data.text_path={os.path.join(data, 'text.txt')}",
+         "--set", f"data.vocab_path={os.path.join(data, 'vocab.txt')}",
+         "--set", "gan.supervised_weight=0.3",
+         "--set", "gan.disc_steps=1",
+         "--set", "ctc.fold_timit=false",
+         "--set", "eodm.ngram_orders=1,2",
+         "--set", "eodm.top_k=32",
+         "--set", "data.batch_size=4",
+         "--set", "data.max_audio_seconds=2.0",
+         "--set", "data.max_label_len=16",
+         "--set", "model.classifier_hidden=32",
+         "--set", "model.classifier_layers=1",
+         "--set", "model.classifier_context=1",
+         "--set", "model.disc_channels=16",
+         "--set", "model.disc_layers=2",
+         "--set", "parallel.model_parallel=2",  # dp=4 fits batch 4
+         "--set", "train.total_steps=4",
+         "--set", "train.log_every=2",
+         "--set", "train.save_every=4",
+         "--set", "train.eval_every=4"],
+        tmp_path,
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-1000:])
+    with open(os.path.join(model_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    sups = [rec["sup_ctc"] for rec in recs
+            if rec["tag"] == "train" and "sup_ctc" in rec]
+    assert sups, recs
+    import math
+
+    assert all(math.isfinite(s) for s in sups), sups
+
+
 def test_segmental_infer_and_export_match_train_eval(tmp_path):
     """A `segmenter: kmeans, merge_repeats: true` checkpoint decodes the
     SAME representation at --mode infer and in the serving export as the

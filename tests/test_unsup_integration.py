@@ -112,6 +112,44 @@ def test_semisup_gan_mixin():
     assert "sup_ctc" in aux and np.isfinite(float(aux["sup_ctc"]))
 
 
+def test_semisup_gan_mixin_labeled_stream():
+    """The dedicated labeled pathway (data.labeled_list semantics): the
+    supervised CTC term comes from a SEPARATE small paired batch via the
+    raw frame-level forward, so (a) it is finite even under
+    merge_repeats (where in-batch CTC on merged logits can go infinite
+    when the merged stream is shorter than the labels), (b) it responds
+    to the labeled batch's labels, and (c) the adversarial g_loss does
+    not depend on the labeled batch at all."""
+    examples, text, cfg = _setup()
+    cfg = cfg.replace(gan=GANConfig(supervised_weight=0.3, disc_steps=1,
+                                    merge_repeats=True))
+    trainer = GANTrainer(cfg)
+    audio_it = _audio_batches(examples, 50)
+    text_it = text_batch_iterator(text, batch_size=8, max_len=8)
+    state = trainer.init_state(
+        jax.random.PRNGKey(1), next(audio_it), next(text_it)
+    )
+    g_step = trainer.jitted("g_step")
+    a = Batch(*map(jnp.asarray, next(audio_it)))
+    labeled = Batch(*map(jnp.asarray, next(_audio_batches(examples, 1,
+                                                          seed=5))))
+
+    def copy_state(s):
+        return jax.tree.map(jnp.copy, s)  # g_step donates its input
+
+    _, aux = g_step(copy_state(state), a, jax.random.PRNGKey(3), labeled)
+    assert "sup_ctc" in aux and np.isfinite(float(aux["sup_ctc"]))
+
+    # permute the labeled transcripts: sup_ctc must move, g_loss must not
+    bad = Batch(labeled.audio, labeled.audio_lengths,
+                jnp.roll(labeled.labels, 1, axis=0),
+                jnp.roll(labeled.label_lengths, 1, axis=0))
+    _, aux2 = g_step(copy_state(state), a, jax.random.PRNGKey(3), bad)
+    assert float(aux2["sup_ctc"]) != pytest.approx(float(aux["sup_ctc"]))
+    assert float(aux2["g_loss"]) == pytest.approx(float(aux["g_loss"]),
+                                                  rel=1e-6)
+
+
 def test_eodm_loss_decreases():
     examples, text, cfg = _setup()
     trainer = EODMTrainer(cfg, text)

@@ -33,6 +33,7 @@ def _load_source(cfg, split: str):
         "train": cfg.data.feature_cache,
         "dev": cfg.data.dev_feature_cache,
         "test": cfg.data.test_feature_cache,
+        "labeled": cfg.data.labeled_feature_cache,
     }.get(split)
     if cache_dir:
         if cfg.train.mode == "frame_ce" and split != "test":
@@ -67,12 +68,17 @@ def _load_source(cfg, split: str):
             max_len=cfg.data.synthetic_max_len,
             with_alignments=aligned,
         )
+        if split == "labeled":
+            # semi-sup mix-in: the labeled split is a small paired
+            # subset of the train corpus (seed 0 above)
+            examples = examples[: cfg.data.synthetic_labeled_utts]
         return ("examples", examples), vocab
     vocab = load_vocab(cfg.data.vocab_path)
     path = getattr(cfg.data, f"{split}_list")
     if path is None:
         raise SystemExit(f"recipe has no data.{split}_list")
-    if cfg.data.streaming and not aligned:
+    if cfg.data.streaming and not aligned and split != "labeled":
+        # the labeled mix-in split is tiny by definition — materialize it
         # frame_ce falls through to the materialized path: the streaming
         # loader has no alignment track, and alignment-supervised corpora
         # are TIMIT-scale (forced alignments don't exist at stream scale)
@@ -304,12 +310,33 @@ def _train_gan(cfg, source, vocab, with_eodm=False):
     from uasr.train import run_gan_training
 
     text = _load_text(cfg, source, vocab)
+    labeled = None
+    if cfg.gan.supervised_weight > 0 and (
+        cfg.data.labeled_list or cfg.data.labeled_feature_cache
+        or cfg.data.synthetic
+    ):
+        # semi-supervised mix-in: a dedicated small paired stream
+        # (cycled forever), so the main split stays unlabeled. Batches
+        # must be FULL-SIZE every step (the jitted g_step and GSPMD
+        # batch sharding both want one static shape), so a labeled set
+        # smaller than one batch wraps around to fill it.
+        lab_source, _ = _load_source(cfg, "labeled")
+        if lab_source[0] == "examples":
+            ex = list(lab_source[1])
+            if not ex:
+                raise SystemExit("data.labeled_list is empty")
+            while len(ex) < cfg.data.batch_size:
+                ex = ex + ex
+            lab_source = ("examples", ex)
+        labeled = _batches(cfg, lab_source, num_epochs=None,
+                           seed=cfg.train.seed + 1, drop_remainder=True)
     run_gan_training(
         cfg,
         _batches(cfg, source, seed=cfg.train.seed),
         text,
         with_eodm=with_eodm,
         dev_batches_fn=_dev_batches_fn(cfg, vocab),
+        labeled_batches=labeled,
     )
     return 0
 

@@ -313,6 +313,14 @@ class DataConfig:
     feature_cache: str | None = None
     dev_feature_cache: str | None = None
     test_feature_cache: str | None = None
+    # semi-supervised CTC mix-in (gan.supervised_weight > 0): a SMALL
+    # paired split feeding the supervised term, so the main train split
+    # stays genuinely unlabeled (the reference mixes a tiny labeled set
+    # into the GAN generator loss — SURVEY.md §3.2). Synthetic recipes
+    # take the first synthetic_labeled_utts train utterances instead.
+    labeled_list: str | None = None
+    labeled_feature_cache: str | None = None
+    synthetic_labeled_utts: int = 16
     max_frames: int = 1024  # frame cap for precomputed-feature batches
     text_path: str | None = None  # unpaired phone text (GAN / EODM)
     vocab_path: str | None = None

@@ -362,6 +362,21 @@ class GeneratorBase:
         _, _, probs, out_len, logits = self._gen_probs_full(g_params, batch)
         return probs, out_len, logits
 
+    def _sup_ctc_term(self, g_params, labeled: Batch):
+        """Frame-level supervised CTC on a (small) labeled batch — the
+        semi-supervised mix-in's dedicated pathway (reference: tiny
+        paired set mixed into the G loss, SURVEY.md §3.2). Runs the raw
+        generator forward (no segment/merge): supervised CTC is defined
+        on the frame stream."""
+        feats, flen = self._gen_feats(labeled)
+        logits, out_len = self.gen.apply(g_params, feats, flen)
+        return jnp.mean(
+            ctc_loss(
+                logits, out_len, labeled.labels, labeled.label_lengths,
+                blank_id=self.cfg.ctc.blank_id,
+            )
+        )
+
     def _entropy(self, probs, lengths):
         """Masked mean per-position entropy of posteriors [B, T, V]."""
         T = probs.shape[1]
@@ -527,7 +542,8 @@ class GANTrainer(GeneratorBase):
         d_params = optax.apply_updates(state.d_params, updates)
         return state._replace(d_params=d_params, d_opt=d_opt), aux
 
-    def g_step(self, state: GANState, audio: Batch, rng):
+    def g_step(self, state: GANState, audio: Batch, rng,
+               labeled: Batch | None = None):
         sup_w = self.cfg.gan.supervised_weight
         g_fn = bce_g_loss_fn if self.cfg.gan.objective == "bce" else g_loss_fn
 
@@ -541,12 +557,20 @@ class GANTrainer(GeneratorBase):
             loss = self._aux_penalties(fake, fake_len, aux, loss,
                                        raw_probs=raw_p, raw_len=raw_len)
             if sup_w > 0:  # semi-supervised CTC mix-in
-                sup = jnp.mean(
-                    ctc_loss(
-                        logits, fake_len, audio.labels, audio.label_lengths,
-                        blank_id=self.cfg.ctc.blank_id,
+                if labeled is not None:
+                    # dedicated small paired split (data.labeled_list):
+                    # the unlabeled stream stays label-free
+                    sup = self._sup_ctc_term(g_params, labeled)
+                else:
+                    # legacy/oracle path: labels ride on the audio
+                    # batches themselves (synthetic ablations)
+                    sup = jnp.mean(
+                        ctc_loss(
+                            logits, fake_len, audio.labels,
+                            audio.label_lengths,
+                            blank_id=self.cfg.ctc.blank_id,
+                        )
                     )
-                )
                 aux["sup_ctc"] = sup
                 loss = loss + sup_w * sup
             return loss, aux
@@ -866,10 +890,14 @@ def run_gan_training(
     text_sequences,
     with_eodm: bool = False,
     dev_batches_fn=None,
+    labeled_batches: Iterator[Batch] | None = None,
 ) -> tuple[GANTrainer, GANState]:
     """Reference GAN alternation loop (SURVEY.md §3.2): k D-steps per
     G-step, periodic dev PER, checkpoints. `with_eodm` adds the EODM
-    n-gram loss to G's objective (joint mode the reference supported)."""
+    n-gram loss to G's objective (joint mode the reference supported).
+    `labeled_batches` (with gan.supervised_weight > 0) is the
+    semi-supervised mix-in's small paired stream — frame-level CTC on
+    it is added to every G step."""
     from uasr.data.dataset import text_batch_iterator
     from uasr.ops.eodm import eodm_loss
 
@@ -898,7 +926,8 @@ def run_gan_training(
     if with_eodm:
         tables = device_ngram_tables(cfg.eodm, text_sequences)
 
-        def g_step_eodm(state: GANState, audio: Batch, rng):
+        def g_step_eodm(state: GANState, audio: Batch, rng,
+                        labeled: Batch | None = None):
             g_fn = (bce_g_loss_fn if cfg.gan.objective == "bce"
                     else g_loss_fn)
 
@@ -916,6 +945,10 @@ def run_gan_training(
                 loss = trainer._aux_penalties(probs, out_len, aux, loss,
                                               raw_probs=raw_p,
                                               raw_len=raw_len)
+                if cfg.gan.supervised_weight > 0 and labeled is not None:
+                    sup = trainer._sup_ctc_term(g_params, labeled)
+                    aux["sup_ctc"] = sup
+                    loss = loss + cfg.gan.supervised_weight * sup
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -941,6 +974,14 @@ def run_gan_training(
             "gan.select_lm_path is set but there is no dev split to score "
             "(set data.dev_list) — selection would be silently inert"
         )
+    labeled_it = None
+    if labeled_batches is not None:
+        if cfg.gan.supervised_weight <= 0:
+            raise ValueError(
+                "labeled_batches provided but gan.supervised_weight is 0 "
+                "— the semi-supervised mix-in would be silently inert"
+            )
+        labeled_it = iter(labeled_batches)
     guard = PreemptionGuard()
     mesh = trainer.mesh
     t0 = time.time()
@@ -953,7 +994,11 @@ def run_gan_training(
             state, d_aux = d_step(state, a, t, sub)
         a = shard_batch(Batch(*next(audio_it)), mesh)
         rng, sub = jax.random.split(rng)
-        state, g_aux = g_step(state, a, sub)
+        if labeled_it is not None:
+            lab = shard_batch(Batch(*next(labeled_it)), mesh)
+            state, g_aux = g_step(state, a, sub, lab)
+        else:
+            state, g_aux = g_step(state, a, sub)
         step = int(state.step)
         if step % cfg.train.log_every == 0:
             scalars = {k: float(v) for k, v in {**d_aux, **g_aux}.items()}
