@@ -109,6 +109,54 @@ def test_keep_n_checkpoints(tmp_path, tiny_setup):
     mgr.close()
 
 
+def test_keep_best_tracks_min_dev_per(tmp_path, tiny_setup):
+    """train.keep_best: the supervised loop keeps the best-dev-PER
+    checkpoint under model_dir/best_ckpt (reference 'restore latest or
+    best' semantics), score.json records the minimum dev PER seen, and
+    the crash-safe keeper refuses to regress after a 'restart'."""
+    import json
+    import os
+
+    from uasr.train import BestCheckpointKeeper, run_ctc_training
+
+    examples, vocab, cfg = tiny_setup
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        model_dir=str(tmp_path / "exp"),
+        train=TrainConfig(total_steps=40, lr=2e-3, warmup_steps=10,
+                          eval_every=10, save_every=40, log_every=20,
+                          keep_best=True),
+    )
+    pers = []
+
+    def dev_fn():
+        return _batches(examples, 2, seed=9)
+
+    trainer, state = run_ctc_training(
+        cfg, _batches(examples, 50), dev_batches_fn=dev_fn
+    )
+    score_path = os.path.join(cfg.model_dir, "best_ckpt", "score.json")
+    assert os.path.exists(score_path)
+    rec = json.load(open(score_path))
+    with open(os.path.join(cfg.model_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    pers = {r["step"]: r["per"] for r in recs if r["tag"] == "dev"}
+    assert rec["score"] == pytest.approx(min(pers.values()))
+    assert pers[rec["step"]] == pytest.approx(rec["score"])
+    # the keeper reloads the recorded best and refuses a worse score
+    k = BestCheckpointKeeper(cfg.model_dir, higher_is_better=False)
+    assert not k.update(rec["score"] + 0.1, 99, state)
+    k.close()
+    # keep_best without a dev split must fail loudly
+    with pytest.raises(ValueError, match="keep_best"):
+        run_ctc_training(
+            dataclasses.replace(cfg, model_dir=str(tmp_path / "exp2")),
+            _batches(examples, 2),
+        )
+
+
 def test_restore_averaged_exact_mean(tmp_path):
     """Checkpoint averaging: float leaves are the exact arithmetic mean
     of the newest N retained steps; int leaves come from the newest;

@@ -414,7 +414,8 @@ def _infer(cfg, source, vocab):
         if not os.path.isdir(best):
             raise SystemExit(
                 f"train.restore_best: no {best} — was the run trained "
-                "with gan.select_lm_path (unsupervised selection)?"
+                "with train.keep_best (supervised best-dev-PER) or "
+                "gan.select_lm_path (unsupervised selection)?"
             )
         ckpt_dir = best
     mgr = CheckpointManager(

@@ -365,6 +365,10 @@ class TrainConfig:
     seed: int = 0
     dev_eval_batches: int = 50  # cap on periodic dev-eval batches
     tensorboard: bool = False  # also export scalars via tf.summary
+    # supervised loops (ctc / frame_ce): keep the best-dev-PER
+    # checkpoint under model_dir/best_ckpt (reference semantics: infer
+    # restores latest or best — SURVEY.md §5 "Checkpoint / resume")
+    keep_best: bool = False
     # infer restores model_dir/best_ckpt (written by the unsupervised
     # LM selector, gan.select_lm_path) instead of the latest checkpoint
     restore_best: bool = False

@@ -694,6 +694,46 @@ class GeneratorInfer(GeneratorBase):
         return self.gen.init(rng, feats, flen)
 
 
+class BestCheckpointKeeper:
+    """Best-metric checkpoint under `model_dir/best_ckpt`, with the
+    crash-safe commit-before-score discipline: the checkpoint is
+    committed BEFORE score.json is written, so a hard kill between the
+    two can never persist a phantom best score that would block
+    re-saving after resume (round-2 ADVICE finding). The recorded best
+    survives preemption/resume for the same reason. Shared by the
+    supervised loops (`train.keep_best`: dev PER, lower is better) and
+    the label-free UnsupSelector (score, higher is better)."""
+
+    def __init__(self, model_dir: str, higher_is_better: bool):
+        import json
+        import os
+
+        self._sign = 1.0 if higher_is_better else -1.0
+        self.ckpt = CheckpointManager(
+            os.path.join(model_dir, "best_ckpt"), max_to_keep=1
+        )
+        self._score_path = os.path.join(model_dir, "best_ckpt", "score.json")
+        self.best = -np.inf
+        if os.path.exists(self._score_path):
+            with open(self._score_path) as f:
+                self.best = self._sign * float(json.load(f)["score"])
+
+    def update(self, score: float, step: int, state) -> bool:
+        if self._sign * score > self.best:
+            import json
+
+            self.best = self._sign * score
+            self.ckpt.save(step, state)
+            self.ckpt.wait()
+            with open(self._score_path, "w") as f:
+                json.dump({"score": float(score), "step": int(step)}, f)
+            return True
+        return False
+
+    def close(self):
+        self.ckpt.close()
+
+
 class UnsupSelector:
     """Label-free checkpoint selection (wav2vec-U's validation trick):
     score dev-set GREEDY transcriptions by mean LM token log-prob minus
@@ -704,9 +744,6 @@ class UnsupSelector:
     stopping/selection criterion."""
 
     def __init__(self, cfg: Config):
-        import json
-        import os
-
         from uasr.ops.lm import load_lm, load_unigram
 
         self.lm = load_lm(cfg.gan.select_lm_path)
@@ -724,18 +761,9 @@ class UnsupSelector:
                          else self.lm[V, V])
         self.unigram = uni
         self.kl_weight = cfg.gan.select_kl_weight
-        self.ckpt = CheckpointManager(
-            os.path.join(cfg.model_dir, "best_ckpt"), max_to_keep=1
+        self._keeper = BestCheckpointKeeper(
+            cfg.model_dir, higher_is_better=True
         )
-        # the best score survives preemption/resume — otherwise a
-        # resumed run's first (worse) eval would clobber best_ckpt
-        self._score_path = os.path.join(
-            cfg.model_dir, "best_ckpt", "score.json"
-        )
-        self.best = -np.inf
-        if os.path.exists(self._score_path):
-            with open(self._score_path) as f:
-                self.best = float(json.load(f)["score"])
 
     def score(self, trainer, g_params, batches) -> dict:
         from uasr.ops.lm import unsup_selection_score
@@ -745,24 +773,15 @@ class UnsupSelector:
             hyps, lens, self.lm, self.unigram, self.kl_weight
         )
 
-    def update(self, score: float, step: int, state) -> bool:
-        if score > self.best:
-            import json
+    @property
+    def best(self) -> float:
+        return self._keeper.best
 
-            self.best = score
-            self.ckpt.save(step, state)
-            # commit the checkpoint BEFORE recording the score: a hard
-            # kill between the two would otherwise persist a best score
-            # with no checkpoint behind it, and the resumed run would
-            # never re-save until the phantom score was beaten
-            self.ckpt.wait()
-            with open(self._score_path, "w") as f:
-                json.dump({"score": score, "step": int(step)}, f)
-            return True
-        return False
+    def update(self, score: float, step: int, state) -> bool:
+        return self._keeper.update(score, step, state)
 
     def close(self):
-        self.ckpt.close()
+        self._keeper.close()
 
 
 class PreemptionGuard:
@@ -839,6 +858,15 @@ def run_ctc_training(
             state, start = restored
             log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
+    keeper = None
+    if cfg.train.keep_best:
+        if dev_batches_fn is None:
+            raise ValueError(
+                "train.keep_best is set but there is no dev split to "
+                "score (set data.dev_list) — best-PER tracking would be "
+                "silently inert"
+            )
+        keeper = BestCheckpointKeeper(cfg.model_dir, higher_is_better=False)
     guard = PreemptionGuard()
     t0 = time.time()
     audio_sec_acc = 0.0
@@ -872,14 +900,19 @@ def run_ctc_training(
             t0, audio_sec_acc = time.time(), 0.0
         if dev_batches_fn and step % cfg.train.eval_every == 0:
             per = trainer.evaluate(state.params, dev_batches_fn())
-            writer.write(step, "dev", per=per)
-            log_stdout(step, "dev", per=per)
+            extra = {}
+            if keeper is not None and keeper.update(per, step, state):
+                extra["dev_best"] = per
+            writer.write(step, "dev", per=per, **extra)
+            log_stdout(step, "dev", per=per, **extra)
             t0, audio_sec_acc = time.time(), 0.0
         if step % cfg.train.save_every == 0:
             ckpt.save(step, state)
     ckpt.save(int(state.step), state)
     guard.close()
     ckpt.close()
+    if keeper is not None:
+        keeper.close()
     writer.close()
     return trainer, state
 
