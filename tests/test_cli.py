@@ -158,6 +158,57 @@ def test_wav2vecu_stretch_recipe_runs(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.slow
+def test_sweep_tool_selects_label_free(tmp_path):
+    """uasr-sweep: N seeds train into model_dir/seed<i>, each keeps a
+    label-free best_ckpt score, sweep.json ranks them and names the
+    winner (the multi-seed protocol the GAN basin-sensitivity demands —
+    BASELINE.md round-3 session 8)."""
+    from uasr.data.dataset import make_synthetic_dataset
+    from uasr.ops.lm import build_bigram_lm, build_unigram, save_lm
+
+    examples, _ = make_synthetic_dataset(
+        num_utts=24, num_phones=6, seed=0, syntax="markov",
+        min_len=4, max_len=10,
+    )
+    lm = build_bigram_lm([e[1] for e in examples], 8, exclude=(0,))
+    uni = build_unigram([e[1] for e in examples], 8, exclude=(0,))
+    lm_path = str(tmp_path / "lm.npz")
+    save_lm(lm_path, lm, unigram=uni)
+    model_dir = str(tmp_path / "sweep_exp")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "uasr.tools.sweep",
+         "-c", "configs/synthetic_unsup_demo.yaml", "--seeds", "2",
+         "--set", f"model_dir={model_dir}",
+         "--set", f"gan.select_lm_path={lm_path}",
+         "--set", "data.synthetic_num_utts=24",
+         "--set", "data.batch_size=8",
+         "--set", "model.classifier_hidden=16",
+         "--set", "model.classifier_layers=1",
+         "--set", "model.disc_channels=8",
+         "--set", "model.disc_layers=1",
+         "--set", "train.total_steps=4",
+         "--set", "train.eval_every=2",
+         "--set", "train.save_every=4",
+         "--set", "train.log_every=2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])
+    with open(os.path.join(model_dir, "sweep.json")) as f:
+        out = json.load(f)
+    assert len(out["ranking"]) == 2
+    scores = [e["score"] for e in out["ranking"]]
+    assert scores == sorted(scores, reverse=True)
+    assert out["winner"]["seed"] in (0, 1)
+    for e in out["ranking"]:
+        assert os.path.isdir(os.path.join(e["model_dir"], "best_ckpt"))
+    # the winner line on stdout is machine-readable
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == out["winner"]
+
+
+@pytest.mark.slow
 def test_semisup_labeled_list_cli(tmp_path):
     """data.labeled_list end to end: the GAN+EODM recipe trains with a
     dedicated small paired split feeding the semi-supervised CTC mix-in
