@@ -45,11 +45,19 @@ def run_inference(
     zero-padded to the data-axis size (zero-length rows decode to
     nothing and score nothing) and sliced back before hyps are
     written."""
-    from uasr.parallel.mesh import shard_batch
+    from uasr.parallel.mesh import replicated, shard_batch
 
     fcfg = cfg.frontend
     mesh = getattr(trainer, "mesh", None)
     dp = int(mesh.shape[cfg.parallel.data_axis]) if mesh is not None else 1
+    if dp > 1:
+        # checkpoint-restored params arrive COMMITTED to one device;
+        # jitting them against a mesh-sharded batch is an error (unlike
+        # the uncommitted arrays init_state produces, they don't
+        # auto-relocate). Replicate them over the decode mesh up front.
+        state = state._replace(
+            params=jax.device_put(state.params, replicated(mesh))
+        )
     lm_logp = None
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
@@ -118,6 +126,14 @@ def run_inference(
         dist = batch_edit_distance(
             batch.labels, batch.label_lengths, hyps, hyp_len
         )
+        # ragged-tail padding rows (zero-length audio, added above to
+        # make B divisible by dp) must score nothing: the segment/merge
+        # generator pathway can emit a spurious token for an empty row
+        # (segment pooling always yields >= 1 segment), which would
+        # count as an insertion against the empty reference
+        pad_row = batch.audio_lengths == 0
+        dist = jnp.where(pad_row, 0, dist)
+        hyp_len = jnp.where(pad_row, 0, hyp_len)
         return hyps, hyp_len, jnp.sum(dist), jnp.sum(batch.label_lengths)
 
     errs = total = 0
