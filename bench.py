@@ -249,15 +249,23 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
     lens = jnp.asarray(batch.audio_lengths)
 
     lm = None
-    if lm_order:
+    if lm_order or mode == "viterbi":
         from uasr.ops.lm import build_bigram_lm, build_trigram_lm
 
         V = cfg.vocab_size
         rng = np.random.RandomState(5)
         seqs = [rng.randint(1, V, size=rng.randint(4, 20)).tolist()
                 for _ in range(200)]
-        build = build_bigram_lm if lm_order == 2 else build_trigram_lm
+        build = (build_bigram_lm if lm_order == 2 or mode == "viterbi"
+                 else build_trigram_lm)
         lm = jnp.asarray(build(seqs, V, add_k=0.5, exclude=(0,)))
+
+    hmm = None
+    if mode == "viterbi":
+        from uasr.ops.viterbi import lm_hmm
+
+        hmm = tuple(jnp.asarray(x) for x in
+                    lm_hmm(np.asarray(lm), cfg.ctc.blank_id))
 
     def body(a, _):
         feats, flen = compute_features(
@@ -266,6 +274,12 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
         logits, out_len = trainer.model.apply(params, feats, flen)
         if mode == "greedy":
             ids, n = ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+        elif mode == "viterbi":
+            from uasr.ops.viterbi import viterbi_lm_decode
+
+            ids, n, _sc = viterbi_lm_decode(
+                logits, out_len, hmm, cfg.ctc.blank_id
+            )
         elif merge_impl == "pallas":
             from uasr.ops.pallas_beam import ctc_beam_search_decode_pallas
 
@@ -298,7 +312,8 @@ def run_decode(B=128, seconds=8.0, iters=20, mode="greedy", beam_width=8,
     ns = loop(audio_t)
     _ = int(ns[-1])  # airtight fence
     dt = (time.time() - t0) / iters
-    tag = mode if mode == "greedy" else f"beam{beam_width}:{merge_impl}"
+    tag = (mode if mode in ("greedy", "viterbi")
+           else f"beam{beam_width}:{merge_impl}")
     if lm_order:
         tag += f"+lm{lm_order}"
     return {
@@ -738,7 +753,8 @@ def main():
                    help="SSL contrastive-pretraining throughput")
     p.add_argument("--gan", action="store_true",
                    help="GAN adversarial-cycle throughput")
-    p.add_argument("--decode", choices=["greedy", "beam"], default=None,
+    p.add_argument("--decode", choices=["greedy", "beam", "viterbi"],
+                   default=None,
                    help="decode throughput instead of the train JSON line")
     p.add_argument("--beam-width", type=int, default=8)
     p.add_argument("--merge-impl", default="fold",

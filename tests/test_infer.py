@@ -44,6 +44,38 @@ def test_inference_report(tmp_path):
     assert len(lines) == 16
 
 
+def test_viterbi_infer_path(tmp_path):
+    """ctc.use_viterbi decodes through the LM-transition HMM: wiring,
+    shape validation, and the bigram-only contract."""
+    import dataclasses
+
+    import pytest
+
+    from uasr.ops.lm import build_bigram_lm, build_trigram_lm, save_lm
+
+    cfg, trainer, state, examples, vocab = _setup()
+    V = len(vocab)
+    seqs = [ids for _a, ids in examples]
+    lm_path = str(tmp_path / "lm.npz")
+    save_lm(lm_path, build_bigram_lm(seqs, V, exclude=(0,)))
+    cfg.ctc = dataclasses.replace(
+        cfg.ctc, use_viterbi=True, lm_path=lm_path
+    )
+    res = run_inference(cfg, trainer, state, _batches(examples), vocab=vocab)
+    assert 0 <= res["per"] <= 10.0 and res["rtf"] > 0
+
+    # trigram tables are beam-only — loud error, not silent garbage
+    tri_path = str(tmp_path / "lm3.npz")
+    save_lm(tri_path, build_trigram_lm(seqs, V, exclude=(0,)))
+    cfg.ctc = dataclasses.replace(cfg.ctc, lm_path=tri_path)
+    with pytest.raises(ValueError, match="BIGRAM"):
+        run_inference(cfg, trainer, state, _batches(examples), vocab=vocab)
+
+    cfg.ctc = dataclasses.replace(cfg.ctc, lm_path=None)
+    with pytest.raises(ValueError, match="lm_path"):
+        run_inference(cfg, trainer, state, _batches(examples), vocab=vocab)
+
+
 def test_folded_scoring():
     """With fold_timit=True a host-side folded PER is reported; folding
     'ao'->'aa' means the two symbols stop counting as errors."""

@@ -189,6 +189,13 @@ class CTCConfig:
     lm_path: str | None = None
     lm_weight: float = 0.5
     lm_bonus: float = 0.0  # per-token bonus countering LM length penalty
+    # HMM Viterbi decode: CTC-topology HMM (phone + blank-hold states)
+    # with bigram-LM transitions (uasr/ops/viterbi.py — the GAN→HMM
+    # refinement lineage's decoder). Needs a bigram lm_path; takes
+    # precedence over use_beam at infer time.
+    use_viterbi: bool = False
+    viterbi_self_loop: float = 0.75  # P(hold the current HMM state)
+    viterbi_blank_prob: float = 0.1  # P(phone state -> its blank hold)
     # score `--mode infer` in the folded TIMIT 61->39 phone space too
     # (reference folds before PER, SURVEY.md §3.4); reports per_folded
     # alongside the raw PER. Vocab tokens must be TIMIT phone names.

@@ -59,6 +59,30 @@ def run_inference(
             params=jax.device_put(state.params, replicated(mesh))
         )
     lm_logp = None
+    hmm = None
+    if cfg.ctc.use_viterbi:
+        from uasr.ops.lm import load_lm
+        from uasr.ops.viterbi import lm_hmm
+
+        if not cfg.ctc.lm_path:
+            raise ValueError(
+                "ctc.use_viterbi needs ctc.lm_path (a bigram table from "
+                "`prepare lm`) for the HMM transitions"
+            )
+        table = load_lm(cfg.ctc.lm_path)
+        V = cfg.dim_output
+        if table.shape != (V + 1, V):
+            raise ValueError(
+                f"ctc.use_viterbi needs a BIGRAM [{V + 1}, {V}] table, "
+                f"got {table.shape} (trigram tables are beam-only)"
+            )
+        hmm = tuple(
+            jnp.asarray(a) for a in lm_hmm(
+                table, cfg.ctc.blank_id,
+                self_loop=cfg.ctc.viterbi_self_loop,
+                blank_prob=cfg.ctc.viterbi_blank_prob,
+            )
+        )
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
 
@@ -95,7 +119,13 @@ def run_inference(
                 fcfg,
             )
             logits, out_len = trainer.model.apply(params, feats, flen)
-        if cfg.ctc.use_beam:
+        if hmm is not None:
+            from uasr.ops.viterbi import viterbi_lm_decode
+
+            hyps, hyp_len, _ = viterbi_lm_decode(
+                logits, out_len, hmm, cfg.ctc.blank_id
+            )
+        elif cfg.ctc.use_beam:
             from uasr.ops.pallas_beam import lm_table_fits_vmem
 
             if (dp == 1 and jax.default_backend() not in ("cpu",)

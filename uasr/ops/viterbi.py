@@ -1,0 +1,332 @@
+"""HMM Viterbi decoding and CTC forced alignment, fully on device.
+
+The unsupervised lineage the reference implements refines and decodes
+its frame-level phone posteriors with an HMM whose transition model
+comes from the unpaired phoneme text (Chen/Liu/Lee 2019 — the GAN
+"harmonized with an iteratively refined HMM" that SURVEY.md's paper
+list cites; wav2vec-U's Viterbi/Kaldi decode stage plays the same
+role). The reference itself shipped only host-side greedy/beam CTC
+decoding (SURVEY.md §3.4) — this module is the missing HMM stage,
+TPU-first: max-plus `lax.scan` over static [B, S] state lattices, so
+it jits, batches and shards like every other op, and pseudo-label
+refinement (uasr.selftrain) never leaves the chip.
+
+Two lattices are provided:
+
+- `lm_hmm` + `viterbi_decode`: free decoding over a CTC-topology HMM
+  (phone states + per-phone blank-hold states) whose phone→phone
+  transitions are the bigram LM of the unpaired text. This replaces
+  greedy argmax-collapse at eval/pseudo-labeling time with an
+  LM-smoothed path — exactly the refinement the GAN+HMM papers use.
+- `ctc_forced_align`: Viterbi over the 2L+1 CTC label lattice — the
+  best monotonic alignment of a known transcript, yielding per-frame
+  labels for `train.mode: frame_ce` (reference `ASR_align_DataSet`
+  consumed externally-produced Kaldi alignments; this generates them
+  inside the framework).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+
+# ---------------------------------------------------------------------------
+# generic dense-transition Viterbi
+# ---------------------------------------------------------------------------
+
+
+def viterbi_decode(
+    emit_logp: jax.Array,
+    lengths: jax.Array,
+    log_init: jax.Array,
+    log_trans: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Max-plus Viterbi over a dense-transition HMM.
+
+    emit_logp: [B, T, S] per-frame state emission log-probs.
+    lengths:   [B] valid frame counts (states beyond are frozen).
+    log_init:  [S] initial state log-probs.
+    log_trans: [S, S] log P(s_t = j | s_{t-1} = i).
+
+    Returns (states [B, T] int32 best path, score [B]). Rows t >=
+    lengths[b] repeat the final state (identity backpointers), so the
+    caller can mask with `lengths` exactly as for logits.
+    """
+    B, T, S = emit_logp.shape
+    ident = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    delta0 = log_init[None, :] + emit_logp[:, 0, :]
+
+    def step(delta, inputs):
+        emit_t, t = inputs  # [B, S], scalar
+        # scores[b, i, j] = delta[b, i] + trans[i, j]
+        scores = delta[:, :, None] + log_trans[None, :, :]
+        bp = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [B, S]
+        new = jnp.max(scores, axis=1) + emit_t
+        active = (t < lengths)[:, None]
+        return (
+            jnp.where(active, new, delta),
+            jnp.where(active, bp, ident),
+        )
+
+    delta, bps = jax.lax.scan(
+        step,
+        delta0,
+        (jnp.moveaxis(emit_logp[:, 1:, :], 1, 0), jnp.arange(1, T)),
+    )  # bps: [T-1, B, S]
+
+    best = jnp.argmax(delta, axis=1).astype(jnp.int32)  # [B]
+    score = jnp.max(delta, axis=1)
+
+    def back(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[:, None], 1)[:, 0]
+        return prev, state
+
+    # reverse traceback: `rest[k]` is the state at time k+1 (the scan
+    # emits its carry AFTER consuming bps[k]); `first` is the t=0 state
+    first, rest = jax.lax.scan(back, best, bps, reverse=True)
+    if T > 1:
+        states = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        states = best[:, None]
+    return states, score
+
+
+# ---------------------------------------------------------------------------
+# CTC-topology HMM with bigram-LM transitions
+# ---------------------------------------------------------------------------
+
+
+def lm_hmm(
+    lm_logp: np.ndarray,
+    blank_id: int,
+    self_loop: float = 0.75,
+    blank_prob: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build the CTC-topology HMM from a bigram LM table.
+
+    lm_logp: [V + 1, V] table from `uasr.ops.lm.build_bigram_lm` (row
+    V = start-of-sequence; the blank COLUMN carries ~0 mass).
+
+    States (S = 2V + 1):
+      s in [0, V):   emitting phone s           (dead for s == blank_id)
+      s in [V, 2V):  blank hold after phone s-V (dead for blank phone)
+      s == 2V:       initial blank (start-of-sequence LM history)
+
+    Transitions (probability space, rows renormalized over live states):
+      phone i:  self_loop -> i | blank_prob -> blank_i
+                | rest * P_lm(j | i) -> phone j != i
+      blank_i:  self_loop -> blank_i | rest * P_lm(j | i) -> any phone j
+                (j == i re-enters as a NEW token — CTC semantics)
+      init blank: self_loop hold | rest * P_lm(j | SOS)
+
+    Returns (log_init [S], log_trans [S, S], emit_cols [S] int32) with
+    emit_cols mapping each state to the logits column it consumes.
+    """
+    V = lm_logp.shape[1]
+    if lm_logp.ndim != 2 or lm_logp.shape[0] != V + 1:
+        raise ValueError(
+            f"lm_hmm needs a bigram [V+1, V] table, got {lm_logp.shape}"
+        )
+    S = 2 * V + 1
+    P = np.exp(lm_logp.astype(np.float64))  # [V+1, V]
+    live = np.ones(V, bool)
+    live[blank_id] = False
+    # renormalize LM rows over live phone columns
+    P = P * live[None, :]
+    P = P / np.maximum(P.sum(axis=1, keepdims=True), 1e-30)
+
+    trans = np.zeros((S, S), np.float64)
+    for i in range(V):
+        if not live[i]:
+            continue
+        # phone -> phone (exclude self: the self-loop carries that mass)
+        row = P[i].copy()
+        denom = row.sum() - row[i]
+        rest = max(1.0 - self_loop - blank_prob, 1e-6)
+        if denom > 1e-30:
+            trans[i, :V] = rest * row / denom
+            trans[i, i] = 0.0
+        trans[i, i] = self_loop
+        trans[i, V + i] = blank_prob
+        # blank_i -> phones (all live, LM history = i) / hold
+        trans[V + i, :V] = (1.0 - self_loop) * P[i]
+        trans[V + i, V + i] = self_loop
+    # initial blank: SOS history
+    trans[2 * V, :V] = (1.0 - self_loop) * P[V]
+    trans[2 * V, 2 * V] = self_loop
+
+    init = np.zeros(S, np.float64)
+    init[:V] = 0.5 * P[V]
+    init[2 * V] = 0.5
+
+    with np.errstate(divide="ignore"):
+        log_trans = np.where(trans > 0, np.log(trans), NEG)
+        log_init = np.where(init > 0, np.log(init), NEG)
+
+    emit_cols = np.concatenate(
+        [np.arange(V), np.full(V + 1, blank_id)]
+    ).astype(np.int32)
+    return (
+        log_init.astype(np.float32),
+        log_trans.astype(np.float32),
+        emit_cols,
+    )
+
+
+def viterbi_lm_decode(
+    logits: jax.Array,
+    lengths: jax.Array,
+    hmm: tuple,
+    blank_id: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """LM-smoothed HMM decode of frame/segment logits.
+
+    hmm = (log_init, log_trans, emit_cols) from `lm_hmm` (host numpy;
+    pass through jnp.asarray once outside jit if reusing).
+    Returns (ids [B, T] left-compacted, out_lengths [B], score [B]) —
+    the same contract as `ctc_greedy_decode` plus the path score.
+    """
+    log_init, log_trans, emit_cols = (jnp.asarray(a) for a in hmm)
+    B, T, V = logits.shape
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    emit = jnp.take(logp, emit_cols, axis=2)  # [B, T, S]
+    states, score = viterbi_decode(emit, lengths, log_init, log_trans)
+    ids, out_len = states_to_tokens(states, lengths, V, blank_id)
+    return ids, out_len, score
+
+
+def states_to_tokens(
+    states: jax.Array, lengths: jax.Array, vocab_size: int, blank_id: int
+) -> tuple[jax.Array, jax.Array]:
+    """Collapse an HMM state path to token ids: a token is emitted on
+    entry into a phone state (s < V) from a different state. Returns
+    (ids [B, T] left-compacted padded with blank_id, out_lengths [B])."""
+    B, T = states.shape
+    V = vocab_size
+    t_idx = jnp.arange(T)[None, :]
+    valid = t_idx < lengths[:, None]
+    is_phone = states < V
+    prev = jnp.pad(states, ((0, 0), (1, 0)), constant_values=-1)[:, :T]
+    keep = is_phone & (states != prev) & valid
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, T)
+    out = jnp.full((B, T), blank_id, jnp.int32)
+    b_idx = jnp.arange(B)[:, None].repeat(T, 1)
+    out = out.at[b_idx, pos].set(states.astype(jnp.int32), mode="drop")
+    return out, keep.sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# CTC forced alignment (Viterbi over the 2L+1 label lattice)
+# ---------------------------------------------------------------------------
+
+
+def ctc_forced_align(
+    logits: jax.Array,
+    lengths: jax.Array,
+    labels: jax.Array,
+    label_lengths: jax.Array,
+    blank_id: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Best CTC alignment of known transcripts: per-frame label ids.
+
+    logits: [B, T, V] raw logits; labels: [B, L] token ids (no blanks).
+    Returns (frame_ids [B, T] int32 — blank_id or the aligned label at
+    each frame, frames t >= lengths[b] set to blank_id; score [B] log
+    prob of the best path). A zero-length transcript aligns to all
+    blanks.
+
+    Same lattice as the CTC loss (uasr/ops/ctc.py): S = 2L + 1 states,
+    even = blank, odd s = labels[(s-1)//2]; transitions stay/advance/
+    skip (skip only between distinct labels across a blank). Max-plus
+    instead of log-sum-exp, with [B, S] shifts instead of a dense
+    [S, S] matrix — the band never materializes.
+    """
+    B, T, V = logits.shape
+    L = labels.shape[1]
+    S = 2 * L + 1
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    s_idx = jnp.arange(S)
+    is_lab = (s_idx % 2) == 1
+    lab_pos = jnp.clip((s_idx - 1) // 2, 0, L - 1)
+    # state -> emitted token column
+    state_tok = jnp.where(
+        is_lab[None, :], jnp.take_along_axis(
+            labels, jnp.broadcast_to(lab_pos[None, :], (B, S)) % L, axis=1
+        ), blank_id,
+    )  # [B, S]
+    # dead states beyond this utterance's transcript
+    alive = s_idx[None, :] < (2 * label_lengths[:, None] + 1)
+    # skip (s-2 -> s) allowed only into a label state whose label
+    # differs from the previous label state's
+    prev_lab = jnp.take_along_axis(
+        labels, jnp.maximum(lab_pos[None, :] - 1, 0) % L, axis=1
+    )
+    can_skip = (
+        is_lab[None, :] & (lab_pos[None, :] >= 1)
+        & (state_tok != prev_lab)
+    )
+
+    def emit_at(t):
+        return jnp.take_along_axis(logp[:, t, :], state_tok, axis=1)
+
+    emit0 = jnp.take_along_axis(logp[:, 0, :], state_tok, axis=1)
+    start_ok = (s_idx[None, :] <= 1) & alive
+    delta0 = jnp.where(start_ok, emit0, NEG)
+    ident = jnp.zeros((B, S), jnp.int32)  # backpointer = shift amount
+
+    def shift(x, k):
+        return jnp.pad(x, ((0, 0), (k, 0)), constant_values=NEG)[:, :S]
+
+    def step(delta, inputs):
+        emit_t, t = inputs
+        stay = delta
+        adv = shift(delta, 1)
+        skp = jnp.where(can_skip, shift(delta, 2), NEG)
+        stacked = jnp.stack([stay, adv, skp], axis=0)  # [3, B, S]
+        bp = jnp.argmax(stacked, axis=0).astype(jnp.int32)
+        best = jnp.max(stacked, axis=0)
+        new = jnp.where(alive, best + emit_t, NEG)
+        active = (t < lengths)[:, None]
+        return (
+            jnp.where(active, new, delta),
+            jnp.where(active, bp, ident),
+        )
+
+    emits = jax.vmap(emit_at)(jnp.arange(1, T)) if T > 1 else jnp.zeros(
+        (0, B, S)
+    )
+    delta, bps = jax.lax.scan(step, delta0, (emits, jnp.arange(1, T)))
+
+    # final state: best of last blank (2*l) and last label (2*l - 1)
+    end_b = 2 * label_lengths
+    end_l = jnp.maximum(2 * label_lengths - 1, 0)
+    d_endb = jnp.take_along_axis(delta, end_b[:, None], 1)[:, 0]
+    d_endl = jnp.take_along_axis(delta, end_l[:, None], 1)[:, 0]
+    best = jnp.where(d_endl > d_endb, end_l, end_b).astype(jnp.int32)
+    score = jnp.maximum(d_endb, d_endl)
+
+    def back(state, bp_t):
+        k = jnp.take_along_axis(bp_t, state[:, None], 1)[:, 0]
+        return state - k, state
+
+    first, rest = jax.lax.scan(back, best, bps, reverse=True)
+    if T > 1:
+        states = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        states = best[:, None]
+    frame_ids = jnp.take_along_axis(state_tok, states, axis=1)
+    t_idx = jnp.arange(T)[None, :]
+    frame_ids = jnp.where(t_idx < lengths[:, None], frame_ids, blank_id)
+    # zero-length transcripts: lattice is the single blank state
+    frame_ids = jnp.where(
+        (label_lengths == 0)[:, None] & (t_idx < lengths[:, None]),
+        blank_id, frame_ids,
+    )
+    return frame_ids.astype(jnp.int32), score

@@ -25,16 +25,22 @@ from uasr.ops.decode import ctc_greedy_decode
 from uasr.train import CTCTrainer, TrainState, run_ctc_training
 
 
-def make_gan_label_fn(gan_trainer, g_params):
+def make_gan_label_fn(gan_trainer, g_params, hmm=None):
     """(audio Batch) -> (hyps, hyp_lens, confidence) from a GAN/EODM
     generator: posteriors over segments -> greedy collapse; confidence =
-    masked mean max-posterior."""
+    masked mean max-posterior.
+
+    `hmm` = (log_init, log_trans, emit_cols) from `uasr.ops.viterbi.
+    lm_hmm`: pseudo-labels come from the LM-transition Viterbi path
+    instead of greedy collapse — the GAN→HMM refinement step of the
+    unsupervised lineage (the HMM repairs frames the raw generator gets
+    wrong, so the CTC student trains on cleaner targets)."""
 
     @jax.jit
     def fn(batch: Batch):
         probs, out_len, logits = gan_trainer._gen_probs(g_params, batch)
-        hyps, hyp_len = ctc_greedy_decode(
-            logits, out_len, gan_trainer.cfg.ctc.blank_id
+        hyps, hyp_len = _decode(
+            logits, out_len, gan_trainer.cfg.ctc.blank_id, hmm
         )
         conf = _mean_max(probs, out_len)
         return hyps, hyp_len, conf
@@ -42,22 +48,31 @@ def make_gan_label_fn(gan_trainer, g_params):
     return fn
 
 
-def make_ctc_label_fn(ctc_trainer: CTCTrainer, params):
+def make_ctc_label_fn(ctc_trainer: CTCTrainer, params, hmm=None):
     """(audio Batch) -> (hyps, hyp_lens, confidence) from a CTC model.
     Precomputed-feature batches ([B, T, D]) bypass the frontend via the
-    trainer's `_feats` branch."""
+    trainer's `_feats` branch. `hmm`: see make_gan_label_fn."""
 
     @jax.jit
     def fn(batch: Batch):
         feats, flen = ctc_trainer._feats(batch.audio, batch.audio_lengths)
         logits, out_len = ctc_trainer.model.apply(params, feats, flen)
-        hyps, hyp_len = ctc_greedy_decode(
-            logits, out_len, ctc_trainer.cfg.ctc.blank_id
+        hyps, hyp_len = _decode(
+            logits, out_len, ctc_trainer.cfg.ctc.blank_id, hmm
         )
         conf = _mean_max(jax.nn.softmax(logits, -1), out_len)
         return hyps, hyp_len, conf
 
     return fn
+
+
+def _decode(logits, out_len, blank_id, hmm):
+    if hmm is None:
+        return ctc_greedy_decode(logits, out_len, blank_id)
+    from uasr.ops.viterbi import viterbi_lm_decode
+
+    hyps, hyp_len, _score = viterbi_lm_decode(logits, out_len, hmm, blank_id)
+    return hyps, hyp_len
 
 
 def _mean_max(probs: jax.Array, lengths: jax.Array) -> jax.Array:

@@ -47,6 +47,24 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     apply_overrides(cfg, args.set)
+    hmm = None
+    if cfg.ctc.use_viterbi:
+        # HMM-refined pseudo-labels (GAN→HMM lineage): teacher decodes
+        # through the LM-transition Viterbi instead of greedy collapse
+        import jax.numpy as jnp
+
+        from uasr.ops.lm import load_lm
+        from uasr.ops.viterbi import lm_hmm
+
+        if not cfg.ctc.lm_path:
+            raise SystemExit("ctc.use_viterbi needs ctc.lm_path (bigram)")
+        hmm = tuple(jnp.asarray(a) for a in lm_hmm(
+            load_lm(cfg.ctc.lm_path), cfg.ctc.blank_id,
+            self_loop=cfg.ctc.viterbi_self_loop,
+            blank_prob=cfg.ctc.viterbi_blank_prob,
+        ))
+        print("selftrain: Viterbi-LM pseudo-labeling enabled",
+              file=sys.stderr)
     source, vocab = _load_source(cfg, "train")
     if cfg.vocab_size is None:
         cfg = cfg.replace(vocab_size=len(vocab))
@@ -102,7 +120,7 @@ def main(argv=None):
                 raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
             estate, step = restored
             gen, g_params = eodm, estate.params
-        label_fn = make_gan_label_fn(gen, g_params)
+        label_fn = make_gan_label_fn(gen, g_params, hmm=hmm)
         teacher_eval = lambda batches: gen.evaluate_per(g_params, batches)
     else:
         tr = CTCTrainer(cfg)
@@ -111,7 +129,7 @@ def main(argv=None):
         if restored is None:
             raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
         state, step = restored
-        label_fn = make_ctc_label_fn(tr, state.params)
+        label_fn = make_ctc_label_fn(tr, state.params, hmm=hmm)
         teacher_eval = lambda batches: tr.evaluate(state.params, batches)
     mgr.close()
     print(f"teacher restored from {args.teacher_dir} (step {step})",
