@@ -1,0 +1,200 @@
+"""uasr-pipeline: the one-command unsupervised lineage (SSL pretrain ->
+featurize -> LM -> multi-seed GAN sweep with label-free selection ->
+HMM-refined CTC self-training), with per-stage resume/skip.
+
+The reference's workflow is the same chain run by hand (SURVEY.md §3.2,
+§3.5); the pipeline driver + manifest are the orchestration the rebuild
+adds on top. Scale here is tiny — quality of the full recipe is pinned
+by test_cli.py::test_ssl_unsup_pipeline_discovers_phones and the
+measured runs in BASELINE.md."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_pipeline(args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, "-m", "uasr.tools.pipeline", *args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+
+
+def _write_recipes(tmp_path):
+    ssl_yaml = tmp_path / "ssl.yaml"
+    ssl_yaml.write_text(f"""
+name: pipe_ssl
+vocab_size: 8
+model: {{dtype: float32}}
+ssl:
+  conv_channels: [32, 32, 48]
+  conv_kernels: [64, 10, 8]
+  conv_strides: [16, 10, 3]   # 480x: 16 kHz -> 33.3 Hz
+  context_hidden: 48
+  predict_steps: 2
+  num_negatives: 0
+  feature_layer: latents
+data:
+  synthetic: true
+  synthetic_num_utts: 128
+  synthetic_syntax: markov
+  synthetic_min_len: 4
+  synthetic_max_len: 8
+  batch_size: 32
+  max_audio_seconds: 1.5
+  max_label_len: 10
+train:
+  mode: ssl
+  total_steps: 60
+  lr: 2.0e-3
+  warmup_steps: 10
+  eval_every: 10000
+  save_every: 60
+  log_every: 50
+""")
+    gan_yaml = tmp_path / "gan.yaml"
+    gan_yaml.write_text("""
+name: pipe_gan
+vocab_size: 8
+model:
+  encoder: classifier
+  classifier_hidden: 48
+  classifier_layers: 1
+  classifier_context: 1
+  disc_channels: 24
+  disc_layers: 1
+gan:
+  objective: bce
+  disc_steps: 1
+  merge_repeats: true
+data:
+  max_frames: 20
+  batch_size: 16
+  max_label_len: 10
+train:
+  mode: gan+eodm
+  total_steps: 30
+  lr: 3.0e-4
+  eval_every: 15
+  save_every: 30
+  log_every: 15
+  dev_eval_batches: 4
+eodm:
+  ngram_orders: [1, 2]
+  top_k: 32
+  weight: 1.0
+""")
+    return str(ssl_yaml), str(gan_yaml)
+
+
+def test_manifest_force_from_clears_suffix(tmp_path):
+    from uasr.tools.pipeline import _Manifest
+
+    m = _Manifest(str(tmp_path), None)
+    m.record("ssl", {})
+    m.record("lm", {})
+    m.record("sweep", {})
+    m2 = _Manifest(str(tmp_path), "lm")
+    assert m2.done("ssl") is not None
+    assert m2.done("lm") is None and m2.done("sweep") is None
+
+
+def test_pipeline_rejects_supervised_recipe(tmp_path):
+    import uasr.tools.pipeline as P
+
+    yml = tmp_path / "ctc.yaml"
+    yml.write_text("name: x\ntrain: {mode: ctc}\n")
+    with pytest.raises(SystemExit, match="gan"):
+        P.main(["--workdir", str(tmp_path / "wd"),
+                "--unsup-config", str(yml)])
+
+
+@pytest.mark.slow
+def test_pipeline_end_to_end_and_stage_skip(tmp_path):
+    ssl_yaml, gan_yaml = _write_recipes(tmp_path)
+    wd = str(tmp_path / "pipe")
+    args = [
+        "--workdir", wd, "--ssl-config", ssl_yaml,
+        "--unsup-config", gan_yaml, "--seeds", "2", "--cmvn",
+        "--selftrain-rounds", "1", "--student-steps", "20",
+        # HMM-refined pseudo-labels: exercises the auto-built LM feeding
+        # ctc.lm_path through --set-student
+        "--set-student", "ctc.use_viterbi=true",
+    ]
+    r = _run_pipeline(args)
+    assert r.returncode == 0, (r.stderr[-4000:], r.stdout[-500:])
+    assert "Viterbi-LM pseudo-labeling enabled" in r.stderr
+
+    # every artifact the stages promise
+    assert os.path.exists(f"{wd}/lm.npz")
+    with open(f"{wd}/unsup/sweep.json") as f:
+        sweep = json.load(f)
+    assert len(sweep["ranking"]) == 2
+    assert sweep["winner"]["score"] == max(
+        x["score"] for x in sweep["ranking"]
+    )
+    with open(f"{wd}/report.json") as f:
+        report = json.load(f)
+    # PER can exceed 1.0 via insertions at toy scale — just finite+sane
+    assert 0.0 <= report["teacher_per"] < 5.0
+    assert 0.0 <= report["student_per"] < 5.0
+    assert os.path.isdir(os.path.join(report["student_dir"], "ckpt"))
+    assert set(report["stages"]) == {
+        "ssl", "featurize", "lm", "sweep", "selftrain"
+    }
+    # the last line is machine-readable (drivers compose on it)
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["winner"]["model_dir"] == sweep["winner"]["model_dir"]
+
+    # ---- rerun: every stage skips via the manifest ----------------------
+    t0 = time.monotonic()
+    r2 = _run_pipeline(args)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    for stage in ("ssl", "featurize", "lm", "sweep", "selftrain"):
+        assert f"stage {stage}: done (skip)" in r2.stderr, stage
+    assert time.monotonic() - t0 < 120  # no retraining happened
+    with open(f"{wd}/report.json") as f:
+        report2 = json.load(f)
+    assert report2["student_per"] == report["student_per"]
+
+    # ---- force-from re-runs the stage and everything after it ----------
+    r3 = _run_pipeline(args + ["--force-from", "selftrain"])
+    assert r3.returncode == 0, r3.stderr[-4000:]
+    assert "stage sweep: done (skip)" in r3.stderr
+    assert "stage selftrain: running" in r3.stderr
+
+
+@pytest.mark.slow
+def test_pipeline_without_ssl_single_seed(tmp_path):
+    """No --ssl-config: the unsup recipe trains on its own (synthetic)
+    source through the audio frontend — the reference's original fbank
+    pathway — and --seeds 1 still selects via the auto-built LM."""
+    _, gan_yaml = _write_recipes(tmp_path)
+    wd = str(tmp_path / "pipe2")
+    r = _run_pipeline([
+        "--workdir", wd, "--unsup-config", gan_yaml, "--seeds", "1",
+        "--selftrain-rounds", "0",
+        "--set-unsup", "data.synthetic=true",
+        "--set-unsup", "data.synthetic_num_utts=48",
+        "--set-unsup", "data.synthetic_min_len=4",
+        "--set-unsup", "data.synthetic_max_len=8",
+        "--set-unsup", "data.max_audio_seconds=1.5",
+        "--set-unsup", "train.total_steps=10",
+        "--set-unsup", "train.eval_every=5",
+        "--set-unsup", "train.save_every=10",
+    ])
+    assert r.returncode == 0, (r.stderr[-4000:], r.stdout[-500:])
+    with open(f"{wd}/report.json") as f:
+        report = json.load(f)
+    assert report["winner"]["model_dir"].endswith("seed0")
+    assert "selftrain" not in report["stages"]
+    assert os.path.exists(f"{wd}/lm.npz")

@@ -2,12 +2,14 @@
 
   python -m uasr.tools.selftrain -c recipe.yaml \
       --teacher-dir exp/timit_unsup --teacher-mode gan \
-      --rounds 2 --conf-threshold 0.5 [--set k=v ...]
+      --rounds 2 --conf-threshold 0.5 [--restore-best] [--set k=v ...]
 
 Restores the teacher (GAN/EODM generator or CTC model) from
---teacher-dir, pseudo-labels the recipe's training audio, trains a CTC
-student per round (student re-labels for the next round), then reports
-teacher vs student PER on the dev split.
+--teacher-dir (``--restore-best`` takes its label-free-selected
+``best_ckpt`` instead of the latest — the right choice for a
+``uasr-sweep`` winner), pseudo-labels the recipe's training audio,
+trains a CTC student per round (student re-labels for the next round),
+then reports teacher vs student PER on the dev split.
 """
 
 from __future__ import annotations
@@ -20,33 +22,28 @@ import jax
 import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser("uasr.tools.selftrain", description=__doc__)
-    p.add_argument("-c", "--config", required=True)
-    p.add_argument("--teacher-dir", required=True)
-    p.add_argument("--teacher-mode", default="gan",
-                   choices=["gan", "eodm", "ctc"])
-    p.add_argument("--rounds", type=int, default=1)
-    p.add_argument("--conf-threshold", type=float, default=0.0)
-    p.add_argument("--student-steps", type=int, default=None)
-    p.add_argument("--gold-list", default=None,
-                   help="labeled utterances mixed into every student round")
-    p.add_argument("--set", action="append", default=[])
-    args = p.parse_args(argv)
+def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
+                  rounds: int = 1, conf_threshold: float = 0.0,
+                  student_steps: int | None = None,
+                  gold_list: str | None = None,
+                  restore_best: bool = False) -> dict:
+    """Pseudo-label cfg's train split with the teacher under
+    ``teacher_dir`` and train a CTC student (the self-training /
+    GAN→HMM refinement stage — SURVEY.md §3.2 lineage). Returns
+    ``{"teacher_per", "student_per", "history", "student_dir"}``.
 
+    ``cfg.ctc.use_viterbi`` switches pseudo-labeling to the
+    LM-transition Viterbi decode (needs ``cfg.ctc.lm_path``)."""
     import numpy as np
 
     from uasr.checkpoint import CheckpointManager
-    from uasr.cli import _batches, _load_source, apply_overrides
-    from uasr.config import load_config
+    from uasr.cli import _batches, _load_source
     from uasr.data.dataset import Batch, TextBatch
     from uasr.selftrain import (
         make_ctc_label_fn, make_gan_label_fn, self_train,
     )
     from uasr.train import CTCTrainer, GANTrainer, TrainState
 
-    cfg = load_config(args.config)
-    apply_overrides(cfg, args.set)
     hmm = None
     if cfg.ctc.use_viterbi:
         # HMM-refined pseudo-labels (GAN→HMM lineage): teacher decodes
@@ -84,9 +81,11 @@ def main(argv=None):
         ]
     examples = payload
 
-    mgr = CheckpointManager(f"{args.teacher_dir}/ckpt", max_to_keep=1)
+    ckpt_dir = f"{teacher_dir}/best_ckpt" if restore_best \
+        else f"{teacher_dir}/ckpt"
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
     first = next(_batches(cfg, ("examples", examples), num_epochs=1))
-    if args.teacher_mode in ("gan", "eodm"):
+    if teacher_mode in ("gan", "eodm"):
         # the teacher generator is a classifier regardless of the
         # student recipe's model.encoder — deep-replace so the student
         # keeps its own architecture (a shallow cfg.replace() would
@@ -96,14 +95,14 @@ def main(argv=None):
         tcfg = cfg.replace(
             model=dataclasses.replace(cfg.model, encoder="classifier")
         )
-        if args.teacher_mode == "gan":
+        if teacher_mode == "gan":
             gan = GANTrainer(tcfg)
             text = TextBatch(np.ones((1, 2), np.int32),
                              np.full((1,), 2, np.int32))
             gstate = gan.init_state(jax.random.PRNGKey(0), first, text)
             restored = mgr.restore_latest(gstate)
             if restored is None:
-                raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+                raise SystemExit(f"no checkpoint under {ckpt_dir}")
             gstate, step = restored
             gen, g_params = gan, gstate.g_params
         else:
@@ -117,7 +116,7 @@ def main(argv=None):
             estate = eodm.init_state(jax.random.PRNGKey(0), first)
             restored = mgr.restore_latest(estate)
             if restored is None:
-                raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+                raise SystemExit(f"no checkpoint under {ckpt_dir}")
             estate, step = restored
             gen, g_params = eodm, estate.params
         label_fn = make_gan_label_fn(gen, g_params, hmm=hmm)
@@ -127,12 +126,12 @@ def main(argv=None):
         state = tr.init_state(jax.random.PRNGKey(0), first)
         restored = mgr.restore_latest(state)
         if restored is None:
-            raise SystemExit(f"no checkpoint under {args.teacher_dir}/ckpt")
+            raise SystemExit(f"no checkpoint under {ckpt_dir}")
         state, step = restored
         label_fn = make_ctc_label_fn(tr, state.params, hmm=hmm)
         teacher_eval = lambda batches: tr.evaluate(state.params, batches)
     mgr.close()
-    print(f"teacher restored from {args.teacher_dir} (step {step})",
+    print(f"teacher restored from {ckpt_dir} (step {step})",
           file=sys.stderr)
 
     def dev_batches_fn():
@@ -144,26 +143,63 @@ def main(argv=None):
     teacher_per = teacher_eval(dev_batches_fn()) if has_dev else float("nan")
 
     gold = []
-    if args.gold_list:
+    if gold_list:
         from uasr.data.dataset import ASRDataset
 
-        gds = ASRDataset.from_file(args.gold_list, vocab,
+        gds = ASRDataset.from_file(gold_list, vocab,
                                    cfg.frontend.sample_rate)
         gold = [gds.example(i) for i in range(len(gds))]
 
     trainer, st_state, history = self_train(
         cfg, label_fn, examples,
-        rounds=args.rounds,
-        conf_threshold=args.conf_threshold,
-        steps_per_round=args.student_steps,
+        rounds=rounds,
+        conf_threshold=conf_threshold,
+        steps_per_round=student_steps,
         gold=gold,
     )
     student_per = (
         trainer.evaluate(st_state.params, dev_batches_fn())
         if has_dev else float("nan")
     )
-    print(f"teacher PER={teacher_per:.4f} student PER={student_per:.4f} "
-          f"({args.rounds} rounds)")
+    return {
+        "teacher_per": float(teacher_per),
+        "student_per": float(student_per),
+        "history": history,
+        "student_dir": f"{cfg.model_dir}/selftrain_r{rounds - 1}",
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("uasr.tools.selftrain", description=__doc__)
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--teacher-dir", required=True)
+    p.add_argument("--teacher-mode", default="gan",
+                   choices=["gan", "eodm", "ctc"])
+    p.add_argument("--rounds", type=int, default=1)
+    p.add_argument("--conf-threshold", type=float, default=0.0)
+    p.add_argument("--student-steps", type=int, default=None)
+    p.add_argument("--gold-list", default=None,
+                   help="labeled utterances mixed into every student round")
+    p.add_argument("--restore-best", action="store_true",
+                   help="restore <teacher-dir>/best_ckpt (the label-free "
+                        "selected snapshot, e.g. a uasr-sweep winner) "
+                        "instead of the latest checkpoint")
+    p.add_argument("--set", action="append", default=[])
+    args = p.parse_args(argv)
+
+    from uasr.cli import apply_overrides
+    from uasr.config import load_config
+
+    cfg = load_config(args.config)
+    apply_overrides(cfg, args.set)
+    res = run_selftrain(
+        cfg, args.teacher_dir, teacher_mode=args.teacher_mode,
+        rounds=args.rounds, conf_threshold=args.conf_threshold,
+        student_steps=args.student_steps, gold_list=args.gold_list,
+        restore_best=args.restore_best,
+    )
+    print(f"teacher PER={res['teacher_per']:.4f} "
+          f"student PER={res['student_per']:.4f} ({args.rounds} rounds)")
     return 0
 
 
