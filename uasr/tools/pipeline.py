@@ -288,6 +288,7 @@ def run_pipeline(args) -> dict:
                 rounds=args.selftrain_rounds,
                 conf_threshold=args.conf_threshold,
                 student_steps=args.student_steps,
+                gold_list=args.gold_list,
                 restore_best=select,
             )
             return res
@@ -330,6 +331,9 @@ def main(argv=None):
                    help="CTC self-training rounds on the winner's "
                         "pseudo-labels (0 = stop at the sweep)")
     p.add_argument("--conf-threshold", type=float, default=0.0)
+    p.add_argument("--gold-list", default=None,
+                   help="labeled utterances mixed into every student "
+                        "round (semi-supervised self-training)")
     p.add_argument("--student-steps", type=int, default=None,
                    help="override train.total_steps per student round")
     p.add_argument("--force-from", choices=STAGES, default=None,
