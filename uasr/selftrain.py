@@ -129,6 +129,7 @@ def self_train(
     dev_batches_fn=None,
     steps_per_round: int | None = None,
     gold: Sequence[tuple[np.ndarray, list[int]]] = (),
+    init_params=None,
     log: Callable = print,
 ) -> tuple[CTCTrainer, TrainState, list[dict]]:
     """Iterate: pseudo-label -> CTC student -> student becomes teacher.
@@ -136,8 +137,13 @@ def self_train(
     `unlabeled` examples' label field is ignored (kept for the Batch
     shape). `gold` examples (the teacher's labeled pool, if any) are
     mixed into every student round — the standard semi-supervised setup;
-    omit for the fully-unsupervised wav2vec-U flavor. Returns the last
-    student and per-round stats.
+    omit for the fully-unsupervised wav2vec-U flavor. `init_params`
+    initializes the FIRST round's student from the teacher's weights
+    (fine-tune instead of from-scratch — the HMM-refinement setup; the
+    params must match the student architecture, e.g. a GAN generator
+    into a `model.encoder: classifier` student). Note a
+    teacher-initialized round skips restore-latest resume. Returns the
+    last student and per-round stats.
     """
     # feature examples ([T, D]) are measured in frames, audio in samples
     max_samples = (
@@ -175,9 +181,21 @@ def self_train(
                 cfg.data.max_label_len, seed=cfg.train.seed + r,
             )
         )
-        trainer, state = run_ctc_training(
-            round_cfg, batches, dev_batches_fn=dev_batches_fn
-        )
+        if r == 0 and init_params is not None:
+            trainer = CTCTrainer(round_cfg)
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=init_params,
+                opt_state=trainer.optimizer.init(init_params),
+            )
+            trainer, state = run_ctc_training(
+                round_cfg, batches, dev_batches_fn=dev_batches_fn,
+                trainer=trainer, state=state,
+            )
+        else:
+            trainer, state = run_ctc_training(
+                round_cfg, batches, dev_batches_fn=dev_batches_fn
+            )
         stats["round"] = r
         history.append(stats)
         # the student labels the next round

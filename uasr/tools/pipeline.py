@@ -290,6 +290,7 @@ def run_pipeline(args) -> dict:
                 student_steps=args.student_steps,
                 gold_list=args.gold_list,
                 restore_best=select,
+                init_from_teacher=args.init_student_from_teacher,
             )
             return res
 
@@ -334,6 +335,10 @@ def main(argv=None):
     p.add_argument("--gold-list", default=None,
                    help="labeled utterances mixed into every student "
                         "round (semi-supervised self-training)")
+    p.add_argument("--init-student-from-teacher", action="store_true",
+                   help="fine-tune the student from the sweep winner's "
+                        "generator weights instead of from scratch "
+                        "(student must keep model.encoder=classifier)")
     p.add_argument("--student-steps", type=int, default=None,
                    help="override train.total_steps per student round")
     p.add_argument("--force-from", choices=STAGES, default=None,

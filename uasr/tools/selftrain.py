@@ -26,14 +26,19 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
                   rounds: int = 1, conf_threshold: float = 0.0,
                   student_steps: int | None = None,
                   gold_list: str | None = None,
-                  restore_best: bool = False) -> dict:
+                  restore_best: bool = False,
+                  init_from_teacher: bool = False) -> dict:
     """Pseudo-label cfg's train split with the teacher under
     ``teacher_dir`` and train a CTC student (the self-training /
     GAN→HMM refinement stage — SURVEY.md §3.2 lineage). Returns
     ``{"teacher_per", "student_per", "history", "student_dir"}``.
 
     ``cfg.ctc.use_viterbi`` switches pseudo-labeling to the
-    LM-transition Viterbi decode (needs ``cfg.ctc.lm_path``)."""
+    LM-transition Viterbi decode (needs ``cfg.ctc.lm_path``).
+    ``init_from_teacher`` fine-tunes the first student round from the
+    teacher's weights instead of training from scratch (requires the
+    student architecture to match the teacher's — for GAN/EODM
+    teachers that means ``model.encoder: classifier``)."""
     import numpy as np
 
     from uasr.checkpoint import CheckpointManager
@@ -150,12 +155,27 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
                                    cfg.frontend.sample_rate)
         gold = [gds.example(i) for i in range(len(gds))]
 
+    init_params = None
+    if init_from_teacher:
+        if teacher_mode in ("gan", "eodm") and \
+                cfg.model.encoder != "classifier":
+            raise SystemExit(
+                "--init-from-teacher with a GAN/EODM teacher needs the "
+                "student to keep model.encoder=classifier (the teacher "
+                f"generator's architecture), got {cfg.model.encoder!r}"
+            )
+        init_params = g_params if teacher_mode in ("gan", "eodm") \
+            else state.params
+        print("selftrain: student initialized from the teacher",
+              file=sys.stderr)
+
     trainer, st_state, history = self_train(
         cfg, label_fn, examples,
         rounds=rounds,
         conf_threshold=conf_threshold,
         steps_per_round=student_steps,
         gold=gold,
+        init_params=init_params,
     )
     student_per = (
         trainer.evaluate(st_state.params, dev_batches_fn())
@@ -184,6 +204,10 @@ def main(argv=None):
                    help="restore <teacher-dir>/best_ckpt (the label-free "
                         "selected snapshot, e.g. a uasr-sweep winner) "
                         "instead of the latest checkpoint")
+    p.add_argument("--init-from-teacher", action="store_true",
+                   help="fine-tune the first student round from the "
+                        "teacher's weights instead of from scratch "
+                        "(student must keep the teacher's architecture)")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -197,6 +221,7 @@ def main(argv=None):
         rounds=args.rounds, conf_threshold=args.conf_threshold,
         student_steps=args.student_steps, gold_list=args.gold_list,
         restore_best=args.restore_best,
+        init_from_teacher=args.init_from_teacher,
     )
     print(f"teacher PER={res['teacher_per']:.4f} "
           f"student PER={res['student_per']:.4f} ({args.rounds} rounds)")
