@@ -45,8 +45,9 @@ def test_inference_report(tmp_path):
 
 
 def test_viterbi_infer_path(tmp_path):
-    """ctc.use_viterbi decodes through the LM-transition HMM: wiring,
-    shape validation, and the bigram-only contract."""
+    """ctc.use_viterbi decodes through the LM-transition HMM — bigram
+    AND trigram tables (the trigram pair-state lattice, round 4) —
+    with loud shape validation."""
     import dataclasses
 
     import pytest
@@ -64,11 +65,19 @@ def test_viterbi_infer_path(tmp_path):
     res = run_inference(cfg, trainer, state, _batches(examples), vocab=vocab)
     assert 0 <= res["per"] <= 10.0 and res["rtf"] > 0
 
-    # trigram tables are beam-only — loud error, not silent garbage
+    # trigram tables decode through the (prev, cur) pair-state HMM
     tri_path = str(tmp_path / "lm3.npz")
     save_lm(tri_path, build_trigram_lm(seqs, V, exclude=(0,)))
     cfg.ctc = dataclasses.replace(cfg.ctc, lm_path=tri_path)
-    with pytest.raises(ValueError, match="BIGRAM"):
+    res3 = run_inference(cfg, trainer, state, _batches(examples),
+                         vocab=vocab)
+    assert 0 <= res3["per"] <= 10.0 and res3["rtf"] > 0
+
+    # mismatched tables still fail loudly, not silently
+    bad_path = str(tmp_path / "bad.npz")
+    save_lm(bad_path, build_bigram_lm(seqs, V + 3, exclude=(0,)))
+    cfg.ctc = dataclasses.replace(cfg.ctc, lm_path=bad_path)
+    with pytest.raises(ValueError, match="bigram"):
         run_inference(cfg, trainer, state, _batches(examples), vocab=vocab)
 
     cfg.ctc = dataclasses.replace(cfg.ctc, lm_path=None)

@@ -108,6 +108,64 @@ def test_manifest_force_from_clears_suffix(tmp_path):
     assert m2.done("lm") is None and m2.done("sweep") is None
 
 
+def test_manifest_digest_mismatch_refuses(tmp_path):
+    """A completed stage recorded under different args must refuse the
+    silent skip (its artifacts were built under the old settings)."""
+    from uasr.tools.pipeline import _Manifest
+
+    m = _Manifest(str(tmp_path), None)
+    m.record("sweep", {}, digest="aaaa")
+    m2 = _Manifest(str(tmp_path), None)
+    with pytest.raises(SystemExit, match="force-from sweep"):
+        m2.check({"sweep": "bbbb"})
+    # same digest passes; missing digest (old manifest) passes
+    m2.check({"sweep": "aaaa"})
+    m2.check({"ssl": "anything"})
+    # --force-from clears the stale record, so the rerun proceeds
+    m3 = _Manifest(str(tmp_path), "sweep")
+    m3.check({"sweep": "bbbb"})
+
+
+def test_null_nonfinite_pers():
+    from uasr.tools.pipeline import _null_nonfinite
+
+    rec = {"teacher_per": float("nan"), "student_per": 0.3, "x": 1}
+    out = _null_nonfinite(rec, ("teacher_per", "student_per"))
+    assert out["teacher_per"] is None and out["student_per"] == 0.3
+    assert json.loads(json.dumps(out))["teacher_per"] is None
+
+
+def test_stale_student_wipe(tmp_path):
+    """Changed labeling settings wipe existing selftrain_r* students
+    (they were trained on pseudo-labels from the OLD settings);
+    identical settings keep them (resume stays cheap)."""
+    from uasr.config import Config
+    from uasr.tools.selftrain import _invalidate_stale_students
+
+    cfg = Config(model_dir=str(tmp_path / "student"))
+    r0 = tmp_path / "student" / "selftrain_r0" / "ckpt" / "20"
+    r0.mkdir(parents=True)
+    _invalidate_stale_students(cfg, "/t/ckpt", 600, "gan", 0.0, False, None)
+    assert r0.exists()  # first write of the meta never wipes
+    _invalidate_stale_students(cfg, "/t/ckpt", 600, "gan", 0.0, False, None)
+    assert r0.exists()  # identical settings keep the student
+    _invalidate_stale_students(cfg, "/t/ckpt", 600, "gan", 0.5, False, None)
+    assert not r0.exists()  # changed threshold invalidates
+
+
+def test_existing_ckpt_step(tmp_path):
+    from uasr.selftrain import _existing_ckpt_step
+
+    assert _existing_ckpt_step(str(tmp_path / "none")) is None
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    assert _existing_ckpt_step(str(d)) is None
+    (d / "40").mkdir()
+    (d / "120").mkdir()
+    (d / "120.orbax-checkpoint-tmp-1").mkdir()  # in-flight saves ignored
+    assert _existing_ckpt_step(str(d)) == 120
+
+
 def test_pipeline_rejects_supervised_recipe(tmp_path):
     import uasr.tools.pipeline as P
 
@@ -127,8 +185,10 @@ def test_pipeline_end_to_end_and_stage_skip(tmp_path):
         "--unsup-config", gan_yaml, "--seeds", "2", "--cmvn",
         "--selftrain-rounds", "1", "--student-steps", "20",
         # HMM-refined pseudo-labels: exercises the auto-built LM feeding
-        # ctc.lm_path through --set-student
+        # ctc.lm_path through --set-student (with round-4 dwell
+        # calibration) and the teacher-init fine-tune path
         "--set-student", "ctc.use_viterbi=true",
+        "--init-student-from-teacher",
     ]
     r = _run_pipeline(args)
     assert r.returncode == 0, (r.stderr[-4000:], r.stdout[-500:])
@@ -151,9 +211,19 @@ def test_pipeline_end_to_end_and_stage_skip(tmp_path):
     assert set(report["stages"]) == {
         "ssl", "featurize", "lm", "sweep", "selftrain"
     }
+    # the refinement stage must never ship a worse model than its
+    # teacher: final_model is the student only when it matched/beat it
+    if report["student_per"] <= report["teacher_per"]:
+        assert report["final_model"] == report["student_dir"]
+    else:
+        assert report["final_model"] == report["winner"]["model_dir"]
+        assert "did not help" in r.stderr
+    # the stage lifted the GAN recipe's 20-frame window for labeling
+    assert "lifting data.max_frames" in r.stderr
     # the last line is machine-readable (drivers compose on it)
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["winner"]["model_dir"] == sweep["winner"]["model_dir"]
+    assert out["final_model"] == report["final_model"]
 
     # ---- rerun: every stage skips via the manifest ----------------------
     t0 = time.monotonic()
@@ -171,6 +241,73 @@ def test_pipeline_end_to_end_and_stage_skip(tmp_path):
     assert r3.returncode == 0, r3.stderr[-4000:]
     assert "stage sweep: done (skip)" in r3.stderr
     assert "stage selftrain: running" in r3.stderr
+
+    # ---- composed audio->text export of the winner AND the student -----
+    # (round-3 "known seam" closed: cache-trained checkpoints compose
+    # the SSL featurizer chain in front and freeze as one StableHLO;
+    # --check asserts the artifact matches the live forward bit-for-bit)
+    import uasr.tools.export as E
+
+    for recipe, out in (("export_student.yaml", "exp_student"),
+                        ("export_winner.yaml", "exp_winner")):
+        assert os.path.exists(f"{wd}/{recipe}"), recipe
+        rc = E.main([
+            "-c", f"{wd}/{recipe}", "--out", f"{wd}/{out}",
+            "--compose-from-pipeline", wd, "--check",
+            "--platforms", "cpu", "--batch", "2", "--seconds", "1.5",
+        ])
+        assert rc == 0, recipe
+        with open(f"{wd}/{out}/meta.json") as f:
+            meta = json.load(f)
+        assert meta["composed_featurizer"]["cmvn"] is True
+        assert meta["composed_featurizer"]["feature_dim"] > 0
+        assert os.path.exists(f"{wd}/{out}/model.stablehlo")
+
+    # the composed featurizer reproduces the featurize-stage cache:
+    # decode-relevant parity audio->features vs the dumped features
+    # (match utterances by transcript; the dump order is shuffled)
+    import numpy as np
+
+    from uasr.config import load_config
+    from uasr.data.cache import FeatureCache
+    from uasr.data.dataset import make_synthetic_dataset
+    from uasr.tools.export import build_composed_featurizer
+
+    import jax
+
+    cfg_ssl = load_config(f"{wd}/ssl_resolved.yaml")
+    feat_fn, _init, restore = build_composed_featurizer(
+        cfg_ssl, True, None, None)
+    exs, _ = make_synthetic_dataset(
+        num_utts=cfg_ssl.data.synthetic_num_utts,
+        num_phones=cfg_ssl.vocab_size - 2, seed=0, syntax="markov",
+        min_len=cfg_ssl.data.synthetic_min_len,
+        max_len=cfg_ssl.data.synthetic_max_len)
+    cache = FeatureCache(f"{wd}/feats/train")
+    by_ids = {}
+    for i in range(len(cache)):
+        _, fc, gids = cache.example(i)
+        by_ids.setdefault(tuple(gids), []).append(fc)
+    L = int(cfg_ssl.data.max_audio_seconds * 16000)
+    a0 = np.zeros((1, L), np.float32)
+    fparams, _step = restore(jax.random.PRNGKey(1), a0,
+                             np.array([L], np.int32))
+    jf = jax.jit(feat_fn)
+    compared = 0
+    for a, ids in exs[:12]:
+        audio = np.zeros((1, L), np.float32)
+        audio[0, : len(a)] = a[:L]
+        f, fl = jf(fparams, audio,
+                   np.array([min(len(a), L)], np.int32))
+        f = np.asarray(f)[0, : int(fl[0])]
+        for fc in by_ids.get(tuple(ids), []):
+            if len(fc) == len(f):
+                # batched (padded) vs single-utterance conv dispatch
+                # differ in the last float bits; CMVN amplifies
+                assert np.abs(f - fc).max() < 1e-3
+                compared += 1
+                break
+    assert compared >= 6, compared
 
 
 @pytest.mark.slow

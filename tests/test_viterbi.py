@@ -262,3 +262,193 @@ def test_forced_align_zero_length_transcript():
     )
     assert (np.asarray(frame_ids)[0] == 0).all()
     assert np.isfinite(np.asarray(score)[0])
+
+
+# ---------------------------------------------------------------- dwell
+# calibration (round-4 self-training regression fix: NOTES_ROUND4.md)
+
+
+def test_estimate_hmm_rates_segment_vs_frame_stream():
+    from uasr.ops.viterbi import estimate_hmm_rates
+
+    # segment-level stream (gan.merge_repeats): ~1 step per token, no
+    # blanks -> the transition prior must stop fighting the emissions
+    sl, bp = estimate_hmm_rates(valid_steps=100, blank_steps=0, tokens=96)
+    assert sl < 0.1
+    assert 0.01 <= bp <= 0.4
+    # frame-level 33 Hz stream with ~4-frame phones and 20% blank
+    # frames -> close to the historical defaults (0.75 / 0.1)
+    sl, bp = estimate_hmm_rates(valid_steps=1000, blank_steps=200,
+                                tokens=200)
+    assert 0.6 < sl < 0.85
+    assert 0.01 <= bp <= 0.4
+
+
+def test_greedy_path_stats():
+    from uasr.ops.viterbi import greedy_path_stats
+
+    # argmax rows: [1 1 2 0 2], [3 3 3 pad pad]
+    V = 4
+    am = np.array([[1, 1, 2, 0, 2], [3, 3, 3, 0, 0]])
+    logits = np.full((2, 5, V), -5.0, np.float32)
+    for b in range(2):
+        for t in range(5):
+            logits[b, t, am[b, t]] = 5.0
+    steps, blanks, toks = map(int, greedy_path_stats(
+        jnp.asarray(logits), jnp.asarray([5, 3]), blank_id=0))
+    assert steps == 8           # 5 + 3 valid frames
+    assert blanks == 1          # the one argmax-blank inside length
+    assert toks == 4            # runs: 1,2,2 | 3
+
+
+def test_calibrated_viterbi_preserves_segment_tokens():
+    """THE round-3 regression, pinned: on a segment-level stream (one
+    sharp step per token) the frame-rate HMM defaults delete tokens;
+    dwell-calibrated rates keep the sequence exact."""
+    from uasr.ops.viterbi import estimate_hmm_rates, greedy_path_stats
+
+    rng = np.random.default_rng(7)
+    V, B, T = 6, 8, 12
+    seqs = []
+    for b in range(B):
+        s = [int(rng.integers(1, V))]
+        while len(s) < T:
+            nxt = int(rng.integers(1, V))
+            if nxt != s[-1]:
+                s.append(nxt)
+        seqs.append(s)
+    # soft peaks (~0.6 posterior) — sharp emissions would out-vote any
+    # transition prior and mask the regression; the q9 teacher's mean
+    # confidence was 0.83
+    logits = np.zeros((B, T, V), np.float32)
+    for b, s in enumerate(seqs):
+        for t, k in enumerate(s):
+            logits[b, t, k] = 2.5
+    logits = jnp.asarray(logits)
+    lengths = jnp.full((B,), T, jnp.int32)
+    # near-uniform bigram LM over a tiny corpus
+    lm = build_bigram_lm([s for s in seqs], V, exclude=(0,))
+
+    def decode(self_loop, blank_prob):
+        hmm = lm_hmm(lm, 0, self_loop=self_loop, blank_prob=blank_prob)
+        ids, out_len, _ = viterbi_lm_decode(logits, lengths, hmm, 0)
+        return np.asarray(ids), np.asarray(out_len)
+
+    # frame-rate defaults: dwell prior ~4 steps/token merges segments
+    _, len_default = decode(0.75, 0.1)
+    assert int(len_default.sum()) < B * T  # tokens were deleted
+
+    sl, bp = estimate_hmm_rates(*map(int, greedy_path_stats(
+        logits, lengths, 0)))
+    ids, out_len = decode(sl, bp)
+    assert int(out_len.sum()) == B * T
+    for b, s in enumerate(seqs):
+        np.testing.assert_array_equal(ids[b, : len(s)], s)
+
+
+# ------------------------------------------------------------- trigram
+# CTC-topology HMM (round-4: ctc.use_viterbi accepts trigram tables)
+
+
+def _soft_logits(seqs, V, T, peak=4.0):
+    B = len(seqs)
+    logits = np.zeros((B, T, V), np.float32)
+    for b, s in enumerate(seqs):
+        for t, k in enumerate(s):
+            logits[b, t, k] = peak
+    return jnp.asarray(logits)
+
+
+def test_trigram_reduces_to_bigram_on_factorized_table():
+    """A trigram table with P(c|a,b) = P(c|b) for every a must decode
+    exactly like the bigram HMM built from P(c|b) — same ids, same
+    lengths — across self_loop/blank_prob settings."""
+    from uasr.ops.viterbi import make_lm_decoder
+
+    rng = np.random.default_rng(11)
+    V = 5
+    lm2 = np.log(rng.dirichlet(np.ones(V - 1), size=V + 1))
+    # expand to V columns with blank column ~ -inf at blank_id=0
+    big = np.full((V + 1, V), -40.0, np.float32)
+    big[:, 1:] = lm2
+    tri = np.broadcast_to(big[None, :, :], (V + 1, V + 1, V)).copy()
+    tri = np.moveaxis(tri, 0, 0)  # [a, b, c] with no a-dependence
+
+    B, T = 4, 10
+    logits = np.asarray(rng.normal(0, 2.0, size=(B, T, V)), np.float32)
+    lengths = jnp.asarray([10, 7, 10, 3])
+    for sl, bp in ((0.75, 0.1), (0.05, 0.02)):
+        d2 = make_lm_decoder(big, 0, sl, bp)
+        d3 = make_lm_decoder(tri, 0, sl, bp)
+        ids2, n2, _ = d2(jnp.asarray(logits), lengths)
+        ids3, n3, _ = d3(jnp.asarray(logits), lengths)
+        np.testing.assert_array_equal(np.asarray(n2), np.asarray(n3))
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(ids2)[b, : int(n2[b])],
+                np.asarray(ids3)[b, : int(n3[b])],
+            )
+
+
+def test_trigram_exact_on_sharp_segment_stream():
+    from uasr.ops.lm import build_trigram_lm
+    from uasr.ops.viterbi import make_lm_decoder
+
+    rng = np.random.default_rng(5)
+    V, B, T = 6, 6, 10
+    seqs = []
+    for _ in range(B):
+        s = [int(rng.integers(1, V))]
+        while len(s) < T:
+            n = int(rng.integers(1, V))
+            if n != s[-1]:
+                s.append(n)
+        seqs.append(s)
+    lm3 = build_trigram_lm(seqs, V, exclude=(0,))
+    logits = _soft_logits(seqs, V, T, peak=6.0)
+    lengths = jnp.full((B,), T, jnp.int32)
+    dec = make_lm_decoder(lm3, 0, self_loop=0.02, blank_prob=0.02)
+    ids, n, score = dec(logits, lengths)
+    assert np.isfinite(np.asarray(score)).all()
+    for b, s in enumerate(seqs):
+        assert int(n[b]) == len(s)
+        np.testing.assert_array_equal(np.asarray(ids)[b, : len(s)], s)
+
+
+def test_trigram_uses_two_token_history():
+    """The value of the trigram lattice: a language where the legal
+    next token depends on TWO tokens back. Corpus: 1 2 3 and 4 2 5
+    (after '2' the continuation is determined by what preceded the 2).
+    With ambiguous emissions at the third position, the bigram HMM
+    cannot tell 3 from 5; the trigram recovers both contexts."""
+    from uasr.ops.lm import build_bigram_lm, build_trigram_lm
+    from uasr.ops.viterbi import make_lm_decoder
+
+    V = 6
+    corpus = [[1, 2, 3], [4, 2, 5]] * 30
+    lm2 = build_bigram_lm(corpus, V, exclude=(0,))
+    lm3 = build_trigram_lm(corpus, V, exclude=(0,))
+    # emissions: first two tokens sharp, third position equally split
+    # between 3 and 5
+    def make(first):
+        x = np.full((1, 3, V), -4.0, np.float32)
+        x[0, 0, first] = 4.0
+        x[0, 1, 2] = 4.0
+        x[0, 2, 3] = 1.0
+        x[0, 2, 5] = 1.0001  # slight tilt TOWARD the wrong token for
+        return x             # the [1, 2, ?] case
+
+    lengths = jnp.asarray([3])
+    d3 = make_lm_decoder(lm3, 0, self_loop=0.02, blank_prob=0.02)
+    ids_a, n_a, _ = d3(jnp.asarray(make(1)), lengths)
+    ids_b, n_b, _ = d3(jnp.asarray(make(4)), lengths)
+    assert np.asarray(ids_a)[0, : int(n_a[0])].tolist() == [1, 2, 3]
+    assert np.asarray(ids_b)[0, : int(n_b[0])].tolist() == [4, 2, 5]
+    # the bigram HMM has one P(.|2) row for both contexts: it must get
+    # at least one of the two wrong (both decode to the tilted token)
+    d2 = make_lm_decoder(lm2, 0, self_loop=0.02, blank_prob=0.02)
+    ids2a, n2a, _ = d2(jnp.asarray(make(1)), lengths)
+    ids2b, n2b, _ = d2(jnp.asarray(make(4)), lengths)
+    got = (np.asarray(ids2a)[0, : int(n2a[0])].tolist(),
+           np.asarray(ids2b)[0, : int(n2b[0])].tolist())
+    assert got[0] != [1, 2, 3] or got[1] != [4, 2, 5], got

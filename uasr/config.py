@@ -196,6 +196,12 @@ class CTCConfig:
     use_viterbi: bool = False
     viterbi_self_loop: float = 0.75  # P(hold the current HMM state)
     viterbi_blank_prob: float = 0.1  # P(phone state -> its blank hold)
+    # calibrate the two rates above from a greedy pass over the first
+    # batch (ops/viterbi.py::estimate_hmm_rates). Essential for
+    # SEGMENT-level streams (gan.merge_repeats generators): their dwell
+    # is ~1 step/token and the frame-rate defaults above delete tokens
+    # (the round-3 self-training regression). Explicit rates: set False.
+    viterbi_auto_rates: bool = True
     # score `--mode infer` in the folded TIMIT 61->39 phone space too
     # (reference folds before PER, SURVEY.md §3.4); reports per_folded
     # alongside the raw PER. Vocab tokens must be TIMIT phone names.
@@ -238,6 +244,11 @@ class GANConfig:
     # usage-KL of dev transcriptions; best kept in model_dir/best_ckpt
     select_lm_path: str | None = None  # lm.npz from `prepare lm`
     select_kl_weight: float = 1.0
+    # weight of the bigram coverage KL (text joint || hyp usage — the
+    # EODM matching direction): rejects permuted-but-consistent phone
+    # mappings that the two-term score barely separates (round-4);
+    # bigram selection tables only
+    select_coverage_weight: float = 1.0
     d_weight_decay: float = 0.0  # bounds critic scale growth
     supervised_weight: float = 0.0  # semi-supervised CTC mix-in
     # wav2vec-U-style segmental preprocessing (uasr/ops/segment.py)

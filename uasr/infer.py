@@ -58,30 +58,63 @@ def run_inference(
         state = state._replace(
             params=jax.device_put(state.params, replicated(mesh))
         )
+    def _logits(params, batch: Batch):
+        from uasr.frontend.features import compute_features
+
+        if logits_fn is not None:
+            return logits_fn(params, batch.audio, batch.audio_lengths)
+        if jnp.ndim(batch.audio) == 3:
+            # precomputed features (SSL cache): frontend bypassed
+            return trainer.model.apply(
+                params, batch.audio, batch.audio_lengths
+            )
+        feats, flen = compute_features(
+            batch.audio, batch.audio_lengths, trainer.frontend_state, fcfg
+        )
+        return trainer.model.apply(params, feats, flen)
+
     lm_logp = None
-    hmm = None
+    viterbi_decode_fn = None
     if cfg.ctc.use_viterbi:
         from uasr.ops.lm import load_lm
-        from uasr.ops.viterbi import lm_hmm
+        from uasr.ops.viterbi import make_lm_decoder
 
         if not cfg.ctc.lm_path:
             raise ValueError(
-                "ctc.use_viterbi needs ctc.lm_path (a bigram table from "
-                "`prepare lm`) for the HMM transitions"
+                "ctc.use_viterbi needs ctc.lm_path (a bigram/trigram "
+                "table from `prepare lm`) for the HMM transitions"
             )
         table = load_lm(cfg.ctc.lm_path)
         V = cfg.dim_output
-        if table.shape != (V + 1, V):
+        if table.shape not in ((V + 1, V), (V + 1, V + 1, V)):
             raise ValueError(
-                f"ctc.use_viterbi needs a BIGRAM [{V + 1}, {V}] table, "
-                f"got {table.shape} (trigram tables are beam-only)"
+                f"ctc.use_viterbi needs a [{V + 1}, {V}] bigram or "
+                f"[{V + 1}, {V + 1}, {V}] trigram table, got "
+                f"{table.shape}"
             )
-        hmm = tuple(
-            jnp.asarray(a) for a in lm_hmm(
-                table, cfg.ctc.blank_id,
-                self_loop=cfg.ctc.viterbi_self_loop,
-                blank_prob=cfg.ctc.viterbi_blank_prob,
+        sl, bp = cfg.ctc.viterbi_self_loop, cfg.ctc.viterbi_blank_prob
+        if cfg.ctc.viterbi_auto_rates:
+            # dwell calibration on the first batch's greedy path: the
+            # defaults assume frame-level logits; a segment/merged
+            # generator stream (dwell ~1 step/token) needs self_loop
+            # near 0 or the transition prior deletes tokens (see
+            # ops/viterbi.py::estimate_hmm_rates)
+            import itertools
+
+            from uasr.ops.viterbi import (
+                estimate_hmm_rates, greedy_path_stats,
             )
+
+            batches = iter(batches)
+            first = next(batches, None)
+            if first is not None:
+                batches = itertools.chain([first], batches)
+                fb = Batch(*map(jnp.asarray, first))
+                logits, out_len = jax.jit(_logits)(state.params, fb)
+                sl, bp = estimate_hmm_rates(*map(int, greedy_path_stats(
+                    logits, out_len, cfg.ctc.blank_id)))
+        viterbi_decode_fn = make_lm_decoder(
+            table, cfg.ctc.blank_id, self_loop=sl, blank_prob=bp
         )
     if cfg.ctc.use_beam and cfg.ctc.lm_path:
         from uasr.ops.lm import load_lm
@@ -100,31 +133,12 @@ def run_inference(
 
     @jax.jit
     def decode_batch(params, batch: Batch):
-        from uasr.frontend.features import compute_features
         from uasr.ops.decode import ctc_beam_search_decode, ctc_greedy_decode
         from uasr.ops.edit_distance import batch_edit_distance
 
-        if logits_fn is not None:
-            logits, out_len = logits_fn(
-                params, batch.audio, batch.audio_lengths
-            )
-        elif jnp.ndim(batch.audio) == 3:
-            # precomputed features (SSL cache): frontend bypassed
-            logits, out_len = trainer.model.apply(
-                params, batch.audio, batch.audio_lengths
-            )
-        else:
-            feats, flen = compute_features(
-                batch.audio, batch.audio_lengths, trainer.frontend_state,
-                fcfg,
-            )
-            logits, out_len = trainer.model.apply(params, feats, flen)
-        if hmm is not None:
-            from uasr.ops.viterbi import viterbi_lm_decode
-
-            hyps, hyp_len, _ = viterbi_lm_decode(
-                logits, out_len, hmm, cfg.ctc.blank_id
-            )
+        logits, out_len = _logits(params, batch)
+        if viterbi_decode_fn is not None:
+            hyps, hyp_len, _ = viterbi_decode_fn(logits, out_len)
         elif cfg.ctc.use_beam:
             from uasr.ops.pallas_beam import lm_table_fits_vmem
 

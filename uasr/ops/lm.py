@@ -286,40 +286,79 @@ def build_unigram(
 def unsup_selection_score(
     hyps, hyp_lens, lm_logp: np.ndarray, unigram: np.ndarray,
     kl_weight: float = 1.0,
+    coverage_weight: float = 1.0,
 ) -> dict:
     """Label-free validation metric (wav2vec-U model selection): mean LM
     token log-prob of the decoded hypotheses MINUS kl_weight * KL(token
-    usage || text unigram). Higher = better. The KL term blocks the
-    degenerate optimum of the LM term alone (always emitting the single
-    most probable phone string); together they track PER without any
-    transcripts.
+    usage || text unigram) MINUS coverage_weight * KL(text bigram joint
+    || hypothesis bigram usage). Higher = better.
+
+    Three terms, three failure modes (round-3 VERDICT "weak #3" — the
+    two-term score's margin over a permuted-but-consistent mapping was
+    thin):
+      - the LM term punishes emitting n-grams the text lacks, but has a
+        degenerate optimum (always emit the single most probable
+        string);
+      - the unigram usage KL blocks that degeneracy but is blind to any
+        ORDER permutation that preserves marginal frequencies;
+      - the coverage KL (the EODM distribution-matching direction:
+        text-weighted log of the MODEL's n-gram frequencies, as a KL so
+        a matched model scores 0) punishes failing to produce the
+        bigrams the text HAS — a consistently permuted phone mapping
+        misses most true bigrams and is driven sharply negative (see
+        test_lm.py::test_selection_rejects_permuted_mapping).
 
     hyps: [N, T] int array (or list of sequences), hyp_lens: [N].
     `lm_logp` may be a bigram or trigram table (sequence_logprob
-    dispatches on rank).
-    Returns {"score", "lm_logprob_per_token", "usage_kl", "tokens"}.
+    dispatches on rank); the coverage term needs the text bigram joint
+    (unigram x conditional) and is only computed for bigram tables —
+    trigram selection tables report coverage_kl = None.
+    Returns {"score", "lm_logprob_per_token", "usage_kl",
+    "coverage_kl", "tokens"}.
     """
     V = lm_logp.shape[-1]
     total_lp, total_tok = 0.0, 0
     counts = np.zeros(V, np.float64)
+    pair_counts = np.zeros((V, V), np.float64)
     for i in range(len(hyps)):
         seq = [int(c) for c in np.asarray(hyps[i])[: int(hyp_lens[i])]]
         total_lp += sequence_logprob(lm_logp, seq)
         total_tok += len(seq)
         for c in seq:
             counts[c] += 1.0
+        for a, b in zip(seq, seq[1:]):
+            pair_counts[a, b] += 1.0
     if total_tok == 0:
         # an always-silent model must never win selection
         return {"score": -1e9, "lm_logprob_per_token": -1e9,
-                "usage_kl": float("inf"), "tokens": 0}
+                "usage_kl": float("inf"), "coverage_kl": None,
+                "tokens": 0}
     mean_lp = total_lp / total_tok
     usage = (counts + 1e-9) / (counts.sum() + 1e-9 * V)
     kl = float(np.sum(
         usage * (np.log(usage) - np.log(np.maximum(unigram, 1e-12)))
     ))
+    cov = None
+    if lm_logp.ndim == 2 and coverage_weight != 0.0:
+        # text bigram joint p(h, w) = unigram[h] * P(w | h)
+        p = np.asarray(unigram, np.float64)[:, None] * np.exp(
+            np.asarray(lm_logp[:V], np.float64)
+        )
+        p = p / max(p.sum(), 1e-12)
+        # add-k smoothed hypothesis bigram usage (same k as the LM
+        # build: the absolute penalty for a missing text bigram is
+        # bounded and comparable across candidates on one dev set)
+        q = (pair_counts + 0.5) / (pair_counts.sum() + 0.5 * V * V)
+        cov = float(np.sum(
+            p * (np.log(np.maximum(p, 1e-12)) - np.log(q))
+        ))
     return {
-        "score": float(mean_lp - kl_weight * kl),
+        "score": float(
+            mean_lp - kl_weight * kl
+            - (coverage_weight * cov if cov is not None else 0.0)
+        ),
         "lm_logprob_per_token": float(mean_lp),
         "usage_kl": kl,
+        "coverage_kl": cov,
         "tokens": int(total_tok),
     }

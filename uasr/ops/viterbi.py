@@ -178,6 +178,49 @@ def lm_hmm(
     )
 
 
+def greedy_path_stats(
+    logits: jax.Array, lengths: jax.Array, blank_id: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy-argmax path statistics for `estimate_hmm_rates`:
+    (valid_steps, blank_steps, tokens) summed over the batch, where
+    `tokens` counts collapsed non-blank runs (what greedy decode would
+    emit). Jittable; scalars only cross the host boundary."""
+    B, T = logits.shape[:2]
+    am = jnp.argmax(logits, axis=-1)
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    blank = (am == blank_id) & valid
+    prev = jnp.pad(am, ((0, 0), (1, 0)), constant_values=-1)[:, :T]
+    tok = (am != blank_id) & (am != prev) & valid
+    return valid.sum(), blank.sum(), tok.sum()
+
+
+def estimate_hmm_rates(
+    valid_steps: int, blank_steps: int, tokens: int
+) -> tuple[float, float]:
+    """Calibrate `lm_hmm`'s dwell prior to the stream being decoded.
+
+    self_loop ≈ 1 - 1/dwell with dwell = non-blank steps per emitted
+    token: a frame-level 33 Hz stream with ~4-frame phones gives ~0.75
+    (the historical default), while a merged SEGMENT-level stream (a
+    `gan.merge_repeats` generator) has dwell ≈ 1 → self_loop ≈ 0.
+    Without this calibration the transition prior out-votes the
+    emissions on segment streams and merges adjacent segments — the
+    round-3 self-training regression: Viterbi pseudo-labels lost half
+    their tokens (label PER 0.53 vs greedy 0.19 on the q9 protocol,
+    NOTES_ROUND4.md). blank_prob scales with the observed blank
+    fraction of the greedy path (floored so repeated phones stay
+    expressible via the blank-hold state)."""
+    valid_steps = max(int(valid_steps), 1)
+    nonblank = max(valid_steps - int(blank_steps), 1)
+    dwell = nonblank / max(int(tokens), 1)
+    self_loop = float(np.clip(1.0 - 1.0 / max(dwell, 1.0), 0.0, 0.95))
+    blank_frac = int(blank_steps) / valid_steps
+    blank_prob = float(
+        np.clip(blank_frac * (1.0 - self_loop), 0.01, 0.4)
+    )
+    return self_loop, blank_prob
+
+
 def viterbi_lm_decode(
     logits: jax.Array,
     lengths: jax.Array,
@@ -219,6 +262,297 @@ def states_to_tokens(
     b_idx = jnp.arange(B)[:, None].repeat(T, 1)
     out = out.at[b_idx, pos].set(states.astype(jnp.int32), mode="drop")
     return out, keep.sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# trigram CTC-topology HMM (structured (prev, cur) phone-pair lattice)
+# ---------------------------------------------------------------------------
+
+
+def trigram_hmm(
+    lm3: np.ndarray,
+    blank_id: int,
+    self_loop: float = 0.75,
+    blank_prob: float = 0.1,
+) -> dict:
+    """Host-built log-coefficient tensors for `viterbi_trigram_decode`.
+
+    lm3: [V+1, V+1, V] trigram table from `build_trigram_lm` /
+    `prepare import-arpa` (history index V = start-of-sequence).
+
+    A dense trigram HMM would need S = O(V^2) states and the generic
+    `viterbi_decode`'s [B, S, S] step tensor — 40 MB/step/utt at V=40.
+    Instead the lattice is kept STRUCTURED: states are phone-pair
+    histories (a, b) (plus per-pair blank holds and one initial blank),
+    and each Viterbi step contracts only over the single predecessor
+    slot `a` — [B, H, V, V] work instead of [B, S, S]
+    (VERDICT round-3 item 8; the same factorization the in-kernel
+    beam's one-hot GEMM exploits).
+
+    Returns the dict of jnp coefficient tensors consumed by
+    `viterbi_trigram_decode`.
+    """
+    Vp1, Vp1b, V = lm3.shape
+    if Vp1 != V + 1 or Vp1b != V + 1:
+        raise ValueError(
+            f"trigram_hmm needs a [V+1, V+1, V] table, got {lm3.shape}"
+        )
+    H = V + 1
+    P = np.exp(lm3.astype(np.float64))  # [H, H, V]
+    live = np.ones(V, bool)
+    live[blank_id] = False
+    P = P * live[None, None, :]
+    P = P / np.maximum(P.sum(axis=2, keepdims=True), 1e-30)
+
+    rest = max(1.0 - self_loop - blank_prob, 1e-6)
+    # advance P(a, b) -> P(b, c), c != b: log(rest * P(c|a,b)) with the
+    # self column's mass renormalized away (the self-loop carries it)
+    Pb = P[:, :V, :].copy()  # histories with a real current phone b
+    b_idx = np.arange(V)
+    self_col = Pb[:, b_idx, b_idx]  # [H, V]
+    denom = np.maximum(Pb.sum(axis=2) - self_col, 1e-30)  # [H, V]
+    adv = Pb / denom[:, :, None]
+    adv[:, b_idx, b_idx] = 0.0
+    with np.errstate(divide="ignore"):
+        log_adv = np.where(adv > 0, np.log(rest * adv), NEG)
+        # blank exit B(a, b) -> P(b, c), any live c (repeat re-entry)
+        log_exit = np.where(
+            Pb > 0, np.log(max(1.0 - self_loop, 1e-6) * Pb), NEG
+        )
+        # initial blank -> P(SOS, c)
+        log_init_c = np.where(
+            P[V, V] > 0,
+            np.log(max(1.0 - self_loop, 1e-6) * P[V, V]), NEG,
+        )
+        # t=0: P(SOS, c) with prob 0.5 * P(c|SOS,SOS), I with 0.5
+        log_start_c = np.where(
+            P[V, V] > 0, np.log(0.5 * P[V, V]), NEG
+        )
+    return {
+        "V": V,
+        "blank_id": blank_id,
+        "log_adv": jnp.asarray(log_adv, jnp.float32),      # [H, V, V]
+        "log_exit": jnp.asarray(log_exit, jnp.float32),    # [H, V, V]
+        "log_init_c": jnp.asarray(log_init_c, jnp.float32),  # [V]
+        "log_start_c": jnp.asarray(log_start_c, jnp.float32),  # [V]
+        "log_sl": jnp.float32(np.log(max(self_loop, 1e-30))),
+        "log_bp": jnp.float32(np.log(max(blank_prob, 1e-30))),
+        "log_start_i": jnp.float32(np.log(0.5)),
+        "live": jnp.asarray(live),
+    }
+
+
+def viterbi_trigram_decode(
+    logits: jax.Array,
+    lengths: jax.Array,
+    hmm3: dict,
+    blank_id: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Trigram-LM-smoothed HMM decode (same contract as
+    `viterbi_lm_decode`): (ids [B, T] left-compacted, out_lengths [B],
+    path score [B]).
+
+    State = (kind, a, b): kind 0 = emitting phone b with previous
+    phone a (a = V means start-of-sequence), kind 1 = blank hold after
+    pair (a, b), kind 2 = the initial blank. The scan carries
+    delta_P/delta_B [B, H, V] + delta_I [B]; backpointers pack
+    (source kind, source a) into one int32 per state per step.
+    """
+    B, T, Vl = logits.shape
+    V = hmm3["V"]
+    if Vl != V:
+        raise ValueError(f"logits V={Vl} != table V={V}")
+    H = V + 1
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    emit_tok = logp  # [B, T, V]
+    emit_blank = logp[:, :, blank_id]  # [B, T]
+    log_adv, log_exit = hmm3["log_adv"], hmm3["log_exit"]
+    log_sl, log_bp = hmm3["log_sl"], hmm3["log_bp"]
+    live = hmm3["live"]
+
+    # ---- t = 0
+    dP0 = jnp.full((B, H, V), NEG)
+    dP0 = dP0.at[:, V, :].set(
+        hmm3["log_start_c"][None, :] + emit_tok[:, 0, :]
+    )
+    dB0 = jnp.full((B, H, V), NEG)
+    dI0 = hmm3["log_start_i"] + emit_blank[:, 0]
+
+    def step(carry, inputs):
+        dP, dB, dI = carry
+        e_tok, e_blk, t = inputs  # [B, V], [B], scalar
+        # entry into P(b, c) (new history (b, c)), contracted over a
+        fromP = jnp.max(
+            dP[:, :, :, None] + log_adv[None, :, :, :], axis=1
+        )  # [B, V, V] indexed (b, c)
+        argP = jnp.argmax(
+            dP[:, :, :, None] + log_adv[None, :, :, :], axis=1
+        ).astype(jnp.int32)
+        fromB = jnp.max(
+            dB[:, :, :, None] + log_exit[None, :, :, :], axis=1
+        )
+        argB = jnp.argmax(
+            dB[:, :, :, None] + log_exit[None, :, :, :], axis=1
+        ).astype(jnp.int32)
+        # candidates for new dP[a, b]:
+        #   code 0: stay              (all a)
+        #   code 1: advance from P    (a real)
+        #   code 2: exit from B       (a real)
+        #   code 3: from initial blank (a == SOS only)
+        stay = dP + log_sl
+        entry_real = jnp.stack([fromP, fromB], axis=0)  # [2, B, V, V]
+        best_entry = jnp.max(entry_real, axis=0)
+        which = jnp.argmax(entry_real, axis=0).astype(jnp.int32)  # 0=P,1=B
+        ent = jnp.full((B, H, V), NEG)
+        ent = ent.at[:, :V, :].set(best_entry)
+        ent = ent.at[:, V, :].set(dI[:, None] + hmm3["log_init_c"][None, :])
+        newP = jnp.maximum(stay, ent)
+        is_entry = ent > stay
+        code = jnp.where(
+            is_entry,
+            jnp.where(
+                jnp.arange(H)[None, :, None] == V,
+                3,
+                1 + jnp.pad(which, ((0, 0), (0, 1), (0, 0)))[:, :H, :],
+            ),
+            0,
+        )
+        src_a = jnp.where(
+            code == 1,
+            jnp.pad(argP, ((0, 0), (0, 1), (0, 0)))[:, :H, :],
+            jnp.where(
+                code == 2,
+                jnp.pad(argB, ((0, 0), (0, 1), (0, 0)))[:, :H, :],
+                0,
+            ),
+        )
+        newP = newP + e_tok[:, None, :]
+        newP = jnp.where(live[None, None, :], newP, NEG)
+        # blank holds
+        stayB = dB + log_sl
+        toB = dP + log_bp
+        newB = jnp.maximum(stayB, toB) + e_blk[:, None, None]
+        codeB = (toB > stayB).astype(jnp.int32)  # 1 = entered from P
+        newI = dI + log_sl + e_blk
+        bpP = src_a * 4 + code  # packed int32 [B, H, V]
+        active = (t < lengths)[:, None, None]
+        out = (
+            jnp.where(active, newP, dP),
+            jnp.where(active, newB, dB),
+            jnp.where(active[:, 0, 0], newI, dI),
+        )
+        bp = (
+            jnp.where(active, bpP, 0),
+            jnp.where(active, codeB, 0),
+        )
+        return out, bp
+
+    if T > 1:
+        (dP, dB, dI), (bpP, bpB) = jax.lax.scan(
+            step,
+            (dP0, dB0, dI0),
+            (
+                jnp.moveaxis(emit_tok[:, 1:, :], 1, 0),
+                jnp.moveaxis(emit_blank[:, 1:], 1, 0),
+                jnp.arange(1, T),
+            ),
+        )
+    else:
+        dP, dB, dI = dP0, dB0, dI0
+        bpP = jnp.zeros((0, B, H, V), jnp.int32)
+        bpB = jnp.zeros((0, B, H, V), jnp.int32)
+
+    # ---- final state
+    flatP = dP.reshape(B, H * V)
+    flatB = dB.reshape(B, H * V)
+    allf = jnp.concatenate([flatP, flatB, dI[:, None]], axis=1)
+    best = jnp.argmax(allf, axis=1).astype(jnp.int32)
+    score = jnp.max(allf, axis=1)
+    kind = jnp.where(best < H * V, 0, jnp.where(best < 2 * H * V, 1, 2))
+    idx = jnp.where(kind < 2, best % (H * V), 0)
+    a = idx // V
+    b = idx % V
+
+    def back(carry, bps):
+        kind, a, b = carry
+        bpP_t, bpB_t = bps  # [B, H, V]
+        flat_idx = a * V + b
+        pp = jnp.take_along_axis(
+            bpP_t.reshape(B, H * V), flat_idx[:, None], 1
+        )[:, 0]
+        pb = jnp.take_along_axis(
+            bpB_t.reshape(B, H * V), flat_idx[:, None], 1
+        )[:, 0]
+        codeP, src_a = pp % 4, pp // 4
+        # P-state transitions
+        pk = jnp.where(codeP == 0, 0, jnp.where(codeP == 2, 1, 0))
+        pk = jnp.where(codeP == 3, 2, pk)  # from initial blank
+        pa = jnp.where(codeP == 0, a, src_a)
+        pb_ = jnp.where(codeP == 0, b, a)
+        # entry flag: a token was emitted AT this step
+        entered = (kind == 0) & (codeP != 0)
+        # B-state transitions: 0 stay-B, 1 from-P (same (a, b))
+        bk = jnp.where(pb == 1, 0, 1)
+        nk = jnp.where(kind == 0, pk, jnp.where(kind == 1, bk, 2))
+        na = jnp.where(kind == 0, pa, jnp.where(kind == 1, a, 0))
+        nb = jnp.where(kind == 0, pb_, jnp.where(kind == 1, b, 0))
+        tok = jnp.where(kind == 0, b, -1)
+        return (nk, na, nb), (tok, entered)
+
+    if T > 1:
+        (k0, a0, b0), (toks, entered) = jax.lax.scan(
+            back, (kind, a, b), (bpP, bpB), reverse=True
+        )
+        toks = jnp.concatenate(
+            [jnp.where(k0 == 0, b0, -1)[None], toks], axis=0
+        )  # [T, B]
+        entered = jnp.concatenate(
+            [(k0 == 0)[None], entered], axis=0
+        )
+        toks = toks.T
+        entered = entered.T
+    else:
+        toks = jnp.where(kind == 0, b, -1)[:, None]
+        entered = (kind == 0)[:, None]
+
+    t_idx = jnp.arange(T)[None, :]
+    valid = t_idx < lengths[:, None]
+    keep = entered & (toks >= 0) & valid
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, T)
+    out = jnp.full((B, T), blank_id, jnp.int32)
+    b_rows = jnp.arange(B)[:, None].repeat(T, 1)
+    out = out.at[b_rows, pos].set(toks.astype(jnp.int32), mode="drop")
+    return out, keep.sum(axis=1), score
+
+
+def make_lm_decoder(
+    table: np.ndarray,
+    blank_id: int,
+    self_loop: float = 0.75,
+    blank_prob: float = 0.1,
+):
+    """Uniform entry point for LM-HMM Viterbi decoding: returns
+    `decode(logits, lengths) -> (ids, out_len, score)` for a BIGRAM
+    [V+1, V] or TRIGRAM [V+1, V+1, V] table (infer / selftrain route
+    through this, so `ctc.use_viterbi` accepts either — the framework's
+    own `prepare lm --order 3` / `import-arpa` trigrams are no longer
+    beam-only)."""
+    if table.ndim == 2:
+        hmm = tuple(jnp.asarray(x) for x in lm_hmm(
+            table, blank_id, self_loop=self_loop, blank_prob=blank_prob
+        ))
+        return lambda logits, lengths: viterbi_lm_decode(
+            logits, lengths, hmm, blank_id
+        )
+    if table.ndim == 3:
+        hmm3 = trigram_hmm(
+            table, blank_id, self_loop=self_loop, blank_prob=blank_prob
+        )
+        return lambda logits, lengths: viterbi_trigram_decode(
+            logits, lengths, hmm3, blank_id
+        )
+    raise ValueError(f"LM table rank {table.ndim} unsupported")
 
 
 # ---------------------------------------------------------------------------

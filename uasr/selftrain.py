@@ -13,6 +13,7 @@ student is the ordinary CTCTrainer, so every stage reuses the hot paths.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterator, Sequence
 
 import jax
@@ -69,10 +70,24 @@ def make_ctc_label_fn(ctc_trainer: CTCTrainer, params, hmm=None):
 def _decode(logits, out_len, blank_id, hmm):
     if hmm is None:
         return ctc_greedy_decode(logits, out_len, blank_id)
+    if callable(hmm):  # a make_lm_decoder fn (bigram or trigram)
+        hyps, hyp_len, _score = hmm(logits, out_len)
+        return hyps, hyp_len
     from uasr.ops.viterbi import viterbi_lm_decode
 
     hyps, hyp_len, _score = viterbi_lm_decode(logits, out_len, hmm, blank_id)
     return hyps, hyp_len
+
+
+def _existing_ckpt_step(ckpt_dir: str) -> int | None:
+    """Newest retained Orbax step under `ckpt_dir` (numeric step
+    subdirectories), without opening a manager (cheap, no side
+    effects on retention)."""
+    try:
+        steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    except FileNotFoundError:
+        return None
+    return max(steps) if steps else None
 
 
 def _mean_max(probs: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -141,9 +156,10 @@ def self_train(
     initializes the FIRST round's student from the teacher's weights
     (fine-tune instead of from-scratch — the HMM-refinement setup; the
     params must match the student architecture, e.g. a GAN generator
-    into a `model.encoder: classifier` student). Note a
-    teacher-initialized round skips restore-latest resume. Returns the
-    last student and per-round stats.
+    into a `model.encoder: classifier` student); if round 0's directory
+    already holds a checkpoint, that checkpoint is resumed and the
+    teacher init is skipped. Returns the last student and per-round
+    stats.
     """
     # feature examples ([T, D]) are measured in frames, audio in samples
     max_samples = (
@@ -181,8 +197,19 @@ def self_train(
                 cfg.data.max_label_len, seed=cfg.train.seed + r,
             )
         )
-        if r == 0 and init_params is not None:
+        if r == 0 and init_params is not None and \
+                _existing_ckpt_step(f"{round_cfg.model_dir}/ckpt") is None:
+            from uasr.parallel.mesh import replicated
+
             trainer = CTCTrainer(round_cfg)
+            if trainer.mesh is not None:
+                # checkpoint-restored teacher params arrive COMMITTED
+                # to one device; the mesh-jitted train step needs them
+                # replicated over the trainer's mesh (same rule as
+                # run_inference's restore path)
+                init_params = jax.device_put(
+                    init_params, replicated(trainer.mesh)
+                )
             state = TrainState(
                 step=jnp.zeros((), jnp.int32),
                 params=init_params,
@@ -193,6 +220,14 @@ def self_train(
                 trainer=trainer, state=state,
             )
         else:
+            # a prior (killed) run of this round left a checkpoint:
+            # run_ctc_training's restore-latest resumes it instead of
+            # discarding the completed student steps for a fresh
+            # teacher re-init (ADVICE round 3)
+            if r == 0 and init_params is not None:
+                log("[selftrain] round 0: existing student checkpoint "
+                    "found — resuming it (teacher init only seeds a "
+                    "fresh directory)")
             trainer, state = run_ctc_training(
                 round_cfg, batches, dev_batches_fn=dev_batches_fn
             )

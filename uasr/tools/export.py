@@ -22,6 +22,15 @@ The reference had no serving story at all (SURVEY.md §3.4 decoded on
 the host inside the eval loop); this freezes the full on-device
 pipeline — frontend, encoder, decode — into one artifact with a stable
 calling convention.
+
+Cache-trained checkpoints (uasr-pipeline students/winners consume SSL
+features, not audio) export as true audio->text artifacts via
+`--compose-featurizer SSL_YAML` / `--compose-from-pipeline WORKDIR`:
+the trained SSL featurizer plus the featurize-stage transform chain
+(per-utterance CMVN, PCA, k-means adjacent pooling — all with exact
+on-device counterparts) is frozen IN FRONT of the model, so inference
+never leaves the chip (BASELINE.json north star). The artifact's
+params pytree is then {"featurizer": ..., "model": ...}.
 """
 
 from __future__ import annotations
@@ -101,6 +110,10 @@ def build_infer_fn(cfg):
     def fn(params, audio, lengths):
         if gen_infer is not None:
             logits, out_len = gen_infer.logits_fn(params, audio, lengths)
+        elif jnp.ndim(audio) == 3:
+            # precomputed features (the composed-featurizer chain or an
+            # SSL cache): frontend bypassed, same rule as infer.py
+            logits, out_len = model.apply(params, audio, lengths)
         else:
             feats, flen = compute_features(audio, lengths, fe, cfg.frontend)
             logits, out_len = model.apply(params, feats, flen)
@@ -116,12 +129,143 @@ def build_infer_fn(cfg):
     def init_params(rng, audio, lengths):
         if gen_infer is not None:
             return gen_infer.init_params(rng, audio, lengths)
+        if jnp.ndim(audio) == 3:
+            return model.init(
+                rng, jnp.asarray(audio), jnp.asarray(lengths)
+            )
         feats, flen = compute_features(
             jnp.asarray(audio), jnp.asarray(lengths), fe, cfg.frontend
         )
         return model.init(rng, feats, flen)
 
     return fn, init_params
+
+
+def _composed_parts(args):
+    """Resolve the --compose-* flags to (cfg_ssl, cmvn, pca, km), or
+    None when no featurizer composition was requested.
+
+    `--compose-from-pipeline WORKDIR` reads the uasr-pipeline manifest:
+    featurizer recipe = the resolved ssl config the pipeline saved,
+    cmvn/pca/pool-kmeans = what the featurize stage recorded, fitted
+    transforms = the train cache directory."""
+    if args.compose_from_pipeline:
+        wd = args.compose_from_pipeline
+        man_path = os.path.join(wd, "pipeline.json")
+        if not os.path.exists(man_path):
+            raise SystemExit(f"no pipeline.json under {wd}")
+        with open(man_path) as f:
+            stages = json.load(f).get("stages", {})
+        if "ssl" not in stages or "featurize" not in stages:
+            raise SystemExit(
+                "--compose-from-pipeline: this workdir's pipeline ran "
+                "without ssl/featurize stages (nothing to compose)"
+            )
+        feat = stages["featurize"]
+        args.compose_featurizer = stages["ssl"].get(
+            "config", os.path.join(wd, "ssl_resolved.yaml"))
+        args.feat_cmvn = bool(feat.get("cmvn"))
+        if feat.get("pca") or feat.get("pool_kmeans"):
+            args.feat_transforms = feat["train"]
+    if not args.compose_featurizer:
+        return None
+    from uasr.cli import apply_overrides
+    from uasr.config import load_config
+
+    cfg_ssl = load_config(args.compose_featurizer)
+    apply_overrides(cfg_ssl, args.set_featurizer)
+    if cfg_ssl.train.mode != "ssl":
+        raise SystemExit(
+            "--compose-featurizer recipe must be train.mode=ssl, got "
+            f"{cfg_ssl.train.mode!r}"
+        )
+    pca = km = None
+    if args.feat_transforms:
+        from uasr.data import transforms as T
+
+        pca, km = T.load_transforms(args.feat_transforms)
+        if pca is None and km is None:
+            raise SystemExit(
+                f"--feat-transforms {args.feat_transforms}: no "
+                f"{T.PCA_FILE} or {T.KMEANS_FILE} found"
+            )
+    return cfg_ssl, bool(args.feat_cmvn), pca, km
+
+
+def build_composed_featurizer(cfg_ssl, cmvn, pca, km):
+    """audio -> features, the exact transform chain
+    `uasr.tools.featurize` applies when dumping a cache (SSL encode ->
+    per-utterance CMVN -> PCA -> k-means adjacent pooling), as one
+    jittable `feat_fn(fparams, audio, lengths) -> (feats, flen)`.
+
+    This closes the round-3 "student-export seam" (VERDICT item 2):
+    a cache-trained model composed behind this chain becomes a genuine
+    audio->text artifact — inference never leaves the chip
+    (BASELINE.json north star). The numpy prep transforms have exact
+    on-device counterparts (`ops/segment.py::quantize/segment_pool`
+    mirror `data/transforms.py::assign_clusters/pool_adjacent`).
+
+    Returns (feat_fn, feat_init, restore) where restore() pulls the
+    trained featurizer params from cfg_ssl.model_dir/ckpt."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uasr.ops.segment import quantize, segment_pool
+    from uasr.pretrain import SSLTrainer
+
+    trainer = SSLTrainer(cfg_ssl)
+    layer = cfg_ssl.ssl.feature_layer
+    pca_mean = jnp.asarray(pca.mean) if pca is not None else None
+    pca_comp = jnp.asarray(pca.components) if pca is not None else None
+    cents = jnp.asarray(km) if km is not None else None
+
+    def feat_fn(fparams, audio, lengths):
+        z, c, _preds, flen = trainer.encode(fparams, audio, lengths)
+        f = (c if layer == "context" else z).astype(jnp.float32)
+        T_ = f.shape[1]
+        mask = (jnp.arange(T_)[None, :] < flen[:, None])[..., None]
+        if cmvn:
+            # featurize --cmvn: per-utterance standardization over the
+            # VALID frames (biased std, eps on the std — match
+            # featurize.raw_examples exactly)
+            denom = jnp.maximum(flen, 1).astype(f.dtype)[:, None, None]
+            mean = jnp.sum(f * mask, axis=1, keepdims=True) / denom
+            var = jnp.sum(((f - mean) ** 2) * mask, 1, keepdims=True) \
+                / denom
+            f = (f - mean) / (jnp.sqrt(var) + 1e-5)
+        if pca_mean is not None:
+            f = (f - pca_mean) @ pca_comp.T
+        if cents is not None:
+            ids = quantize(f, cents)
+            f, flen = segment_pool(f, flen, ids)
+        return f, flen
+
+    def feat_init(rng, audio, lengths):
+        x, xl = trainer._inputs(jnp.asarray(audio), jnp.asarray(lengths))
+        return trainer.model.init(rng, x, xl)
+
+    def restore(rng, audio, lengths):
+        from uasr.checkpoint import CheckpointManager
+
+        template = feat_init(rng, audio, lengths)
+        mgr = CheckpointManager(
+            f"{cfg_ssl.model_dir}/ckpt",
+            max_to_keep=max(cfg_ssl.train.keep_checkpoints, 1),
+        )
+        from uasr.train import TrainState
+
+        state = TrainState(jnp.zeros((), jnp.int32), template,
+                           trainer.optimizer.init(template))
+        restored = mgr.restore_latest(state)
+        mgr.close()
+        if restored is None:
+            raise SystemExit(
+                f"no featurizer checkpoint under {cfg_ssl.model_dir}/ckpt"
+            )
+        st, step = restored
+        return st.params, int(step)
+
+    return feat_fn, feat_init, restore
 
 
 def main(argv=None):
@@ -138,6 +282,25 @@ def main(argv=None):
                    help="export the ONLINE chunk step (uasr.serve) "
                         "instead of the offline batch pipeline")
     p.add_argument("--chunk-frames", type=int, default=None)
+    p.add_argument("--compose-featurizer", default=None, metavar="YAML",
+                   help="ssl recipe whose trained model becomes the "
+                        "audio->features stage composed IN FRONT of "
+                        "this recipe's model — exports cache-trained "
+                        "checkpoints (pipeline students/winners) as "
+                        "true audio->text artifacts")
+    p.add_argument("--set-featurizer", action="append", default=[],
+                   metavar="K=V", help="override on the featurizer "
+                                       "recipe")
+    p.add_argument("--feat-cmvn", action="store_true",
+                   help="per-utterance standardization after the "
+                        "featurizer (matches `featurize --cmvn`)")
+    p.add_argument("--feat-transforms", default=None, metavar="DIR",
+                   help="apply the PCA/pool-kmeans transforms fitted "
+                        "by a featurize dump (the cache directory)")
+    p.add_argument("--compose-from-pipeline", default=None,
+                   metavar="WORKDIR",
+                   help="derive all --compose-*/--feat-* settings from "
+                        "a uasr-pipeline workdir's manifest")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -163,6 +326,13 @@ def main(argv=None):
     if cfg.train.mode in ("gan", "eodm", "gan+eodm"):
         cfg.model.encoder = "classifier"  # serve the generator
 
+    comp = _composed_parts(args)
+    if comp is not None and args.streaming:
+        raise SystemExit(
+            "--streaming and --compose-featurizer are mutually "
+            "exclusive (the online recognizer has no composed-"
+            "featurizer state yet)"
+        )
     fn, init_params = build_infer_fn(cfg)
     B = args.batch
     L = int(args.seconds * cfg.frontend.sample_rate)
@@ -172,7 +342,32 @@ def main(argv=None):
     # restore trained params (best_ckpt honored via train.restore_best)
     dummy_a = np.zeros((B, L), np.float32)
     dummy_l = np.full((B,), L, np.int32)
-    params = init_params(jax.random.PRNGKey(0), dummy_a, dummy_l)
+    feat_meta = None
+    if comp is not None:
+        cfg_ssl, f_cmvn, f_pca, f_km = comp
+        feat_fn, _feat_init, feat_restore = build_composed_featurizer(
+            cfg_ssl, f_cmvn, f_pca, f_km
+        )
+        fparams, fstep = feat_restore(
+            jax.random.PRNGKey(1), dummy_a, dummy_l
+        )
+        # the model's parameter template must be built through the
+        # featurizer chain (its input dim is the FEATURE dim, not the
+        # audio-frontend's)
+        dfeats, dflen = jax.jit(feat_fn)(fparams, dummy_a, dummy_l)
+        params = init_params(jax.random.PRNGKey(0), dfeats, dflen)
+        feat_meta = {
+            "featurizer_config": args.compose_featurizer,
+            "featurizer_step": fstep,
+            "feature_layer": cfg_ssl.ssl.feature_layer,
+            "cmvn": f_cmvn,
+            "pca_dim": None if f_pca is None
+            else int(f_pca.components.shape[0]),
+            "pool_clusters": None if f_km is None else int(len(f_km)),
+            "feature_dim": int(dfeats.shape[-1]),
+        }
+    else:
+        params = init_params(jax.random.PRNGKey(0), dummy_a, dummy_l)
     sub = "best_ckpt" if cfg.train.restore_best else "ckpt"
     ckpt_dir = os.path.join(cfg.model_dir, sub)
     if cfg.train.restore_best and not os.path.isdir(ckpt_dir):
@@ -190,11 +385,25 @@ def main(argv=None):
     )
     # checkpoints store a full TrainState / GANState; restore the
     # matching template and pull the model params out of it
-    restored_params, step = _restore_params(cfg, mgr, params)
+    restored_params, step = _restore_params(
+        cfg, mgr, params,
+        feats_example=None if comp is None else (dfeats, dflen),
+    )
     mgr.close()
 
     if args.streaming:
         return _export_streaming(cfg, args, restored_params, step)
+
+    if comp is not None:
+        inner_fn = fn
+
+        def fn(params, audio, lengths):  # noqa: F811
+            feats, flen = feat_fn(params["featurizer"], audio, lengths)
+            return inner_fn(params["model"], feats, flen)
+
+        params = {"featurizer": fparams, "model": params}
+        restored_params = {"featurizer": fparams,
+                           "model": restored_params}
 
     exp = jexport.export(
         jax.jit(fn), platforms=args.platforms.split(","),
@@ -222,6 +431,11 @@ def main(argv=None):
         "platforms": args.platforms.split(","),
         "checkpoint_step": int(step),
         "output_shapes": [list(s.shape) for s in ids_shape],
+        "composed_featurizer": feat_meta,
+        "params_pytree": (
+            "dict with 'featurizer' and 'model' keys"
+            if feat_meta is not None else "model params"
+        ),
     }
     with open(os.path.join(args.out, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -366,10 +580,13 @@ def _export_streaming(cfg, args, restored_params, step):
     return 0
 
 
-def _restore_params(cfg, mgr, params_template):
+def _restore_params(cfg, mgr, params_template, feats_example=None):
     """Restore model params out of whichever state type the run saved.
     train.average_checkpoints > 1 averages the newest N retained
-    snapshots (checkpoint averaging) before export."""
+    snapshots (checkpoint averaging) before export. `feats_example`
+    ((feats [B, T, D], flen [B])): build the GAN template from
+    precomputed features instead of frontend audio — cache-trained
+    generators have feature-dim inputs."""
     import jax.numpy as jnp
 
     from uasr.train import TrainState
@@ -387,7 +604,7 @@ def _restore_params(cfg, mgr, params_template):
     if mode in ("gan", "gan+eodm"):
         # generator params live in GANState.g_params; build a template
         # with matching structure (opt states restored then discarded)
-        restored = restore(_gan_template(cfg))
+        restored = restore(_gan_template(cfg, feats_example))
         if restored is None:
             raise SystemExit(f"no checkpoint to export under {mgr.directory}")
         gstate, step = restored
@@ -404,22 +621,32 @@ def _restore_params(cfg, mgr, params_template):
     return st.params, step
 
 
-def _gan_template(cfg):
+def _gan_template(cfg, feats_example=None):
     import numpy as np
 
     from uasr.data.dataset import Batch, TextBatch
     from uasr.train import GANTrainer
 
     gan = GANTrainer(cfg)
-    B = 2
-    L = int(0.5 * cfg.frontend.sample_rate)
-    rng = np.random.RandomState(0)
-    batch = Batch(
-        audio=(rng.randn(B, L) * 0.1).astype(np.float32),
-        audio_lengths=np.full((B,), L, np.int32),
-        labels=np.ones((B, 4), np.int32),
-        label_lengths=np.full((B,), 4, np.int32),
-    )
+    if feats_example is not None:
+        feats, flen = feats_example
+        B = int(np.shape(feats)[0])
+        batch = Batch(
+            audio=np.asarray(feats, np.float32),
+            audio_lengths=np.asarray(flen, np.int32),
+            labels=np.ones((B, 4), np.int32),
+            label_lengths=np.full((B,), 4, np.int32),
+        )
+    else:
+        B = 2
+        L = int(0.5 * cfg.frontend.sample_rate)
+        rng = np.random.RandomState(0)
+        batch = Batch(
+            audio=(rng.randn(B, L) * 0.1).astype(np.float32),
+            audio_lengths=np.full((B,), L, np.int32),
+            labels=np.ones((B, 4), np.int32),
+            label_lengths=np.full((B,), 4, np.int32),
+        )
     text = TextBatch(np.ones((1, 2), np.int32), np.full((1,), 2, np.int32))
     import jax as _jax
 

@@ -44,37 +44,117 @@ STAGES = ("ssl", "featurize", "lm", "sweep", "selftrain")
 class _Manifest:
     """Stage ledger at <workdir>/pipeline.json: completed stages are
     skipped on rerun (the underlying tools also resume internally, so a
-    stage killed mid-run just continues where it stopped)."""
+    stage killed mid-run just continues where it stopped). Each record
+    carries a digest of the arguments that parameterized the stage;
+    rerunning the workdir with different arguments for a COMPLETED
+    stage is refused (the skip would silently keep artifacts built
+    under the old settings — ADVICE round 3) unless --force-from
+    clears that stage."""
 
     def __init__(self, workdir: str, force_from: str | None):
         self.path = os.path.join(workdir, "pipeline.json")
         self.stages: dict = {}
+        self.digests: dict = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
-                self.stages = json.load(f).get("stages", {})
+                blob = json.load(f)
+            self.stages = blob.get("stages", {})
+            self.digests = blob.get("digests", {})
         if force_from:
             for s in STAGES[STAGES.index(force_from):]:
                 self.stages.pop(s, None)
+                self.digests.pop(s, None)
             self._save()
+
+    def check(self, current: dict) -> None:
+        """Refuse to skip a completed stage whose recorded arg digest
+        differs from this invocation's (older manifests without
+        digests pass unchecked)."""
+        stale = [s for s in STAGES
+                 if s in self.stages and s in self.digests
+                 and s in current and self.digests[s] != current[s]]
+        if stale:
+            raise SystemExit(
+                f"stage(s) {stale} were completed with different "
+                "arguments/configs than this invocation's — their "
+                "artifacts would be silently reused under the wrong "
+                f"settings. Re-run with --force-from {stale[0]} to "
+                "rebuild them (and everything after), or restore the "
+                "original arguments."
+            )
 
     def done(self, stage: str) -> dict | None:
         return self.stages.get(stage)
 
-    def record(self, stage: str, info: dict) -> None:
+    def record(self, stage: str, info: dict,
+               digest: str | None = None) -> None:
         self.stages[stage] = info
+        if digest is not None:
+            self.digests[stage] = digest
         self._save()
 
     def _save(self) -> None:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(self.path, "w") as f:
-            json.dump({"stages": self.stages}, f, indent=1)
+            json.dump({"stages": self.stages, "digests": self.digests},
+                      f, indent=1)
+
+
+def _digest(obj) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def _file_digest(path: str | None) -> str | None:
+    import hashlib
+
+    if path is None:
+        return None
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _stage_digests(args) -> dict:
+    """Digest of the arguments each stage's artifacts depend on.
+    Digesting config FILE CONTENTS (not paths) catches edited recipes."""
+    ssl_in = [_file_digest(args.ssl_config), sorted(args.set_ssl)]
+    unsup_in = [_file_digest(args.unsup_config), sorted(args.set_unsup)]
+    return {
+        "ssl": _digest(ssl_in),
+        "featurize": _digest(
+            [ssl_in, args.cmvn, args.pca, args.pool_kmeans]),
+        "lm": _digest(unsup_in),
+        "sweep": _digest([unsup_in, args.seeds]),
+        "selftrain": _digest(
+            [unsup_in, args.selftrain_rounds, args.conf_threshold,
+             args.student_steps, args.gold_list,
+             args.init_student_from_teacher, args.no_full_length,
+             sorted(args.set_student)]),
+    }
+
+
+def _null_nonfinite(rec: dict, keys) -> dict:
+    """Map non-finite floats to None: with no dev split run_selftrain
+    reports NaN PERs, and json.dumps would write literal NaN — invalid
+    strict JSON that breaks composing drivers (ADVICE round 3)."""
+    import math
+
+    for k in keys:
+        v = rec.get(k)
+        if isinstance(v, float) and not math.isfinite(v):
+            rec[k] = None
+    return rec
 
 
 def _log(msg: str) -> None:
     print(f"[pipeline] {msg}", file=sys.stderr)
 
 
-def _stage(manifest: _Manifest, name: str, fn):
+def _stage(manifest: _Manifest, name: str, fn,
+           digest: str | None = None):
     """Run (or skip) one stage; returns its manifest record."""
     rec = manifest.done(name)
     if rec is not None:
@@ -84,7 +164,7 @@ def _stage(manifest: _Manifest, name: str, fn):
     t0 = time.monotonic()
     rec = fn() or {}
     rec["seconds"] = round(time.monotonic() - t0, 1)
-    manifest.record(name, rec)
+    manifest.record(name, rec, digest=digest)
     _log(f"stage {name}: finished in {rec['seconds']}s")
     return rec
 
@@ -104,6 +184,8 @@ def run_pipeline(args) -> dict:
     workdir = args.workdir
     os.makedirs(workdir, exist_ok=True)
     manifest = _Manifest(workdir, args.force_from)
+    digests = _stage_digests(args)
+    manifest.check(digests)
 
     cfg_unsup = load_config(args.unsup_config)
     apply_overrides(cfg_unsup, args.set_unsup)
@@ -125,10 +207,17 @@ def run_pipeline(args) -> dict:
             cfg_ssl = cfg_ssl.replace(vocab_size=len(ssl_vocab))
 
         def do_ssl():
-            _train_ssl(cfg_ssl, ssl_source, ssl_vocab)
-            return {"model_dir": cfg_ssl.model_dir}
+            from uasr.config import save_config
 
-        _stage(manifest, "ssl", do_ssl)
+            _train_ssl(cfg_ssl, ssl_source, ssl_vocab)
+            # the RESOLVED ssl recipe (model_dir, vocab_size pinned):
+            # `uasr-export --compose-from-pipeline` rebuilds the
+            # featurizer from it without the original CLI args
+            resolved = os.path.join(workdir, "ssl_resolved.yaml")
+            save_config(cfg_ssl, resolved)
+            return {"model_dir": cfg_ssl.model_dir, "config": resolved}
+
+        _stage(manifest, "ssl", do_ssl, digest=digests["ssl"])
 
         def do_featurize():
             from uasr.tools.featurize import dump_features
@@ -138,7 +227,9 @@ def run_pipeline(args) -> dict:
                 cfg_ssl, ssl_source, train_dir, cmvn=args.cmvn,
                 pca_dim=args.pca, pool_clusters=args.pool_kmeans,
             )
-            rec = {"train": train_dir, "train_utts": n}
+            rec = {"train": train_dir, "train_utts": n,
+                   "cmvn": bool(args.cmvn), "pca": args.pca,
+                   "pool_kmeans": args.pool_kmeans}
             if _has_dev(cfg_ssl):
                 dev_dir = os.path.join(feats_dir, "dev")
                 dev_source, _ = _load_source(cfg_ssl, "dev")
@@ -151,7 +242,8 @@ def run_pipeline(args) -> dict:
                 rec["dev"] = dev_dir
             return rec
 
-        feat_rec = _stage(manifest, "featurize", do_featurize)
+        feat_rec = _stage(manifest, "featurize", do_featurize,
+                              digest=digests["featurize"])
         # point the unsupervised recipe at the dumped caches (the recipe
         # keeps its own caches only if the user did NOT run an ssl stage)
         object.__setattr__(cfg_unsup.data, "feature_cache",
@@ -190,7 +282,7 @@ def run_pipeline(args) -> dict:
             save_lm(lm_path, logp, unigram=uni)
             return {"lm_path": lm_path, "sequences": len(seqs)}
 
-        lm_rec = _stage(manifest, "lm", do_lm)
+        lm_rec = _stage(manifest, "lm", do_lm, digest=digests["lm"])
         object.__setattr__(cfg_unsup.gan, "select_lm_path",
                            lm_rec["lm_path"])
         if cfg_unsup.ctc.use_viterbi and cfg_unsup.ctc.lm_path is None:
@@ -259,9 +351,21 @@ def run_pipeline(args) -> dict:
             json.dump(out, f, indent=1)
         return out
 
-    sweep_rec = _stage(manifest, "sweep", do_sweep)
+    sweep_rec = _stage(manifest, "sweep", do_sweep, digest=digests["sweep"])
     winner = sweep_rec["winner"]
     _log(f"winner: {winner['model_dir']}")
+
+    # resolved export recipes: `uasr-export -c <recipe>
+    # [--compose-from-pipeline <workdir>]` freezes the winner/student
+    # without reconstructing the pipeline's config plumbing by hand
+    import copy
+
+    from uasr.config import save_config
+
+    cfg_w = copy.deepcopy(cfg_unsup).replace(
+        model_dir=winner["model_dir"])
+    object.__setattr__(cfg_w.train, "restore_best", select)
+    save_config(cfg_w, os.path.join(workdir, "export_winner.yaml"))
 
     # ---- selftrain ------------------------------------------------------
     st_rec = None
@@ -291,19 +395,48 @@ def run_pipeline(args) -> dict:
                 gold_list=args.gold_list,
                 restore_best=select,
                 init_from_teacher=args.init_student_from_teacher,
+                full_length=not args.no_full_length,
             )
-            return res
+            from uasr.config import save_config
 
-        st_rec = _stage(manifest, "selftrain", do_selftrain)
+            cfg_exp = copy.deepcopy(cfg_st).replace(
+                model_dir=res["student_dir"])
+            # student checkpoints are plain CTC TrainStates; the export
+            # recipe must say so (the unsup recipe's mode would make
+            # export restore a GANState template)
+            object.__setattr__(cfg_exp.train, "mode", "ctc")
+            object.__setattr__(cfg_exp.train, "restore_best", False)
+            save_config(cfg_exp,
+                        os.path.join(workdir, "export_student.yaml"))
+            return _null_nonfinite(res, ("teacher_per", "student_per"))
+
+        st_rec = _stage(manifest, "selftrain", do_selftrain,
+                        digest=digests["selftrain"])
     else:
         _log("stage selftrain: --selftrain-rounds 0 (skip)")
 
     report = {"workdir": workdir, "winner": winner,
               "stages": manifest.stages}
+    report["final_model"] = winner["model_dir"]
     if st_rec is not None:
         report["teacher_per"] = st_rec["teacher_per"]
         report["student_per"] = st_rec["student_per"]
         report["student_dir"] = st_rec["student_dir"]
+        t, s = st_rec["teacher_per"], st_rec["student_per"]
+        # the refinement stage must never ship a WORSE model than its
+        # teacher: when the student does not at least match the
+        # teacher's dev PER (a strong teacher at small student scale —
+        # the measured q9 regime), the pipeline's deliverable stays the
+        # sweep winner and the report says so (VERDICT round-3 item 1)
+        if t is not None and s is not None and s > t:
+            _log(
+                f"WARNING: self-training did not help (student dev PER "
+                f"{s:.4f} > teacher {t:.4f}) — final_model stays the "
+                "sweep winner; the student is kept under "
+                f"{st_rec['student_dir']} for inspection"
+            )
+        else:
+            report["final_model"] = st_rec["student_dir"]
     with open(os.path.join(workdir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     return report
@@ -341,6 +474,12 @@ def main(argv=None):
                         "(student must keep model.encoder=classifier)")
     p.add_argument("--student-steps", type=int, default=None,
                    help="override train.total_steps per student round")
+    p.add_argument("--no-full-length", action="store_true",
+                   help="keep the unsup recipe's frame/audio caps in "
+                        "the selftrain stage instead of lifting them "
+                        "to the corpus maximum (default lifts: a GAN "
+                        "recipe trained on short windows must not "
+                        "truncate labeling/student-training/eval)")
     p.add_argument("--force-from", choices=STAGES, default=None,
                    help="re-run this stage and everything after it")
     p.add_argument("--set-ssl", action="append", default=[],
@@ -354,12 +493,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     report = run_pipeline(args)
-    if "student_per" in report:
+    if report.get("student_per") is not None:
         _log(f"teacher PER={report['teacher_per']:.4f} "
              f"student PER={report['student_per']:.4f}")
     print(json.dumps({k: report[k] for k in
                       ("winner", "teacher_per", "student_per",
-                       "student_dir") if k in report}))
+                       "student_dir", "final_model") if k in report}))
     return 0
 
 

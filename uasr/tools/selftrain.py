@@ -15,6 +15,7 @@ then reports teacher vs student PER on the dev split.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
@@ -22,12 +23,101 @@ import jax
 import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
 
 
+def _build_hmm(cfg, probe_logits, first_batch):
+    """CTC-topology LM-HMM for Viterbi pseudo-labeling, with its
+    dwell/blank rates calibrated from the TEACHER's greedy path on the
+    first batch (ctc.viterbi_auto_rates). The calibration is what makes
+    the HMM safe on segment-level (`gan.merge_repeats`) streams — see
+    `uasr.ops.viterbi.estimate_hmm_rates`."""
+    import jax.numpy as jnp
+
+    from uasr.data.dataset import Batch
+    from uasr.ops.lm import load_lm
+    from uasr.ops.viterbi import (
+        estimate_hmm_rates, greedy_path_stats, make_lm_decoder,
+    )
+
+    sl, bp = cfg.ctc.viterbi_self_loop, cfg.ctc.viterbi_blank_prob
+    if cfg.ctc.viterbi_auto_rates:
+        fb = Batch(*map(jnp.asarray, first_batch))
+        logits, out_len = probe_logits(fb)
+        stats = greedy_path_stats(logits, out_len, cfg.ctc.blank_id)
+        sl, bp = estimate_hmm_rates(*map(int, stats))
+        print("selftrain: Viterbi rates calibrated from the teacher's "
+              f"greedy path: self_loop={sl:.3f} blank_prob={bp:.3f}",
+              file=sys.stderr)
+    dec = make_lm_decoder(
+        load_lm(cfg.ctc.lm_path), cfg.ctc.blank_id,
+        self_loop=sl, blank_prob=bp,
+    )
+    print("selftrain: Viterbi-LM pseudo-labeling enabled",
+          file=sys.stderr)
+    return dec
+
+
+def _invalidate_stale_students(cfg, teacher_ckpt_dir: str,
+                               teacher_step: int, teacher_mode: str,
+                               conf_threshold: float,
+                               init_from_teacher: bool,
+                               gold_list: str | None) -> None:
+    """Wipe existing `selftrain_r*` student checkpoints when the
+    labeling settings changed since they were trained.
+
+    Rationale (ADVICE round 3): a rerun with a different teacher,
+    threshold, or `--set-student` (e.g. enabling `ctc.use_viterbi`)
+    would otherwise find a FINISHED student checkpoint, train 0 steps
+    via restore-latest, and report a student actually trained on the
+    OLD pseudo-labels. The digest covers the teacher identity/step and
+    the full student config; identical settings keep resume intact.
+    (`--rounds` / `--student-steps` stay out of the digest: growing
+    either legitimately resumes the retained students.)"""
+    import dataclasses
+    import glob
+    import hashlib
+    import json
+    import shutil
+
+    meta = {
+        "teacher": os.path.abspath(teacher_ckpt_dir),
+        "teacher_step": teacher_step,
+        "teacher_mode": teacher_mode,
+        "conf_threshold": conf_threshold,
+        "init_from_teacher": bool(init_from_teacher),
+        "gold_list": gold_list,
+        "config": dataclasses.asdict(cfg.replace(model_dir="")),
+    }
+    digest = hashlib.sha256(
+        json.dumps(meta, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    meta_path = os.path.join(cfg.model_dir, "selftrain_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f).get("digest")
+        if old != digest:
+            stale = sorted(glob.glob(
+                os.path.join(cfg.model_dir, "selftrain_r*")))
+            for d in stale:
+                shutil.rmtree(d, ignore_errors=True)
+            if stale:
+                print(
+                    "selftrain: labeling settings changed since the "
+                    f"existing students were trained — wiped {stale} "
+                    "(they held pseudo-labels from the old settings)",
+                    file=sys.stderr,
+                )
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump({"digest": digest, "meta": meta}, f, indent=1,
+                  default=str)
+
+
 def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
                   rounds: int = 1, conf_threshold: float = 0.0,
                   student_steps: int | None = None,
                   gold_list: str | None = None,
                   restore_best: bool = False,
-                  init_from_teacher: bool = False) -> dict:
+                  init_from_teacher: bool = False,
+                  full_length: bool = True) -> dict:
     """Pseudo-label cfg's train split with the teacher under
     ``teacher_dir`` and train a CTC student (the self-training /
     GAN→HMM refinement stage — SURVEY.md §3.2 lineage). Returns
@@ -38,7 +128,15 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
     ``init_from_teacher`` fine-tunes the first student round from the
     teacher's weights instead of training from scratch (requires the
     student architecture to match the teacher's — for GAN/EODM
-    teachers that means ``model.encoder: classifier``)."""
+    teachers that means ``model.encoder: classifier``).
+
+    ``full_length`` (default) lifts the recipe's frame/audio caps to
+    the corpus maximum for this stage: a GAN recipe trained on short
+    windows (e.g. ``data.max_frames: 24``) would otherwise TRUNCATE
+    the utterances being labeled, trained on, and dev-scored — on the
+    q9 protocol that truncation alone accounted for dev PER 0.196 vs
+    0.015 (NOTES_ROUND4.md attribution). Pass ``--no-full-length`` to
+    keep the recipe's caps."""
     import numpy as np
 
     from uasr.checkpoint import CheckpointManager
@@ -49,24 +147,8 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
     )
     from uasr.train import CTCTrainer, GANTrainer, TrainState
 
-    hmm = None
-    if cfg.ctc.use_viterbi:
-        # HMM-refined pseudo-labels (GAN→HMM lineage): teacher decodes
-        # through the LM-transition Viterbi instead of greedy collapse
-        import jax.numpy as jnp
-
-        from uasr.ops.lm import load_lm
-        from uasr.ops.viterbi import lm_hmm
-
-        if not cfg.ctc.lm_path:
-            raise SystemExit("ctc.use_viterbi needs ctc.lm_path (bigram)")
-        hmm = tuple(jnp.asarray(a) for a in lm_hmm(
-            load_lm(cfg.ctc.lm_path), cfg.ctc.blank_id,
-            self_loop=cfg.ctc.viterbi_self_loop,
-            blank_prob=cfg.ctc.viterbi_blank_prob,
-        ))
-        print("selftrain: Viterbi-LM pseudo-labeling enabled",
-              file=sys.stderr)
+    if cfg.ctc.use_viterbi and not cfg.ctc.lm_path:
+        raise SystemExit("ctc.use_viterbi needs ctc.lm_path (bigram)")
     source, vocab = _load_source(cfg, "train")
     if cfg.vocab_size is None:
         cfg = cfg.replace(vocab_size=len(vocab))
@@ -85,6 +167,36 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
             for i in range(len(b.audio_lengths))
         ]
     examples = payload
+
+    if full_length and examples:
+        import dataclasses
+
+        if np.ndim(examples[0][0]) == 2:  # feature examples: frames
+            max_t = max(len(f) for f, _ in examples)
+            if cfg.data.max_frames < max_t:
+                print(
+                    "selftrain: lifting data.max_frames "
+                    f"{cfg.data.max_frames} -> {max_t} so labeling/"
+                    "training/eval see whole utterances "
+                    "(--no-full-length keeps the recipe's cap)",
+                    file=sys.stderr,
+                )
+                cfg = cfg.replace(data=dataclasses.replace(
+                    cfg.data, max_frames=max_t))
+        else:  # audio examples: samples
+            max_s = max(len(a) for a, _ in examples)
+            cap = int(cfg.data.max_audio_seconds
+                      * cfg.frontend.sample_rate)
+            if cap < max_s:
+                secs = max_s / cfg.frontend.sample_rate
+                print(
+                    "selftrain: lifting data.max_audio_seconds "
+                    f"{cfg.data.max_audio_seconds} -> {secs:.2f} "
+                    "(--no-full-length keeps the recipe's cap)",
+                    file=sys.stderr,
+                )
+                cfg = cfg.replace(data=dataclasses.replace(
+                    cfg.data, max_audio_seconds=secs))
 
     ckpt_dir = f"{teacher_dir}/best_ckpt" if restore_best \
         else f"{teacher_dir}/ckpt"
@@ -110,7 +222,7 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
                 raise SystemExit(f"no checkpoint under {ckpt_dir}")
             gstate, step = restored
             gen, g_params = gan, gstate.g_params
-        else:
+        else:  # eodm
             # EODM checkpoints are TrainState(step, params, opt), not
             # GANState — restore with the matching trainer/template
             # (the n-gram tables are irrelevant for labeling; a dummy
@@ -124,7 +236,12 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
                 raise SystemExit(f"no checkpoint under {ckpt_dir}")
             estate, step = restored
             gen, g_params = eodm, estate.params
-        label_fn = make_gan_label_fn(gen, g_params, hmm=hmm)
+
+        def probe_logits(b):
+            _, out_len, logits = gen._gen_probs(g_params, b)
+            return logits, out_len
+
+        label_maker = lambda hmm: make_gan_label_fn(gen, g_params, hmm=hmm)
         teacher_eval = lambda batches: gen.evaluate_per(g_params, batches)
     else:
         tr = CTCTrainer(cfg)
@@ -133,11 +250,24 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
         if restored is None:
             raise SystemExit(f"no checkpoint under {ckpt_dir}")
         state, step = restored
-        label_fn = make_ctc_label_fn(tr, state.params, hmm=hmm)
+
+        def probe_logits(b):
+            feats, flen = tr._feats(b.audio, b.audio_lengths)
+            return tr.model.apply(state.params, feats, flen)
+
+        label_maker = lambda hmm: make_ctc_label_fn(tr, state.params,
+                                                    hmm=hmm)
         teacher_eval = lambda batches: tr.evaluate(state.params, batches)
     mgr.close()
     print(f"teacher restored from {ckpt_dir} (step {step})",
           file=sys.stderr)
+    hmm = _build_hmm(cfg, probe_logits, first) \
+        if cfg.ctc.use_viterbi else None
+    label_fn = label_maker(hmm)
+
+    _invalidate_stale_students(cfg, ckpt_dir, int(step), teacher_mode,
+                               conf_threshold, init_from_teacher,
+                               gold_list)
 
     def dev_batches_fn():
         dev_source, _ = _load_source(cfg, "dev")
@@ -208,6 +338,13 @@ def main(argv=None):
                    help="fine-tune the first student round from the "
                         "teacher's weights instead of from scratch "
                         "(student must keep the teacher's architecture)")
+    p.add_argument("--no-full-length", action="store_true",
+                   help="keep the recipe's data.max_frames/"
+                        "max_audio_seconds caps instead of lifting "
+                        "them to the corpus maximum (by default this "
+                        "stage labels/trains/evaluates whole "
+                        "utterances even when the teacher trained on "
+                        "short windows)")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -222,6 +359,7 @@ def main(argv=None):
         student_steps=args.student_steps, gold_list=args.gold_list,
         restore_best=args.restore_best,
         init_from_teacher=args.init_from_teacher,
+        full_length=not args.no_full_length,
     )
     print(f"teacher PER={res['teacher_per']:.4f} "
           f"student PER={res['student_per']:.4f} ({args.rounds} rounds)")

@@ -761,6 +761,7 @@ class UnsupSelector:
                          else self.lm[V, V])
         self.unigram = uni
         self.kl_weight = cfg.gan.select_kl_weight
+        self.coverage_weight = cfg.gan.select_coverage_weight
         self._keeper = BestCheckpointKeeper(
             cfg.model_dir, higher_is_better=True
         )
@@ -770,7 +771,8 @@ class UnsupSelector:
 
         hyps, lens = trainer.decode_hyps(g_params, batches)
         return unsup_selection_score(
-            hyps, lens, self.lm, self.unigram, self.kl_weight
+            hyps, lens, self.lm, self.unigram, self.kl_weight,
+            coverage_weight=self.coverage_weight,
         )
 
     @property
@@ -1052,7 +1054,9 @@ def run_gan_training(
                 sel = selector.score(trainer, state.g_params, dev)
                 extra = {"unsup_score": sel["score"],
                          "unsup_lm_lp": sel["lm_logprob_per_token"],
-                         "unsup_usage_kl": sel["usage_kl"]}
+                         "unsup_usage_kl": sel["usage_kl"],
+                         **({"unsup_coverage_kl": sel["coverage_kl"]}
+                            if sel.get("coverage_kl") is not None else {})}
                 if selector.update(sel["score"], step, state):
                     extra["unsup_best"] = sel["score"]
             writer.write(step, "dev", per=per, **extra)
@@ -1119,7 +1123,9 @@ def run_eodm_training(
                 sel = selector.score(trainer, state.params, dev)
                 extra = {"unsup_score": sel["score"],
                          "unsup_lm_lp": sel["lm_logprob_per_token"],
-                         "unsup_usage_kl": sel["usage_kl"]}
+                         "unsup_usage_kl": sel["usage_kl"],
+                         **({"unsup_coverage_kl": sel["coverage_kl"]}
+                            if sel.get("coverage_kl") is not None else {})}
                 if selector.update(sel["score"], step, state):
                     extra["unsup_best"] = sel["score"]
             writer.write(step, "dev", per=per, **extra)
