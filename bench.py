@@ -418,7 +418,162 @@ def run_stages(B=128, seconds=8.0, iters=20, encoder="conv_bigru"):
     return stages
 
 
-def run_ssl(B=64, seconds=8.0, warmup=10, iters=40):
+def _ssl_cfg(front="conv"):
+    cfg = _bench_cfg()
+    cfg.train.mode = "ssl"
+    cfg.ssl.context_pallas = True
+    if front == "patch":
+        # patch-rate stack with the same 160x total downsample and
+        # comparable capacity: 20-sample GEMM embed -> k3 context conv
+        # -> three strided convs (see SSLConfig.front)
+        cfg.ssl.front = "patch"
+        cfg.ssl.patch_size = 20
+        cfg.ssl.conv_channels = (256, 256, 256, 512)
+        cfg.ssl.conv_kernels = (3, 4, 4, 2)
+        cfg.ssl.conv_strides = (1, 2, 2, 2)
+    return cfg
+
+
+def run_ssl_stages(B=64, seconds=8.0, iters=30, front="conv"):
+    """Stage attribution for the SSL pretraining step (VERDICT round-3
+    item 3: the ~21% MFU was never attributed). Progressive-prefix
+    timings with the airtight tunnel-proof harness (carry chain +
+    full-output reduction + host-read fence, as in run_stages):
+    per-conv-layer prefixes, + causal GRU context, + heads, + InfoNCE,
+    backward, optimizer."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from uasr.data.dataset import Batch
+    from uasr.models.layers import GRULayer
+    from uasr.models.ssl import ConvFeatureEncoder
+    from uasr.pretrain import SSLTrainer
+
+    cfg = _ssl_cfg(front)
+    batch = _make_batch(B, seconds)
+    db = Batch(*map(jnp.asarray, batch))
+    trainer = SSLTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), db)
+    dt = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    p = state.params["params"]
+    audio, lengths = db.audio, db.audio_lengths
+
+    def timeit(fn):
+        # identical harness to run_stages (see its docstring)
+        @jax.jit
+        def jfn(eps):
+            out = fn(eps)
+            tot = sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree.leaves(out)
+            )
+            return tot * jnp.float32(1e-24)
+
+        carry = jfn(jnp.zeros((), jnp.float32))
+        carry = jfn(carry)
+        _ = float(carry)
+        t0 = time.time()
+        for _ in range(iters):
+            carry = jfn(carry)
+        _ = float(carry)
+        return (time.time() - t0) / iters * 1e3
+
+    stages = {}
+    n = len(cfg.ssl.conv_channels)
+    prev = 0.0
+    for i in range(1, n + 1):
+        sub_cfg = dataclasses.replace(
+            cfg.ssl,
+            conv_channels=tuple(cfg.ssl.conv_channels[:i]),
+            conv_kernels=tuple(cfg.ssl.conv_kernels[:i]),
+            conv_strides=tuple(cfg.ssl.conv_strides[:i]),
+        )
+        sub = ConvFeatureEncoder(sub_cfg, dtype=dt)
+        keep = {
+            k: v for k, v in p["encoder"].items()
+            if k in ("patch_embed", "patch_norm")
+            or (k.startswith("conv") and int(k[4:]) < i)
+            or (k.startswith("LayerNorm")
+                and int(k.split("_")[1]) < i)
+        }
+        t = timeit(lambda eps, m=sub, kp=keep: m.apply(
+            {"params": kp}, audio + eps, lengths))
+        stages[f"conv{i - 1}_fwd_ms"] = round(t - prev, 2)
+        prev = t
+    t_z = prev
+
+    enc = ConvFeatureEncoder(cfg.ssl, dtype=dt)
+    gru = GRULayer(cfg.ssl.context_hidden, dtype=dt,
+                   use_pallas=cfg.ssl.context_pallas)
+
+    def with_gru(eps):
+        z, fl = enc.apply({"params": p["encoder"]}, audio + eps, lengths)
+        return gru.apply({"params": p["context"]}, z, fl)
+
+    t_zc = timeit(with_gru)
+    t_fwd = timeit(lambda eps: trainer.model.apply(
+        state.params, audio + eps, lengths))
+    rng1 = jax.random.PRNGKey(1)
+    t_loss = timeit(lambda eps: trainer._loss(
+        state.params, db._replace(audio=audio + eps), rng1)[0])
+    t_grad = timeit(lambda eps: jax.value_and_grad(
+        lambda q: trainer._loss(
+            q, db._replace(audio=audio + eps), rng1)[0])(
+                state.params)[1])
+
+    # backward decomposition: grad of progressively longer prefixes
+    # (sum-of-outputs scalarization; the DELTAS attribute the backward)
+    def g_conv(eps):
+        def f(q):
+            z, fl = enc.apply({"params": q}, audio + eps, lengths)
+            return jnp.sum(z.astype(jnp.float32)) * 1e-12
+        return jax.value_and_grad(f)(p["encoder"])[1]
+
+    t_gc = timeit(g_conv)
+
+    def g_convgru(eps):
+        def f(q):
+            z, fl = enc.apply({"params": q["encoder"]}, audio + eps,
+                              lengths)
+            c = gru.apply({"params": q["context"]}, z, fl)
+            return jnp.sum(c.astype(jnp.float32)) * 1e-12
+        return jax.value_and_grad(f)(
+            {"encoder": p["encoder"], "context": p["context"]})[1]
+
+    t_gcg = timeit(g_convgru)
+    step_fn = trainer.jitted_train_step()
+    s, aux = step_fn(state, db, rng1)
+    _ = float(aux["nce_loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        s, aux = step_fn(s, db, rng1)
+    _ = float(aux["nce_loss"])
+    t_step = (time.time() - t0) / iters * 1e3
+
+    stages.update({
+        "conv_stack_fwd_ms": round(t_z, 2),
+        "gru_context_fwd_ms": round(t_zc - t_z, 2),
+        "heads_fwd_ms": round(t_fwd - t_zc, 2),
+        "infonce_ms": round(t_loss - t_fwd, 2),
+        "backward_ms": round(t_grad - t_loss, 2),
+        # fwd+bwd prefix times; conv bwd ~= t_gc - t_z, GRU bwd ~=
+        # (t_gcg - t_gc) - (t_zc - t_z), loss/heads bwd = the rest
+        "conv_fwdbwd_ms": round(t_gc, 2),
+        "convgru_fwdbwd_ms": round(t_gcg, 2),
+        "optimizer_ms": round(t_step - t_grad, 2),
+        "step_ms": round(t_step, 2),
+        "audio_sec_per_sec": round(B * seconds / (t_step / 1e3), 1),
+    })
+    for k, v in stages.items():
+        print(f"{k}: {v}", file=sys.stderr)
+    return stages
+
+
+def run_ssl(B=64, seconds=8.0, warmup=10, iters=40, front="conv"):
     """SSL pretraining throughput: the jitted contrastive step (conv
     encoder + Pallas causal GRU context + InfoNCE over 100 sampled
     negatives) at production shapes."""
@@ -430,9 +585,7 @@ def run_ssl(B=64, seconds=8.0, warmup=10, iters=40):
     from uasr.data.dataset import Batch
     from uasr.pretrain import SSLTrainer
 
-    cfg = _bench_cfg()
-    cfg.train.mode = "ssl"
-    cfg.ssl.context_pallas = True
+    cfg = _ssl_cfg(front)
     batch = _make_batch(B, seconds)
     trainer = SSLTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -750,7 +903,12 @@ def main():
                    help="model-FLOP utilization of the train step "
                         "(XLA cost analysis / measured time / bf16 peak)")
     p.add_argument("--ssl", action="store_true",
-                   help="SSL contrastive-pretraining throughput")
+                   help="SSL contrastive-pretraining throughput "
+                        "(add --stages for the stage attribution)")
+    p.add_argument("--ssl-front", choices=["conv", "patch"],
+                   default="patch",
+                   help="SSL waveform front (patch = the round-4 "
+                        "flagship: 20-sample GEMM embed at patch rate)")
     p.add_argument("--gan", action="store_true",
                    help="GAN adversarial-cycle throughput")
     p.add_argument("--decode", choices=["greedy", "beam", "viterbi"],
@@ -796,8 +954,15 @@ def main():
         return
 
     if args.ssl:
+        if args.stages:
+            print(json.dumps(run_ssl_stages(
+                B=min(args.batch or 64, 64), seconds=args.seconds,
+                front=args.ssl_front,
+            )))
+            return
         print(json.dumps(run_ssl(
-            B=min(args.batch or 64, 64), seconds=args.seconds
+            B=min(args.batch or 64, 64), seconds=args.seconds,
+            front=args.ssl_front,
         )))
         return
 

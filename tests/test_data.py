@@ -190,3 +190,69 @@ def test_aligned_iterator_keeps_remainder_for_eval():
         drop_remainder=False,
     ))
     assert [b.audio.shape[0] for b in both] == [2, 2, 1]
+
+
+def test_formant_synthesis_contract():
+    """The hard stand-in corpus (round-4): formant-style synthesis must
+    (a) be spectrally phone-separable, (b) carry NO deterministic phase
+    (narrowband noise, unlike the tone corpus), (c) vary per utterance
+    (speaker factor), (d) keep the alignment contract."""
+    import numpy as np
+
+    from uasr.data.dataset import make_synthetic_dataset, synth_formant_audio
+
+    P = 6
+    rng = np.random.RandomState(0)
+    # (a) the same phone twice vs two different phones: average
+    # log-spectra of same-phone segments must be closer
+    def spec(audio):
+        n = (len(audio) // 400) * 400
+        frames = audio[:n].reshape(-1, 400) * np.hanning(400)
+        return np.log(np.abs(np.fft.rfft(frames, axis=1)).mean(0) + 1e-6)
+
+    draws = 6
+    specs = np.stack([
+        np.stack([
+            spec(synth_formant_audio(
+                [p] * 6, P, rng=np.random.RandomState(100 * p + d)))
+            for d in range(draws)
+        ]) for p in range(1, P + 1)
+    ])  # [P, draws, F]
+    centers = specs.mean(1)
+    within = np.mean([
+        np.abs(specs[p] - centers[p]).mean() for p in range(P)
+    ])
+    between = np.mean([
+        np.abs(centers[p] - centers[q]).mean()
+        for p in range(P) for q in range(P) if p != q
+    ])
+    # speaker/channel variation is REAL (that is the point of the hard
+    # corpus) but phone identity must still dominate on average
+    assert between > 1.5 * within, (within, between)
+
+    # (b) no deterministic phase: two draws of the same phone string
+    # must be UNCORRELATED sample-by-sample (tones were identical up to
+    # a phase offset)
+    a1 = synth_formant_audio([1] * 6, P, rng=np.random.RandomState(1))
+    a1b = synth_formant_audio([1] * 6, P, rng=np.random.RandomState(2))
+    n = min(len(a1), len(a1b))
+    corr = np.corrcoef(a1[:n], a1b[:n])[0, 1]
+    assert abs(corr) < 0.2, corr
+
+    # (c) per-utterance speaker variation is present
+    assert within > 0.01
+
+    # (d) alignment contract matches the tone synth's
+    audio, align = synth_formant_audio(
+        [1, 3, 2], P, rng=np.random.RandomState(4), return_align=True
+    )
+    T = max(1 + (len(audio) - 400) // 160, 1)
+    assert len(align) == T
+    assert set(align) <= {1, 2, 3}
+    assert align[0] == 1 and align[-1] == 2
+
+    # dataset plumbing: style flows through make_synthetic_dataset
+    exs, vocab = make_synthetic_dataset(
+        num_utts=4, num_phones=P, seed=0, syntax="markov", style="formant"
+    )
+    assert len(exs) == 4 and all(len(a) > 1000 for a, _ in exs)

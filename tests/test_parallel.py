@@ -208,11 +208,15 @@ def test_sequence_shard_rejected_for_finite_rf_encoders():
         build_model(cfg.model, 10)
 
 
-@pytest.mark.parametrize("use_beam", [False, True])
-def test_sharded_inference_matches_single_device(tmp_path, use_beam):
+@pytest.mark.parametrize("use_beam", [False, True, "pallas"])
+def test_sharded_inference_matches_single_device(tmp_path, use_beam,
+                                                 monkeypatch):
     """run_inference over the 8-device mesh == single-device decode:
     same PER/error counts and identical hyp files, including a ragged
-    batch (B=10 not divisible by 8 -> zero-pad + slice-back path)."""
+    batch (B=10 not divisible by 8 -> zero-pad + slice-back path).
+    use_beam="pallas" engages the whole-recursion beam KERNEL per data
+    shard via shard_map (interpret mode on CPU) — the round-4 sharded
+    Pallas beam path — and asserts it was actually selected."""
     from uasr.config import CTCConfig
     from uasr.infer import run_inference
 
@@ -222,6 +226,8 @@ def test_sharded_inference_matches_single_device(tmp_path, use_beam):
     if use_beam:
         cfg = cfg.replace(ctc=CTCConfig(blank_id=0, use_beam=True,
                                         beam_width=4))
+    if use_beam == "pallas":
+        monkeypatch.setenv("UASR_PALLAS_BEAM", "interpret")
 
     def batches():
         return batch_iterator(
@@ -237,10 +243,16 @@ def test_sharded_inference_matches_single_device(tmp_path, use_beam):
         cfg, mesh=make_mesh(1, devices=[jax.devices()[0]])
     )
 
+    import uasr.infer as I
+
     res_m = run_inference(cfg, t_multi, state, batches(), vocab=vocab,
                           hyp_path=str(tmp_path / "hyp_multi.txt"))
+    if use_beam == "pallas":
+        assert I.LAST_BEAM_IMPL == "pallas_sharded"
     res_s = run_inference(cfg, t_single, state, batches(), vocab=vocab,
                           hyp_path=str(tmp_path / "hyp_single.txt"))
+    if use_beam == "pallas":
+        assert I.LAST_BEAM_IMPL == "pallas"
     assert res_m["errors"] == res_s["errors"]
     assert res_m["ref_tokens"] == res_s["ref_tokens"]
     assert res_m["per"] == pytest.approx(res_s["per"])

@@ -471,3 +471,165 @@ def test_recurrent_streaming_beam_matches_offline_beam_trained():
         np.testing.assert_array_equal(
             np.asarray(final[b, :n]), np.asarray(ids_off[b, :n])
         )
+
+
+# ---------------------------------------------------------------- round 4:
+# merge-repeats streaming + approximate BiGRU window streaming
+
+
+def test_merge_streaming_matches_offline_generator_decode():
+    """gan.merge_repeats checkpoints stream EXACTLY: the merge-collapse
+    carry (blanks do not reset the repeat carry) reproduces greedy
+    decode of the merged train-eval stream (GeneratorInfer pathway) —
+    the round-3 export refusal is lifted for merge-only recipes."""
+    import dataclasses
+
+    from uasr.config import GANConfig, TrainConfig
+    from uasr.train import GeneratorInfer
+
+    chunk = 16
+    cfg = _cfg("classifier", chunk)
+    cfg = cfg.replace(
+        train=TrainConfig(mode="gan"),
+        gan=GANConfig(merge_repeats=True),
+    )
+    examples, vocab = make_synthetic_dataset(
+        num_utts=3, num_phones=6, min_len=4, max_len=7, seed=7
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples, cs)
+
+    gi = GeneratorInfer(cfg)
+    params = gi.init_params(
+        jax.random.PRNGKey(2), audio, np.asarray(lengths)
+    )
+
+    @jax.jit
+    def offline(a, ln):
+        logits, out_len = gi.logits_fn(params, a, ln)
+        return ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+
+    ids, n = offline(jnp.asarray(audio), jnp.asarray(lengths))
+    offline_toks = [
+        list(map(int, np.asarray(ids[b, : int(n[b])])))
+        for b in range(len(n))
+    ]
+
+    rec = StreamingRecognizer(cfg, params, chunk_frames=chunk)
+    assert rec.collapse == "merge"
+    streamed = _streamed(rec, jnp.asarray(audio), cs)
+    assert streamed == offline_toks, (streamed, offline_toks)
+    assert any(len(t) for t in streamed)
+
+    # kmeans segmenter recipes still refuse (whole-utterance pooling)
+    cfg_k = cfg.replace(gan=GANConfig(merge_repeats=True,
+                                      segmenter="kmeans"))
+    with pytest.raises(ValueError, match="segmenter"):
+        StreamingRecognizer(cfg_k, params, chunk_frames=chunk)
+    # beam + merge refuses (the beam runs on the raw frame stream)
+    cfg_b = cfg.replace(ctc=dataclasses.replace(cfg.ctc, use_beam=True))
+    with pytest.raises(ValueError, match="beam"):
+        StreamingRecognizer(cfg_b, params, chunk_frames=chunk)
+
+
+def _bigru_cfg(chunk):
+    cfg = _cfg("conv_bigru", chunk)
+    cfg.model = ModelConfig(
+        encoder="conv_bigru", hidden_size=32, num_gru_layers=1,
+        num_conv_layers=2, conv_time_stride=2, conv_kernel=5,
+        conv_channels=8,
+    )
+    return cfg
+
+
+def test_bigru_approx_streaming_exact_when_window_covers():
+    """approx_context window streaming is EXACT whenever the rolling
+    window still covers the whole utterance (nothing has been evicted
+    and finish() sees every frame) — the base guarantee users can size
+    lookback against. Without the opt-in, conv_bigru still refuses."""
+    chunk = 32
+    cfg = _bigru_cfg(chunk)
+    examples, vocab = make_synthetic_dataset(
+        num_utts=3, num_phones=6, min_len=3, max_len=5, seed=9
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples, cs)
+    B, L = audio.shape
+    n_frames = L // cfg.frontend.frame_shift
+
+    trainer = CTCTrainer(cfg)
+    f0, l0 = compute_features(
+        jnp.asarray(audio), jnp.asarray(lengths),
+        trainer.frontend_state, cfg.frontend,
+    )
+    params = trainer.model.init(jax.random.PRNGKey(4), f0, l0)
+
+    with pytest.raises(ValueError, match="unbounded"):
+        StreamingRecognizer(cfg, params, chunk_frames=chunk)
+
+    _, offline_toks = _offline(trainer, params, audio, lengths,
+                               cfg.ctc.blank_id)
+    # lookback so large the window never rolls for these utterances
+    rec = StreamingRecognizer(
+        cfg, params, chunk_frames=chunk,
+        lookback_frames=n_frames, approx_context=True,
+    )
+    assert rec.approx
+    streamed = _streamed(rec, jnp.asarray(audio), cs)
+    assert streamed == offline_toks, (streamed, offline_toks)
+
+
+@pytest.mark.slow
+def test_bigru_approx_streaming_parity_bound_trained():
+    """The documented contract of approximate BiGRU streaming: on a
+    trained model, window streaming stays close to the offline decode,
+    and the divergence SHRINKS as lookback grows."""
+    chunk = 32
+    cfg = _bigru_cfg(chunk)
+    examples, vocab = make_synthetic_dataset(
+        num_utts=32, num_phones=6, min_len=6, max_len=10, seed=0
+    )
+    cfg = cfg.replace(vocab_size=len(vocab))
+    trainer = CTCTrainer(cfg)
+    it = iter(batch_iterator(examples, 8, 4 * 16000, 12, seed=0,
+                             num_epochs=None))
+    first = Batch(*next(it))
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
+    step = trainer.jitted_train_step()
+    rng = jax.random.PRNGKey(1)
+    for i in range(60):
+        b = Batch(*(first if i == 0 else next(it)))
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, b, sub)
+    params = jax.device_get(state.params)
+
+    cs = chunk * cfg.frontend.frame_shift
+    audio, lengths = _padded_audio(examples[:8], cs)
+    _, offline_toks = _offline(trainer, params, audio, lengths,
+                               cfg.ctc.blank_id)
+
+    def agreement(lookback):
+        rec = StreamingRecognizer(
+            cfg, params, chunk_frames=chunk,
+            lookback_frames=lookback, approx_context=True,
+        )
+        streamed = _streamed(rec, jnp.asarray(audio), cs)
+        from uasr.native import batch_edit_distance_native
+
+        errs = tot = 0
+        for s, o in zip(streamed, offline_toks):
+            N = max(len(s), len(o), 1)
+            a = np.zeros((1, N), np.int32)
+            bb = np.zeros((1, N), np.int32)
+            a[0, : len(o)] = o
+            bb[0, : len(s)] = s
+            errs += int(batch_edit_distance_native(
+                a, np.asarray([len(o)]), bb, np.asarray([len(s)]))[0])
+            tot += len(o)
+        return 1.0 - errs / max(tot, 1)
+
+    small, big = agreement(chunk), agreement(4 * chunk)
+    assert big >= small - 1e-9, (small, big)
+    assert big > 0.85, (small, big)

@@ -67,6 +67,7 @@ def _load_source(cfg, split: str):
             min_len=cfg.data.synthetic_min_len,
             max_len=cfg.data.synthetic_max_len,
             with_alignments=aligned,
+            style=cfg.data.synthetic_style,
         )
         if split == "labeled":
             # semi-sup mix-in: the labeled split is a small paired

@@ -299,6 +299,15 @@ class SSLConfig:
     # convs on top — ~20x cheaper per audio-second on TPU (the
     # waveform-rate conv stack dominates the step; BASELINE.md round 3)
     input_type: str = "waveform"  # waveform | fbank
+    # waveform front: "conv" = wav2vec-style overlapping strided conv
+    # as layer 0; "patch" = non-overlapping patch_size-sample GEMM
+    # embed to conv_channels[0], then the conv stack at patch rate.
+    # The patch front removes the enormous stride-5 first intermediate
+    # ([B, L/5, C] — 840 MB at bench shapes) that made the step
+    # bandwidth-bound (round-4 SSL attribution, BASELINE.md): same
+    # trick as the CTC flagship's model.conv_front=patch.
+    front: str = "conv"  # conv | patch
+    patch_size: int = 20  # samples per patch (front=patch)
     conv_channels: tuple = (256, 256, 256, 256, 512)
     conv_kernels: tuple = (10, 8, 4, 4, 2)
     conv_strides: tuple = (5, 4, 2, 2, 2)  # product = total downsample
@@ -352,6 +361,9 @@ class DataConfig:
     loader_threads: int = 0  # native decoder threads; 0 = hardware default
     synthetic: bool = False  # generate synthetic data (tests / benches)
     synthetic_num_utts: int = 128
+    # tone = one pure tone per phone (easy); formant = narrowband-noise
+    # formants + speaker/channel variation (the hard stand-in corpus)
+    synthetic_style: str = "tone"
     # iid = Zipf unigrams; markov = fixed sparse phonotactics — REQUIRED
     # for unsupervised identifiability (see dataset.synthetic_phonotactics)
     synthetic_syntax: str = "iid"

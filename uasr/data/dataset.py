@@ -195,6 +195,93 @@ def synth_tone_audio(
     return audio, align
 
 
+def _phone_formants(num_phones: int) -> np.ndarray:
+    """Fixed per-phone formant table [P, 3] in Hz. Deterministic (the
+    language, not the data): formants are spread over vowel-like ranges
+    with a per-phone scramble so adjacent phone ids are NOT adjacent in
+    formant space."""
+    rng = np.random.RandomState(777)
+    P = num_phones
+    f1 = 280.0 + 620.0 * rng.permutation(P) / max(P - 1, 1)
+    f2 = 950.0 + 1500.0 * rng.permutation(P) / max(P - 1, 1)
+    f3 = 2400.0 + 900.0 * rng.permutation(P) / max(P - 1, 1)
+    return np.stack([f1, f2, f3], axis=1)
+
+
+def synth_formant_audio(
+    ids: Sequence[int],
+    num_phones: int,
+    sample_rate: int = 16000,
+    frames_per_phone: tuple[int, int] = (8, 16),
+    noise: float = 0.05,
+    rng: np.random.RandomState | None = None,
+    return_align: bool = False,
+):
+    """Formant-style phone synthesis — the HARD quality stand-in corpus
+    (round-4, VERDICT round-3 weak #6: pure tones let CPC win by
+    tracking deterministic phase, and chance/PER anchors said little
+    about TIMIT-like difficulty).
+
+    Each phone k is 2-3 NARROWBAND NOISE bands at fixed per-phone
+    formant frequencies (`_phone_formants`): cos(2π f t + φ(t)) with
+    φ(t) a Brownian phase walk, so there is no deterministic phase to
+    track — only spectral envelope identity, like real speech. Per
+    utterance: a speaker factor (all formants scaled by ~N(1, 0.06)),
+    a spectral tilt (channel), and a broadband noise floor. Amplitude
+    envelopes rise/fall per phone so boundaries are smooth.
+
+    Same contract as `synth_tone_audio` (+ optional frame alignment).
+    """
+    rng = rng or np.random.RandomState(0)
+    hop = 160
+    frame_len = 400
+    formants = _phone_formants(num_phones)
+    speaker = 1.0 + 0.06 * rng.randn()  # vocal-tract length factor
+    tilt_db_per_khz = rng.uniform(-2.0, 2.0)  # channel tilt
+    band_amps = np.array([1.0, 0.6, 0.3])
+    pieces = []
+    spans = []
+    end = 0
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    for k in ids:
+        # 1-indexed phone ids (0 = blank) -> formant row
+        row = formants[(int(k) - 1) % num_phones] * speaker
+        n = int(rng.randint(frames_per_phone[0],
+                            frames_per_phone[1] + 1)) * hop
+        t = np.arange(n)
+        seg = np.zeros(n)
+        for j, (f, a) in enumerate(zip(row, band_amps)):
+            f = min(f, 0.45 * sample_rate)
+            # Brownian phase walk: ~80 Hz bandwidth around the formant
+            dphi = (2 * np.pi * f / sample_rate
+                    + 0.12 * rng.randn(n))
+            ph = phase[j] + np.cumsum(dphi)
+            phase[j] = ph[-1]
+            gain = a * 10.0 ** (tilt_db_per_khz * (f / 1000.0) / 20.0)
+            seg += gain * np.cos(ph)
+        # smooth rise/fall envelope (10 ms) at phone boundaries
+        ramp = min(160, n // 4)
+        env = np.ones(n)
+        env[:ramp] = np.linspace(0.2, 1.0, ramp)
+        env[-ramp:] = np.linspace(1.0, 0.2, ramp)
+        pieces.append(0.25 * seg * env)
+        end += n
+        spans.append((end, int(k)))
+    audio = np.concatenate(pieces) if pieces else np.zeros(hop)
+    audio = (audio + noise * rng.randn(len(audio))).astype(np.float32)
+    if not return_align:
+        return audio
+    T = max(1 + (len(audio) - frame_len) // hop, 1)
+    align = []
+    si = 0
+    for t in range(T):
+        center = t * hop + frame_len // 2
+        while si < len(spans) - 1 and center >= spans[si][0]:
+            si += 1
+        align.append(spans[si][1] if spans else 0)
+    return audio, align
+
+
 def synthetic_phonotactics(num_phones: int, seed: int = 1234) -> np.ndarray:
     """A fixed sparse Markov transition matrix over phones (zero
     diagonal), the synthetic language's 'phonotactics'.
@@ -234,14 +321,19 @@ def make_synthetic_dataset(
     zipf: bool = True,
     syntax: str = "iid",  # iid | markov
     with_alignments: bool = False,
+    style: str = "tone",  # tone | formant
 ) -> tuple[list, Vocab]:
-    """Random phone strings -> tone audio.
+    """Random phone strings -> synthetic audio.
 
     syntax="iid": Zipf-ish independent draws (non-trivial unigram stats).
     syntax="markov": strings from `synthetic_phonotactics` — required for
     unsupervised identifiability (see that docstring).
     with_alignments=True: examples are (audio, ids, frame_align) triples
-    for frame-CE / alignment-supervised training."""
+    for frame-CE / alignment-supervised training.
+    style="tone": one pure tone per phone (the easy corpus — CPC can
+    track deterministic phase). style="formant": narrowband-noise
+    formant synthesis with speaker/channel variation
+    (`synth_formant_audio`) — the hard quality stand-in."""
     rng = np.random.RandomState(seed)
     vocab = make_vocab([f"p{i}" for i in range(num_phones)])
     trans = synthetic_phonotactics(num_phones) if syntax == "markov" else None
@@ -261,11 +353,18 @@ def make_synthetic_dataset(
                 int(x) if x != ids[i] else int(1 + (x % num_phones))
                 for i, x in enumerate(ids[1:])
             ]
+        if style == "formant":
+            synth = lambda ids, **kw: synth_formant_audio(  # noqa: E731
+                ids, num_phones, **kw)
+        elif style == "tone":
+            synth = synth_tone_audio
+        else:
+            raise ValueError(f"unknown synthetic style {style!r}")
         if with_alignments:
-            audio, align = synth_tone_audio(ids, rng=rng, return_align=True)
+            audio, align = synth(ids, rng=rng, return_align=True)
             examples.append((audio, ids, align))
         else:
-            examples.append((synth_tone_audio(ids, rng=rng), ids))
+            examples.append((synth(ids, rng=rng), ids))
     return examples, vocab
 
 

@@ -50,11 +50,33 @@ class ConvFeatureEncoder(nn.Module):
             layers = zip(self.cfg.fbank_conv_channels,
                          self.cfg.fbank_conv_kernels,
                          self.cfg.fbank_conv_strides)
+            x = x * _length_mask(x, lengths)
+        elif self.cfg.front == "patch":
+            # non-overlapping patch embed (one MXU GEMM) straight to
+            # patch rate: kills the stride-5 first-layer intermediate
+            # that made the conv front bandwidth-bound (round-4 SSL
+            # attribution — backward was 64% of the step, dominated by
+            # passes over [B, L/5, C])
+            P = self.cfg.patch_size
+            B, L = audio.shape
+            x = audio.astype(self.dtype)
+            x = x * (jnp.arange(L)[None, :] < lengths[:, None])
+            if L % P:
+                x = jnp.pad(x, ((0, 0), (0, P - L % P)))
+            x = x.reshape(B, -1, P)
+            x = nn.Dense(self.cfg.conv_channels[0], dtype=self.dtype,
+                         name="patch_embed")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+            x = nn.gelu(x)
+            lengths = (lengths + P - 1) // P
+            layers = zip(self.cfg.conv_channels, self.cfg.conv_kernels,
+                         self.cfg.conv_strides)
+            x = x * _length_mask(x, lengths)
         else:
             x = audio[..., None].astype(self.dtype)  # [B, L, 1]
             layers = zip(self.cfg.conv_channels, self.cfg.conv_kernels,
                          self.cfg.conv_strides)
-        x = x * _length_mask(x, lengths)
+            x = x * _length_mask(x, lengths)
         for i, (c, k, s) in enumerate(layers):
             x = nn.Conv(c, (k,), strides=(s,), padding="SAME",
                         dtype=self.dtype, name=f"conv{i}")(x)

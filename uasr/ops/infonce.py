@@ -57,18 +57,25 @@ def info_nce_loss(
     pairs, accuracy = fraction of pairs where the positive wins).
     """
     B, T, K, C = preds.shape
-    pn = _l2norm(preds)
+    # cosine = (p . z_n) / |p|: dividing SCORES by the prediction norm
+    # instead of materializing a normalized [B, T, K, C] copy of preds
+    # saves two full passes over the largest tensor in the loss
+    # (round-4 SSL attribution: the loss was bandwidth-bound)
+    inv_pn = jax.lax.rsqrt(jnp.sum(
+        jnp.square(preds.astype(jnp.float32)), axis=-1) + 1e-8
+    )  # [B, T, K]
     zn = _l2norm(z)
     tpos = jnp.arange(T)[None, :, None]  # [1, T, 1]
     targets = tpos + jnp.arange(1, K + 1)[None, None, :]  # [1, T, K]
     pair_valid = targets < lengths[:, None, None]  # [B, T, K]
-    pos = _pos_scores(pn, zn) / temperature  # [B, T, K]
+    pos = _pos_scores(preds, zn) * inv_pn / temperature  # [B, T, K]
 
     if neg_indices is None:
         # exact softmax over every valid in-utterance position
         scores = jnp.einsum(
-            "btkc,bsc->btks", pn, zn, preferred_element_type=jnp.float32
-        ) / temperature
+            "btkc,bsc->btks", preds, zn,
+            preferred_element_type=jnp.float32,
+        ) * inv_pn[..., None] / temperature
         valid_s = (jnp.arange(T)[None, :] < lengths[:, None])  # [B, S]
         scores = jnp.where(valid_s[:, None, None, :], scores, _NEG_INF)
         lse = jax.nn.logsumexp(scores, axis=-1)
@@ -81,8 +88,9 @@ def info_nce_loss(
     else:
         zneg = jnp.take_along_axis(zn, neg_indices[:, :, None], axis=1)
         neg = jnp.einsum(
-            "btkc,bnc->btkn", pn, zneg, preferred_element_type=jnp.float32
-        ) / temperature  # [B, T, K, N]
+            "btkc,bnc->btkn", preds, zneg,
+            preferred_element_type=jnp.float32,
+        ) * inv_pn[..., None] / temperature  # [B, T, K, N]
         # mask negatives that happen to BE the target position (the
         # positive would compete with itself and the loss could never
         # reach zero)

@@ -282,6 +282,13 @@ def main(argv=None):
                    help="export the ONLINE chunk step (uasr.serve) "
                         "instead of the offline batch pipeline")
     p.add_argument("--chunk-frames", type=int, default=None)
+    p.add_argument("--lookback-frames", type=int, default=None,
+                   help="streaming window left context (frames)")
+    p.add_argument("--approx-streaming", action="store_true",
+                   help="allow window-bounded APPROXIMATE streaming "
+                        "for unbounded-context encoders (conv_bigru / "
+                        "attention): context limited to the rolling "
+                        "window; not exact-parity")
     p.add_argument("--compose-featurizer", default=None, metavar="YAML",
                    help="ssl recipe whose trained model becomes the "
                         "audio->features stage composed IN FRONT of "
@@ -480,18 +487,20 @@ def _export_streaming(cfg, args, restored_params, step):
     if cfg.train.mode in ("ssl",):
         raise SystemExit("--streaming exports a decoding checkpoint, "
                          "not an ssl featurizer")
-    if cfg.train.mode in ("gan", "eodm", "gan+eodm") and (
-            cfg.gan.segmenter != "none" or cfg.gan.merge_repeats):
-        # the online recognizer applies the raw classifier; a
-        # segment/merge-trained checkpoint would silently serve a
-        # different representation than it trained on (round-2 lesson)
+    if cfg.train.mode in ("gan", "eodm", "gan+eodm") and \
+            cfg.gan.segmenter != "none":
+        # segment pooling needs the whole utterance; merge_repeats
+        # checkpoints DO stream exactly (the recognizer's merge
+        # collapse reproduces the train-eval representation — round 4)
         raise SystemExit(
-            "--streaming serves the raw frame-rate classifier; this "
-            "recipe trained with gan.segmenter/merge_repeats — export "
-            "the offline artifact instead"
+            "--streaming cannot serve gan.segmenter=kmeans recipes "
+            "(segment pooling reads the whole utterance) — export the "
+            "offline artifact instead"
         )
     rec = StreamingRecognizer(
-        cfg, restored_params, chunk_frames=args.chunk_frames
+        cfg, restored_params, chunk_frames=args.chunk_frames,
+        lookback_frames=args.lookback_frames,
+        approx_context=args.approx_streaming,
     )
     B = args.batch
     cs = rec.chunk * cfg.frontend.frame_shift
@@ -534,6 +543,8 @@ def _export_streaming(cfg, args, restored_params, step):
     meta = {
         "mode": "streaming",
         "decode": "beam" if rec.use_beam else "greedy",
+        "collapse": rec.collapse,
+        "approx_context": rec.approx,
         "beam_width": rec.beam_width if rec.use_beam else None,
         "streams": B,
         "chunk_samples": cs,

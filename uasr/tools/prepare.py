@@ -353,7 +353,7 @@ def cmd_synth(args):
 
     examples, vocab = make_synthetic_dataset(
         num_utts=args.num_utts, num_phones=args.num_phones, seed=args.seed,
-        with_alignments=args.align,
+        with_alignments=args.align, syntax=args.syntax, style=args.style,
     )
     os.makedirs(args.out_dir, exist_ok=True)
     wav_dir = os.path.join(args.out_dir, "wav")
@@ -497,6 +497,12 @@ def main(argv=None):
     s.add_argument("--align", action="store_true",
                    help="write a 4th column of per-frame phone labels "
                         "(forced-alignment track for train.mode=frame_ce)")
+    s.add_argument("--syntax", choices=["iid", "markov"], default="iid",
+                   help="markov = phonotactic grammar (required for "
+                        "unsupervised identifiability)")
+    s.add_argument("--style", choices=["tone", "formant"], default="tone",
+                   help="formant = narrowband-noise formants + speaker/"
+                        "channel variation (the hard stand-in corpus)")
     s.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
