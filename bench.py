@@ -573,7 +573,8 @@ def run_ssl_stages(B=64, seconds=8.0, iters=30, front="conv"):
     return stages
 
 
-def run_ssl(B=64, seconds=8.0, warmup=10, iters=40, front="conv"):
+def run_ssl(B=64, seconds=8.0, warmup=10, iters=40, front="conv",
+            remat=False):
     """SSL pretraining throughput: the jitted contrastive step (conv
     encoder + Pallas causal GRU context + InfoNCE over 100 sampled
     negatives) at production shapes."""
@@ -586,6 +587,7 @@ def run_ssl(B=64, seconds=8.0, warmup=10, iters=40, front="conv"):
     from uasr.pretrain import SSLTrainer
 
     cfg = _ssl_cfg(front)
+    cfg.ssl.remat_encoder = remat
     batch = _make_batch(B, seconds)
     trainer = SSLTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -963,6 +965,7 @@ def main():
         print(json.dumps(run_ssl(
             B=min(args.batch or 64, 64), seconds=args.seconds,
             front=args.ssl_front,
+            remat=bool(os.environ.get("UASR_SSL_REMAT")),
         )))
         return
 

@@ -26,13 +26,15 @@ def test_host_batch_slice_single_process():
 
 
 @pytest.mark.slow
-def test_two_process_coordination():
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_coordination(n_procs):
     """REAL multi-process execution of the pod helpers (round-2 VERDICT
-    item 4): two CPU processes join one jax.distributed coordination
-    service, each contributes its host_batch_slice rows via
-    make_global_batch, and a jitted global reduction returns the same
-    correct value on both. Skippable with UASR_SKIP_MULTIPROC=1 (e.g.
-    sandboxes that block localhost sockets)."""
+    item 4; round-4 adds the 4-process variant): N CPU processes join
+    one jax.distributed coordination service, each contributes its
+    host_batch_slice rows via make_global_batch, and a jitted global
+    reduction returns the same correct value on all. Skippable with
+    UASR_SKIP_MULTIPROC=1 (e.g. sandboxes that block localhost
+    sockets)."""
     import os
     import socket
     import subprocess
@@ -55,11 +57,12 @@ def test_two_process_coordination():
     ckpt_dir = tempfile.mkdtemp(prefix="uasr_dist_ckpt_")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", addr, ckpt_dir],
+            [sys.executable, worker, str(i), str(n_procs), addr,
+             ckpt_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=repo,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -71,7 +74,7 @@ def test_two_process_coordination():
             raise
         assert p.returncode == 0, err[-3000:]
         outs.append(out)
-    # sum over the assembled global batch x[i]=i, i<8 -> 28 on BOTH hosts
+    # sum over the assembled global batch x[i]=i, i<8 -> 28 everywhere
     for i, out in enumerate(outs):
         assert f"RESULT {i} 28.0" in out, (i, out)
 
@@ -86,7 +89,8 @@ def test_two_process_coordination():
         m = re.search(rf"TRAIN {i} ([-\d.]+) ([-\d.]+)", out)
         assert m, (i, out)
         vals.append((float(m.group(1)), float(m.group(2))))
-    assert vals[0] == pytest.approx(vals[1], rel=1e-5), vals
+    for v in vals[1:]:
+        assert vals[0] == pytest.approx(v, rel=1e-5), vals
 
     from tests._distributed_worker import build_case, run_train_step
     from uasr.parallel.mesh import shard_batch
@@ -108,7 +112,8 @@ def test_two_process_coordination():
         assert m, (i, out)
         assert m.group(1) == "1", (i, out)
         cks.append(float(m.group(2)))
-    assert cks[0] == pytest.approx(cks[1], rel=1e-9), cks
+    for c in cks[1:]:
+        assert cks[0] == pytest.approx(c, rel=1e-9), cks
 
 
 def test_make_global_batch_places_on_mesh():

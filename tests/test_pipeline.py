@@ -335,3 +335,78 @@ def test_pipeline_without_ssl_single_seed(tmp_path):
     assert report["winner"]["model_dir"].endswith("seed0")
     assert "selftrain" not in report["stages"]
     assert os.path.exists(f"{wd}/lm.npz")
+
+
+@pytest.mark.slow
+def test_pipeline_preemption_mid_sweep_resumes(tmp_path):
+    """Hard preemption (SIGKILL) in the middle of sweep seed 1: the
+    rerun must NOT retrain seed 0 (its finished checkpoint falls
+    through restore-latest) and must RESUME seed 1 from its saved step
+    instead of restarting at 0 (round-4, VERDICT round-3 item 9)."""
+    import signal
+
+    _, gan_yaml = _write_recipes(tmp_path)
+    wd = str(tmp_path / "pipe3")
+    args = [
+        "--workdir", wd, "--unsup-config", gan_yaml, "--seeds", "2",
+        "--selftrain-rounds", "0",
+        "--set-unsup", "data.synthetic=true",
+        "--set-unsup", "data.synthetic_num_utts=48",
+        "--set-unsup", "data.synthetic_min_len=4",
+        "--set-unsup", "data.synthetic_max_len=8",
+        "--set-unsup", "data.max_audio_seconds=1.5",
+        "--set-unsup", "train.total_steps=40",
+        "--set-unsup", "train.eval_every=10",
+        "--set-unsup", "train.save_every=10",
+        "--set-unsup", "train.log_every=10",
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "uasr.tools.pipeline", *args],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    # watch the merged stream until seed 1 has SAVED at least one
+    # checkpoint (step 20 > save_every 10), then hard-kill
+    seed1_started = False
+    saw_seed1_step = False
+    deadline = time.monotonic() + 480
+    try:
+        for line in proc.stdout:
+            if time.monotonic() > deadline:
+                break
+            if "sweep: seed 1" in line:
+                seed1_started = True
+            if seed1_started and "step 20:" in line:
+                saw_seed1_step = True
+                break
+        assert seed1_started and saw_seed1_step, "never reached seed 1"
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        try:
+            proc.kill()
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+    # seed 0 finished (ckpt at step 40); seed 1 has a partial ckpt
+    from uasr.selftrain import _existing_ckpt_step
+
+    assert _existing_ckpt_step(f"{wd}/unsup/seed0/ckpt") == 40
+    partial = _existing_ckpt_step(f"{wd}/unsup/seed1/ckpt")
+    assert partial is not None and 0 < partial < 40, partial
+    # the killed run never recorded the sweep stage
+    with open(f"{wd}/pipeline.json") as f:
+        stages = json.load(f)["stages"]
+    assert "sweep" not in stages
+
+    r2 = _run_pipeline(args)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    # seed 0 fell straight through; seed 1 resumed from its partial step
+    assert "restored_step=40" in r2.stdout, r2.stdout[-2000:]
+    assert f"restored_step={partial}" in r2.stdout, r2.stdout[-2000:]
+    with open(f"{wd}/report.json") as f:
+        report = json.load(f)
+    assert len(report["stages"]["sweep"]["ranking"]) == 2

@@ -441,3 +441,48 @@ def test_conformer_ctc_learns(tiny_setup):
         state.params, itertools.islice(_batches(examples, seed=9), 4)
     )
     assert per < 0.3, per
+
+
+@pytest.mark.slow
+def test_ctc_learns_formant_corpus():
+    """The round-4 HARD stand-in corpus (narrowband-noise formants +
+    speaker/channel variation) must remain supervised-learnable:
+    held-out PER well below the tone corpus's chance while clearly
+    harder than tones (measured 0.031 at 512 utts/300 steps,
+    BASELINE.md round 4)."""
+    from uasr.config import (
+        Config, FrontendConfig, ModelConfig, TrainConfig,
+    )
+
+    examples, vocab = make_synthetic_dataset(
+        num_utts=256, num_phones=6, min_len=4, max_len=8, seed=0,
+        syntax="markov", style="formant",
+    )
+    heldout, _ = make_synthetic_dataset(
+        num_utts=48, num_phones=6, min_len=4, max_len=8, seed=1,
+        syntax="markov", style="formant",
+    )
+    cfg = Config(
+        name="formant_sup",
+        frontend=FrontendConfig(num_mel_bins=40, cmvn="utterance"),
+        model=ModelConfig(encoder="cnn", hidden_size=64,
+                          num_conv_layers=2, conv_time_stride=2,
+                          conv_kernel=5),
+        train=TrainConfig(total_steps=250, lr=2e-3, warmup_steps=20,
+                          grad_clip=5.0),
+        vocab_size=len(vocab),
+    )
+    trainer = CTCTrainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    first = next(_batches(examples, 1))
+    state = trainer.init_state(rng, first)
+    step_fn = trainer.jitted_train_step()
+    for b in _batches(examples, 250):
+        rng, sub = jax.random.split(rng)
+        state, _aux = step_fn(state, Batch(*map(jnp.asarray, b)), sub)
+    per = trainer.evaluate(
+        state.params,
+        batch_iterator(heldout, 8, 16 * 16000 // 10, 8, shuffle=False,
+                       num_epochs=1),
+    )
+    assert per < 0.25, per

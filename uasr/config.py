@@ -308,6 +308,10 @@ class SSLConfig:
     # trick as the CTC flagship's model.conv_front=patch.
     front: str = "conv"  # conv | patch
     patch_size: int = 20  # samples per patch (front=patch)
+    # rematerialize the conv encoder in the backward pass (trade
+    # recompute for stored-activation bandwidth — the SSL step is
+    # bandwidth-bound; measure per shape)
+    remat_encoder: bool = False
     conv_channels: tuple = (256, 256, 256, 256, 512)
     conv_kernels: tuple = (10, 8, 4, 4, 2)
     conv_strides: tuple = (5, 4, 2, 2, 2)  # product = total downsample

@@ -100,8 +100,12 @@ class CPCModel(nn.Module):
 
     @nn.compact
     def __call__(self, audio: jax.Array, lengths: jax.Array):
-        z, flen = ConvFeatureEncoder(self.cfg, dtype=self.dtype,
-                                     name="encoder")(audio, lengths)
+        enc_cls = (
+            nn.remat(ConvFeatureEncoder)
+            if self.cfg.remat_encoder else ConvFeatureEncoder
+        )
+        z, flen = enc_cls(self.cfg, dtype=self.dtype,
+                          name="encoder")(audio, lengths)
         c = GRULayer(self.cfg.context_hidden, dtype=self.dtype,
                      use_pallas=self.cfg.context_pallas,
                      name="context")(z, flen)  # causal: left-to-right scan

@@ -24,18 +24,26 @@ _NEG_INF = -1e30
 
 
 def _l2norm(x, eps=1e-8):
-    return x * jax.lax.rsqrt(jnp.sum(
+    # norm accumulated in f32, result kept in x's dtype: promoting the
+    # normalized latents to f32 would force every downstream score
+    # einsum off the bf16 MXU path (round-4 SSL attribution — the
+    # heads+InfoNCE backward dominated the residual step time)
+    inv = jax.lax.rsqrt(jnp.sum(
         jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) + eps)
+    return x * inv.astype(x.dtype)
 
 
 def _pos_scores(pn, zn):
-    """pn: [B, T, K, C] normalized predictions; zn: [B, T, C] normalized
-    latents. Returns [B, T, K] cosine of pred (t, k) with z_{t+k},
-    via K static shifted slices (no [B,T,K,C] gather)."""
+    """pn: [B, T, K, C] predictions; zn: [B, T, C] normalized latents.
+    Returns [B, T, K] dot of pred (t, k) with z_{t+k}, via K static
+    shifted slices (no [B,T,K,C] gather); f32 accumulation."""
     B, T, K, C = pn.shape
     zpad = jnp.pad(zn, ((0, 0), (0, K), (0, 0)))
     cols = [
-        jnp.sum(pn[:, :, k, :] * zpad[:, k + 1 : k + 1 + T, :], axis=-1)
+        jnp.einsum(
+            "btc,btc->bt", pn[:, :, k, :], zpad[:, k + 1 : k + 1 + T, :],
+            preferred_element_type=jnp.float32,
+        )
         for k in range(K)
     ]
     return jnp.stack(cols, axis=-1)  # [B, T, K]

@@ -835,6 +835,20 @@ class PreemptionGuard:
 # -------------------------------------------------------------- loops
 
 
+def _replicate_restored(state, mesh):
+    """Checkpoint-restored arrays arrive COMMITTED to one device; a
+    mesh-jitted train step over a sharded batch then fails with an
+    incompatible-devices error (surfaced by the round-4
+    preemption-mid-sweep test: GAN seed resume crashed on the 8-device
+    mesh). Replicate the whole state over the trainer's mesh — the same
+    rule run_inference applies to restored params."""
+    if mesh is None or np.prod(list(mesh.shape.values())) == 1:
+        return state
+    from uasr.parallel.mesh import replicated
+
+    return jax.device_put(state, replicated(mesh))
+
+
 def run_ctc_training(
     cfg: Config,
     train_batches: Iterator[Batch],
@@ -858,6 +872,7 @@ def run_ctc_training(
         restored = ckpt.restore_latest(state)
         if restored is not None:
             state, start = restored
+            state = _replicate_restored(state, trainer.mesh)
             log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
     keeper = None
@@ -955,6 +970,7 @@ def run_gan_training(
     restored = ckpt.restore_latest(state)
     if restored is not None:
         state, start = restored
+        state = _replicate_restored(state, trainer.mesh)
         log_stdout(start, "resume", restored_step=start)
 
     tables = None
@@ -1092,6 +1108,7 @@ def run_eodm_training(
     restored = ckpt.restore_latest(state)
     if restored is not None:
         state, start = restored
+        state = _replicate_restored(state, trainer.mesh)
         log_stdout(start, "resume", restored_step=start)
     step_fn = trainer.jitted_train_step()
     selector = UnsupSelector(cfg) if cfg.gan.select_lm_path else None
