@@ -108,6 +108,54 @@ def test_engine_dynamic_join_leave_reuse(trained):
         engine.stop()
 
 
+def test_fused_step_and_finish_matches_separate_dispatches(trained):
+    """masked_step_and_finish (the daemon's single-dispatch finalize
+    tick) == masked_step followed by finish_and_reset: identical step
+    output, final output, and resulting state, for disjoint
+    step/finish slot sets with a length stamp in the same tick."""
+    cfg, trainer, params, examples = trained
+    audios = _pick_mixed(examples, 3)
+    cs = CHUNK * cfg.frontend.frame_shift
+    rec = StreamingRecognizer(cfg, params, chunk_frames=CHUNK)
+
+    def chunk_of(a, i):
+        out = np.zeros((cs,), np.float32)
+        piece = a[i * cs : (i + 1) * cs]
+        out[: len(piece)] = piece
+        return out
+
+    # warm all three slots with two chunks each
+    state = rec.init(3)
+    for i in range(2):
+        chunks = np.stack([chunk_of(a, i) for a in audios])
+        state, _, _ = rec.masked_step(state, chunks, np.ones(3, bool))
+
+    # the tick under test: slots 0,1 step (slot 1 stamps its length),
+    # slot 2 finishes+resets
+    chunks = np.stack(
+        [chunk_of(audios[0], 2), chunk_of(audios[1], 2), np.zeros(cs, np.float32)]
+    )
+    mask = np.array([True, True, False])
+    fmask = np.array([False, False, True])
+    smask = np.array([False, True, False])
+    samples = np.array([0, len(audios[1]), 0], np.int64)
+
+    st_a, sout_a, fout_a = rec.masked_step_and_finish(
+        state, chunks, mask, fmask, smask, samples
+    )
+    st_b, sout_b = rec.masked_step(
+        state, chunks, mask, smask, samples, packed=True
+    )
+    st_b, fout_b = rec.finish_and_reset(st_b, fmask, packed=True)
+
+    np.testing.assert_array_equal(np.asarray(sout_a), np.asarray(sout_b))
+    fa, fb = np.asarray(fout_a), np.asarray(fout_b)
+    # finish columns are meaningful only for the finishing slot
+    np.testing.assert_array_equal(fa[2], fb[2])
+    for la, lb in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_engine_beam_mode_staggered(trained):
     """Beam serving through the engine: per-slot beam state survives
     masked idling and staggered joins; finals equal the offline beam."""

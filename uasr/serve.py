@@ -521,6 +521,82 @@ class StreamingRecognizer:
         o = np.asarray(out)
         return kept, o[:, :-1], o[:, -1]
 
+    def masked_step_and_finish(self, state, audio_chunks, mask,
+                               finish_mask, stamp_mask=None,
+                               stamp_samples=None):
+        """masked_step + finish_and_reset over DISJOINT slot sets in
+        ONE dispatch. The daemon's finalize tick otherwise pays a
+        separate finish dispatch (one extra ~9 ms tunnel round trip per
+        utterance end — BASELINE.md serve ladder); finalizing slots
+        never carry a chunk in the same tick, and per-slot state is
+        independent, so stepping and finishing compose in either order.
+
+        Returns (state, step_out [B, K+1], finish_out [B, Kf+1]) as
+        PACKED DEVICE arrays (column layouts as masked_step /
+        finish_and_reset; the caller materializes after overlapping
+        work)."""
+        import numpy as np
+
+        S = self.chunk * self.cfg.frontend.frame_shift
+        if audio_chunks.shape[-1] != S:
+            raise ValueError(
+                f"chunk must be exactly {S} samples, got "
+                f"{audio_chunks.shape[-1]}"
+            )
+        if not hasattr(self, "_step_finish_fn"):
+            import functools
+
+            template = self.init(len(mask))
+
+            def impl(params, state, packed_in, fmask):
+                chunks = packed_in[:, :S]
+                aux = jax.lax.bitcast_convert_type(
+                    packed_in[:, S:], jnp.int32
+                )
+                m = aux[:, 0] != 0
+                smask = aux[:, 1] != 0
+                fs = self.cfg.frontend.frame_shift
+                frames = (aux[:, 2] + fs - 1) // fs
+                state = state._replace(
+                    valid_frames=jnp.where(smask, frames,
+                                           state.valid_frames)
+                )
+                new, ids, counts = self._step_impl(params, state, chunks)
+                kept = self._select_slots(m, new, state)
+                counts = jnp.where(m, counts, 0)
+                step_out = jnp.concatenate(
+                    [ids, counts[:, None]], axis=1
+                )
+                _fin, fids, fcounts = self._finish_impl(params, kept)
+                kept = self._select_slots(fmask, template, kept)
+                fin_out = jnp.concatenate(
+                    [fids, fcounts[:, None].astype(fids.dtype)], axis=1
+                )
+                return kept, step_out, fin_out
+
+            self._step_finish_fn = jax.jit(
+                functools.partial(impl, self.params)
+            )
+        B = len(mask)
+        aux = np.zeros((B, 3), np.int32)
+        aux[:, 0] = np.asarray(mask, bool)
+        if stamp_mask is not None:
+            aux[:, 1] = np.asarray(stamp_mask, bool)
+            aux[:, 2] = np.asarray(stamp_samples, np.int64).clip(
+                0, 2**31 - 1
+            )
+        packed_in = np.concatenate(
+            [np.asarray(audio_chunks, np.float32), aux.view(np.float32)],
+            axis=1,
+        )
+        kept, sout, fout = self._step_finish_fn(
+            state, packed_in, jnp.asarray(finish_mask, bool)
+        )
+        # DEVICE arrays returned (packed semantics): materializing here
+        # would serialize the tick — the daemon drains the previous
+        # tick's output while this dispatch runs, then reads fout
+        return kept, sout, fout
+
     def finish_and_reset(self, state, mask, packed=False):
         """Decode the masked slots' final region AND re-initialize them
         for the next client, in one dispatch: returns (state_with_masked_

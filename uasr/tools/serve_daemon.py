@@ -196,7 +196,14 @@ class ServingEngine:
                     stamp += [s for s in stamp2 if s not in stamp]
                     final += [s for s in final2 if s not in final]
 
+            reset = None
+            if final:
+                reset = np.zeros((B,), bool)
+                for sess in final:
+                    reset[sess.slot] = True
+
             dispatched = None
+            fout = None
             if chunks or stamp:
                 mask = np.zeros((B,), bool)
                 audio = np.zeros((B, S), np.float32)
@@ -209,10 +216,21 @@ class ServingEngine:
                     smask[sess.slot] = True
                     samples[sess.slot] = sess.total_samples
                     sess.stamped = True
-                self.state, out = self.rec.masked_step(
-                    self.state, audio, mask, smask, samples, packed=True
-                )
-                dispatched = ([s for s, _ in chunks], out)
+                if final:
+                    # finalize tick: the step AND the finish+reset ride
+                    # ONE dispatch (finalizing slots never carry a
+                    # chunk this tick; per-slot state is independent) —
+                    # saves a full round trip per utterance end
+                    self.state, out, fout = self.rec.masked_step_and_finish(
+                        self.state, audio, mask, reset, smask, samples
+                    )
+                    dispatched = ([s for s, _ in chunks], out)
+                else:
+                    self.state, out = self.rec.masked_step(
+                        self.state, audio, mask, smask, samples,
+                        packed=True,
+                    )
+                    dispatched = ([s for s, _ in chunks], out)
 
             # previous tick's outputs are ready (or nearly); pull them
             # while this tick's step runs on device
@@ -225,13 +243,11 @@ class ServingEngine:
                 # in it, but their last chunk may be the one in flight)
                 self._drain(pending)
                 pending = None
-                reset = np.zeros((B,), bool)
-                for sess in final:
-                    reset[sess.slot] = True
                 need_finish = [s for s in final if not s.dead]
-                self.state, fout = self.rec.finish_and_reset(
-                    self.state, reset, packed=True
-                )
+                if fout is None:
+                    self.state, fout = self.rec.finish_and_reset(
+                        self.state, reset, packed=True
+                    )
                 if need_finish:
                     fout = np.asarray(fout)  # [B, K+1]; col K = count
                 for sess in final:
