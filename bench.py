@@ -52,6 +52,8 @@ def _bench_cfg(encoder="conv_bigru", conv_front=None):
             encoder=encoder, hidden_size=512, num_gru_layers=2,
             conv_channels=32, num_conv_layers=2, conv_time_stride=2,
             dtype="bfloat16", gru_pallas=True,
+            attn_pallas=os.environ.get("UASR_BENCH_ATTN", "pallas")
+            == "pallas",
             # flagship default: the MXU-aligned patch front (same
             # receptive-field class as the reference's conv2d blocks;
             # measured vs conv2d in BASELINE.md round 3 — the 32-wide

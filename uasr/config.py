@@ -134,6 +134,9 @@ class ModelConfig:
     gru_unroll: int = 4  # lax.scan unroll of the recurrent body
     gru_remat: bool = False  # recompute GRU gates in backward (saves HBM)
     gru_pallas: bool = False  # whole GRU recurrence as one Pallas kernel
+    # fused Pallas MHSA for the attention encoders (scores stay in
+    # VMEM; falls back to flax on CPU / with attention dropout)
+    attn_pallas: bool = False
     conv_channels: int = 64
     num_conv_layers: int = 2
     conv_kernel: int = 3

@@ -190,6 +190,13 @@ class TransformerEncoder(nn.Module):
         attn_mask = key_mask[:, None, None, :]  # [B, 1, 1(q), T(k)]
         ffn = cfg.ffn_dim or 4 * cfg.hidden_size
         deterministic = not self.has_rng("dropout")
+        attn_fn = nn.dot_product_attention
+        if cfg.attn_pallas:
+            # fused Pallas MHSA (ops/pallas_attention.py): scores stay
+            # in VMEM; internally falls back to flax on CPU or when
+            # attention dropout is active
+            from uasr.ops.pallas_attention import fused_dot_product_attention
+            attn_fn = fused_dot_product_attention
         for i in range(cfg.transformer_layers):
             h = nn.LayerNorm(dtype=dt, name=f"ln_a{i}")(x)
             h = nn.MultiHeadDotProductAttention(
@@ -197,6 +204,7 @@ class TransformerEncoder(nn.Module):
                 dtype=dt,
                 dropout_rate=cfg.dropout,
                 deterministic=deterministic,
+                attention_fn=attn_fn,
                 name=f"mha{i}",
             )(h, h, mask=attn_mask)
             x = x + h
@@ -290,6 +298,14 @@ class ConformerEncoder(nn.Module):
                 (cfg.num_heads, 2 * R + 1), jnp.float32,
             )
             bias = table[:, rel_idx][None]  # [1, H, T, T]
+            base_attn = nn.dot_product_attention
+            if cfg.attn_pallas:
+                # fused Pallas MHSA with the rel-pos bias added (and
+                # its gradient accumulated) in-kernel
+                from uasr.ops.pallas_attention import (
+                    fused_dot_product_attention,
+                )
+                base_attn = fused_dot_product_attention
             h = nn.LayerNorm(dtype=dt, name=f"ln_a{i}")(x)
             h = nn.MultiHeadDotProductAttention(
                 num_heads=cfg.num_heads,
@@ -297,7 +313,7 @@ class ConformerEncoder(nn.Module):
                 dropout_rate=cfg.dropout,
                 deterministic=deterministic,
                 attention_fn=functools.partial(
-                    nn.dot_product_attention, bias=bias.astype(dt)
+                    base_attn, bias=bias.astype(dt)
                 ),
                 name=f"mha{i}",
             )(h, h, mask=attn_mask)
