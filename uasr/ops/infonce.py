@@ -104,9 +104,10 @@ def info_nce_loss(
         # reach zero)
         collide = neg_indices[:, None, None, :] == targets[..., None]
         neg = jnp.where(collide, _NEG_INF, neg)
-        lse = jax.nn.logsumexp(
-            jnp.concatenate([pos[..., None], neg], axis=-1), axis=-1
-        )
+        # lse over {pos} ∪ negatives without concatenating a
+        # [B, T, K, N+1] copy of the biggest tensor in the loss: fold
+        # the positive in with one [B, T, K]-shaped logaddexp
+        lse = jnp.logaddexp(jax.nn.logsumexp(neg, axis=-1), pos)
         nll = lse - pos
         win = pos >= jnp.max(neg, axis=-1)
 
