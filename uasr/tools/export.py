@@ -308,6 +308,12 @@ def main(argv=None):
                    metavar="WORKDIR",
                    help="derive all --compose-*/--feat-* settings from "
                         "a uasr-pipeline workdir's manifest")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="weight-only per-channel int8 PTQ: kernels "
+                        "stored int8 + f32 scales, dequantized inside "
+                        "the artifact (ops/quantize.py); ~4x smaller "
+                        "params, greedy transcripts essentially "
+                        "unchanged")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -412,6 +418,37 @@ def main(argv=None):
         restored_params = {"featurizer": fparams,
                            "model": restored_params}
 
+    quant_meta = None
+    if args.quantize == "int8":
+        from uasr.ops.quantize import (
+            dequantize_tree, quantize_tree, quantized_bytes,
+        )
+
+        fp_fn = fn
+        restored_params, n_q = quantize_tree(restored_params)
+        if n_q == 0:
+            raise SystemExit(
+                "--quantize int8: no kernels large enough to quantize"
+            )
+        params, _ = quantize_tree(params)
+        qb, fb = quantized_bytes(restored_params)
+
+        def fn(qparams, audio, lengths):  # noqa: F811
+            # dequantize to f32 — the dtype the checkpoint stores;
+            # the model's own `dtype` handles bf16 compute casting
+            return fp_fn(dequantize_tree(qparams), audio, lengths)
+
+        quant_meta = {
+            "scheme": "int8_weight_per_channel_symmetric",
+            "quantized_kernels": int(n_q),
+            "params_bytes": int(qb),
+            "float_equivalent_bytes": int(fb),
+        }
+        print(
+            f"quantized {n_q} kernels: params {fb / 1e6:.1f} MB -> "
+            f"{qb / 1e6:.1f} MB", file=sys.stderr,
+        )
+
     exp = jexport.export(
         jax.jit(fn), platforms=args.platforms.split(","),
     )(params, a_spec, l_spec)
@@ -439,6 +476,7 @@ def main(argv=None):
         "checkpoint_step": int(step),
         "output_shapes": [list(s.shape) for s in ids_shape],
         "composed_featurizer": feat_meta,
+        "quantization": quant_meta,
         "params_pytree": (
             "dict with 'featurizer' and 'model' keys"
             if feat_meta is not None else "model params"
