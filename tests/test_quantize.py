@@ -100,6 +100,48 @@ def test_trained_model_transcripts_survive_quantization():
     assert agree >= B - 1  # at most one utterance may flip a near-tie
 
 
+def test_bigru_recurrent_weights_survive_quantization():
+    """The GRU wx/wh custom params quantize too (layers.py); the
+    recurrence does not amplify per-channel int8 error into transcript
+    changes on a trained conv_bigru."""
+    from test_serve import _bigru_cfg, _train_briefly
+    from uasr.frontend.features import compute_features
+    from uasr.ops.decode import ctc_greedy_decode
+
+    cfg, trainer, params, examples = _train_briefly(_bigru_cfg(32),
+                                                    seed=5, steps=60)
+    B = 8
+    L = max(len(a) for a, _ in examples[:B])
+    audio = np.zeros((B, L), np.float32)
+    lens = np.zeros((B,), np.int64)
+    for b, (a, _) in enumerate(examples[:B]):
+        audio[b, : len(a)] = a
+        lens[b] = len(a)
+
+    @jax.jit
+    def decode(p, audio, lengths):
+        feats, flen = compute_features(
+            audio, lengths, trainer.frontend_state, trainer.cfg.frontend
+        )
+        logits, out_len = trainer.model.apply(p, feats, flen)
+        return ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+
+    qparams, n = quantize_tree(params, min_size=512)
+    leaves = jax.tree_util.tree_leaves_with_path(qparams)
+    assert any("wx" in jax.tree_util.keystr(k) and "qint8" in
+               jax.tree_util.keystr(k) for k, _ in leaves)
+    assert any("wh" in jax.tree_util.keystr(k) and "qint8" in
+               jax.tree_util.keystr(k) for k, _ in leaves)
+    ids_fp, n_fp = decode(params, audio, lens)
+    ids_q, n_q = decode(dequantize_tree(qparams), audio, lens)
+    agree = sum(
+        list(np.asarray(ids_fp[b, : int(n_fp[b])]))
+        == list(np.asarray(ids_q[b, : int(n_q[b])]))
+        for b in range(B)
+    )
+    assert agree >= B - 1
+
+
 @pytest.mark.slow
 def test_export_quantized_artifact(tmp_path):
     """uasr-export --quantize int8: artifact self-consistent (--check),

@@ -46,13 +46,14 @@ def dequantize_leaf(node: dict, dtype=None) -> jax.Array:
 
 
 def quantize_tree(params, min_size: int = 4096,
-                  key_names: tuple = ("kernel", "embedding")):
+                  key_names: tuple = ("kernel", "embedding", "wx", "wh")):
     """Return (quantized pytree, number of quantized leaves).
 
     Only dict entries whose KEY is in `key_names` (flax Dense / Conv /
-    DenseGeneral kernels, embeddings), with ndim >= 2 and at least
-    `min_size` elements, are quantized — biases, LayerNorm scale/bias,
-    and small projections keep full precision. The returned tree is the
+    DenseGeneral kernels, embeddings, and the GRU layers' wx/wh
+    projection matrices — layers.py custom params), with ndim >= 2 and
+    at least `min_size` elements, are quantized — biases, LayerNorm
+    scale/bias, and small projections keep full precision. The returned tree is the
     same nested-dict structure with each such leaf replaced by
     {"qint8", "qscale"}; `dequantize_tree` restores it.
     """
