@@ -178,3 +178,39 @@ def test_export_quantized_artifact(tmp_path):
     assert qm["scheme"] == "int8_weight_per_channel_symmetric"
     assert qm["quantized_kernels"] >= 2
     assert qm["params_bytes"] < 0.5 * qm["float_equivalent_bytes"]
+
+
+@pytest.mark.slow
+def test_export_streaming_quantized_artifact(tmp_path):
+    """--streaming --quantize int8: the online chunk-step artifact
+    carries int8 params and --check passes against the (dequantized)
+    live recognizer chunk-for-chunk."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["UASR_FORCE_CPU"] = "1"
+
+    def run(mod, args):
+        return subprocess.run(
+            [sys.executable, "-m", mod, *args], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=560,
+        )
+
+    md = str(tmp_path / "exp")
+    common = ["-c", "configs/synthetic_smoke.yaml",
+              "--set", f"model_dir={md}",
+              "--set", "frontend.cmvn=streaming",
+              "--set", "frontend.streaming_chunk_frames=32"]
+    r = run("uasr.cli", common + ["--mode", "train",
+                                  "--set", "train.total_steps=30",
+                                  "--set", "train.save_every=30",
+                                  "--set", "train.log_every=30"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = str(tmp_path / "serve_sq")
+    r = run("uasr.tools.export",
+            common + ["--out", out, "--streaming", "--chunk-frames",
+                      "32", "--batch", "2", "--platforms", "cpu",
+                      "--check", "--quantize", "int8"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "check ok" in r.stderr
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["quantization"]["quantized_kernels"] >= 2

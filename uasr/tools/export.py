@@ -535,8 +535,35 @@ def _export_streaming(cfg, args, restored_params, step):
             "(segment pooling reads the whole utterance) — export the "
             "offline artifact instead"
         )
+    quant_meta = None
+    deq = lambda p: p  # noqa: E731
+    live_params = restored_params
+    if getattr(args, "quantize", None) == "int8":
+        from uasr.ops.quantize import (
+            dequantize_tree, quantize_tree, quantized_bytes,
+        )
+
+        restored_params, n_q = quantize_tree(restored_params)
+        if n_q == 0:
+            raise SystemExit(
+                "--quantize int8: no kernels large enough to quantize"
+            )
+        qb, fb = quantized_bytes(restored_params)
+        deq = dequantize_tree
+        # the live-side recognizer (--check reference) must BE the
+        # quantized model, not the fp one
+        live_params = jax.jit(dequantize_tree)(restored_params)
+        quant_meta = {
+            "scheme": "int8_weight_per_channel_symmetric",
+            "quantized_kernels": int(n_q),
+            "params_bytes": int(qb),
+            "float_equivalent_bytes": int(fb),
+        }
+        print(f"quantized {n_q} kernels: params {fb / 1e6:.1f} MB -> "
+              f"{qb / 1e6:.1f} MB", file=sys.stderr)
+
     rec = StreamingRecognizer(
-        cfg, restored_params, chunk_frames=args.chunk_frames,
+        cfg, live_params, chunk_frames=args.chunk_frames,
         lookback_frames=args.lookback_frames,
         approx_context=args.approx_streaming,
     )
@@ -547,12 +574,12 @@ def _export_streaming(cfg, args, restored_params, step):
 
     def step_flat(params, flat_state, chunk):
         st = jax.tree.unflatten(treedef, flat_state)
-        st2, ids, counts = rec._step_impl(params, st, chunk)
+        st2, ids, counts = rec._step_impl(deq(params), st, chunk)
         return tuple(jax.tree.leaves(st2)), ids, counts
 
     def finish_flat(params, flat_state):
         st = jax.tree.unflatten(treedef, flat_state)
-        st2, ids, counts = rec._finish_impl(params, st)
+        st2, ids, counts = rec._finish_impl(deq(params), st)
         return tuple(jax.tree.leaves(st2)), ids, counts
 
     spec = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)  # noqa: E731
@@ -592,6 +619,7 @@ def _export_streaming(cfg, args, restored_params, step):
         "sample_rate": cfg.frontend.sample_rate,
         "vocab_size": cfg.dim_output,
         "state_leaves": len(flat0),
+        "quantization": quant_meta,
         "platforms": platforms,
         "checkpoint_step": int(step),
         "calling_convention": (
