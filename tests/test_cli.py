@@ -507,6 +507,45 @@ def test_apply_overrides_sequences_and_scalars():
         raise AssertionError("bad int override did not raise")
 
 
+def test_dev_eval_is_full_length_by_default():
+    """train.dev_full_length (default): the dev iterator's caps are
+    sized to the split's real maxima, so dev eval / keep_best / the
+    label-free selector never score TRUNCATED utterances (the round-4
+    TPU pipeline run showed a max_frames=24 recipe making selection
+    pick a 0.17-PER basin over a 0.06 one). Opting out restores the
+    training caps."""
+    import numpy as np
+
+    from uasr.cli import _dev_batches_fn
+
+    cfg = load_config(os.path.join(REPO, "configs", "synthetic_smoke.yaml"))
+    # training window caps far below the synthetic utterance lengths
+    cfg.data.max_audio_seconds = 0.3
+    cfg.data.max_label_len = 2
+    cfg.data.batch_size = 4
+
+    batches = list(_dev_batches_fn(cfg, None)())
+    cap = int(0.3 * cfg.frontend.sample_rate)
+    longest = max(int(b.audio_lengths.max()) for b in batches)
+    assert longest > cap, "dev batches still truncated to the train cap"
+    assert max(int(b.label_lengths.max()) for b in batches) > 2
+
+    cfg.train.dev_full_length = False
+    batches = list(_dev_batches_fn(cfg, None)())
+    assert all(int(b.audio_lengths.max()) <= cap for b in batches)
+
+    # feature-source variant: frames + label caps lifted the same way
+    from uasr.cli import _lift_caps_for_split
+
+    feats = [("u%d" % i, np.zeros((30 + i, 8), np.float32),
+              list(range(5 + i))) for i in range(3)]
+    cfg.data.max_frames = 10
+    lifted = _lift_caps_for_split(cfg, ("features", feats))
+    assert lifted.data.max_frames == 32
+    assert lifted.data.max_label_len == 7
+    assert lifted.data.bucket_boundaries == []
+
+
 @pytest.mark.slow
 def test_cli_streaming_train_from_disk(tmp_path):
     """data.streaming (default) drives training straight from wav files

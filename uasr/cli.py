@@ -283,11 +283,61 @@ def _scalar(s: str):
             return s
 
 
+def _lift_caps_for_split(cfg, source):
+    """Return cfg with the data caps sized to `source`'s real maxima
+    (train.dev_full_length): batching allocates to the caps, so a
+    sentinel like 1<<30 is not an option — compute the split's actual
+    max frames / samples / label length instead. Cheap for every
+    source kind: feature caches hold small dev shards, the streaming
+    loader already scanned num_samples and encoded labels, example
+    lists are in memory."""
+    import dataclasses
+
+    import numpy as np
+
+    kind, payload = source
+    max_frames = cfg.data.max_frames
+    max_sec = cfg.data.max_audio_seconds
+    max_lab = cfg.data.max_label_len
+    if kind == "features":
+        for _, f, ids in payload:
+            max_frames = max(max_frames, len(f))
+            max_lab = max(max_lab, len(ids))
+    elif kind == "stream":
+        if len(payload):
+            max_sec = max(
+                max_sec,
+                float(np.max(payload.num_samples))
+                / cfg.frontend.sample_rate,
+            )
+            max_lab = max(max_lab, max(len(l) for l in payload.labels))
+    else:  # materialized examples (synthetic / lists)
+        for ex in payload:
+            a, ids = ex[0], ex[1]
+            if np.ndim(a) == 2:
+                max_frames = max(max_frames, len(a))
+            else:
+                max_sec = max(max_sec,
+                              len(a) / cfg.frontend.sample_rate)
+            max_lab = max(max_lab, len(ids))
+    # single catch-all bucket: training bucket boundaries below the new
+    # cap would clip long utterances right back
+    return cfg.replace(data=dataclasses.replace(
+        cfg.data, max_frames=max_frames, max_audio_seconds=max_sec,
+        max_label_len=max_lab, bucket_boundaries=[],
+    ))
+
+
 def _dev_batches_fn(cfg, vocab):
     if (cfg.data.dev_list is None and cfg.data.dev_feature_cache is None
             and not cfg.data.synthetic):
         return None
     dev_source, _ = _load_source(cfg, "dev")
+    if cfg.train.dev_full_length:
+        # dev eval (PER, keep_best, the label-free selector) sees whole
+        # utterances even when the recipe trains on short windows —
+        # the round-4 truncation lesson applied at the source
+        cfg = _lift_caps_for_split(cfg, dev_source)
 
     def fn():
         return _batches(cfg, dev_source, num_epochs=1, drop_remainder=False,

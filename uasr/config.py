@@ -401,6 +401,15 @@ class TrainConfig:
     keep_checkpoints: int = 5  # reference: CheckpointManager(max_to_keep)
     seed: int = 0
     dev_eval_batches: int = 50  # cap on periodic dev-eval batches
+    # size the dev split's batching caps (max_frames/max_audio_seconds/
+    # max_label_len, bucket boundaries) to the split's real maxima so
+    # dev eval NEVER truncates: a training-window cap like
+    # data.max_frames=24 otherwise clips the utterances being dev-
+    # scored — inflating PER with pure deletion errors, corrupting
+    # keep_best, and (round-4 TPU pipeline run) making the label-free
+    # selector pick a 0.17-PER basin over a 0.06 one. False restores
+    # the old truncated-eval behavior.
+    dev_full_length: bool = True
     tensorboard: bool = False  # also export scalars via tf.summary
     # supervised loops (ctc / frame_ce): keep the best-dev-PER
     # checkpoint under model_dir/best_ckpt (reference semantics: infer
