@@ -543,7 +543,16 @@ def test_dev_eval_is_full_length_by_default():
     lifted = _lift_caps_for_split(cfg, ("features", feats))
     assert lifted.data.max_frames == 32
     assert lifted.data.max_label_len == 7
-    assert lifted.data.bucket_boundaries == []
+    assert lifted.data.bucket_boundaries == ()
+
+    # a recipe WITH boundaries keeps the ones below the lifted cap and
+    # gains the cap as the catch-all bucket — only the long bucket pays
+    # max-length padding (ADVICE round 4), and nothing is clipped
+    cfg.data.bucket_boundaries = (0.1, 0.2, 5.0)
+    examples = [(np.zeros(int(s * 16000), np.float32), [1, 2])
+                for s in (0.05, 0.15, 0.9)]
+    lifted = _lift_caps_for_split(cfg, ("examples", examples))
+    assert lifted.data.bucket_boundaries == (0.1, 0.2, 0.9)
 
 
 @pytest.mark.slow

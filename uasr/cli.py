@@ -59,8 +59,11 @@ def _load_source(cfg, split: str):
     aligned = cfg.train.mode == "frame_ce" and split != "test"
     if cfg.data.synthetic:
         # distinct seed per split so dev/test are held-out strings
+        n_utts = cfg.data.synthetic_num_utts
+        if split in ("dev", "test") and cfg.data.synthetic_dev_utts:
+            n_utts = cfg.data.synthetic_dev_utts
         examples, vocab = make_synthetic_dataset(
-            num_utts=cfg.data.synthetic_num_utts,
+            num_utts=n_utts,
             num_phones=(cfg.vocab_size - 2) if cfg.vocab_size else 16,
             seed={"train": 0, "dev": 1, "test": 2}.get(split, 0),
             syntax=cfg.data.synthetic_syntax,
@@ -320,11 +323,19 @@ def _lift_caps_for_split(cfg, source):
                 max_sec = max(max_sec,
                               len(a) / cfg.frontend.sample_rate)
             max_lab = max(max_lab, len(ids))
-    # single catch-all bucket: training bucket boundaries below the new
-    # cap would clip long utterances right back
+    # keep the recipe's bucket boundaries below the lifted cap and add
+    # the cap itself as the catch-all bucket: only the long bucket pays
+    # max-length padding, instead of every dev batch padding to the
+    # split maximum (ADVICE round 4). Boundaries are seconds (audio
+    # sources only; feature caches drop them at the call site).
+    bounds = ()
+    if cfg.data.bucket_boundaries:
+        bounds = tuple(sorted(
+            b for b in cfg.data.bucket_boundaries if b < max_sec
+        )) + (max_sec,)
     return cfg.replace(data=dataclasses.replace(
         cfg.data, max_frames=max_frames, max_audio_seconds=max_sec,
-        max_label_len=max_lab, bucket_boundaries=[],
+        max_label_len=max_lab, bucket_boundaries=bounds,
     ))
 
 

@@ -199,11 +199,13 @@ class CTCConfig:
     use_viterbi: bool = False
     viterbi_self_loop: float = 0.75  # P(hold the current HMM state)
     viterbi_blank_prob: float = 0.1  # P(phone state -> its blank hold)
-    # calibrate the two rates above from a greedy pass over the first
-    # batch (ops/viterbi.py::estimate_hmm_rates). Essential for
+    # calibrate the two rates above from a greedy pass over a few probe
+    # batches (ops/viterbi.py::resolve_viterbi_rates). Essential for
     # SEGMENT-level streams (gan.merge_repeats generators): their dwell
     # is ~1 step/token and the frame-rate defaults above delete tokens
-    # (the round-3 self-training regression). Explicit rates: set False.
+    # (the round-3 self-training regression). Calibration only applies
+    # when the two rates above are at their defaults — explicitly tuned
+    # values are never silently replaced (ADVICE round 4).
     viterbi_auto_rates: bool = True
     # score `--mode infer` in the folded TIMIT 61->39 phone space too
     # (reference folds before PER, SURVEY.md §3.4); reports per_folded
@@ -368,6 +370,9 @@ class DataConfig:
     loader_threads: int = 0  # native decoder threads; 0 = hardware default
     synthetic: bool = False  # generate synthetic data (tests / benches)
     synthetic_num_utts: int = 128
+    # dev/test split size; None = synthetic_num_utts (TIMIT-scale runs
+    # want a large train corpus but a modest held-out split)
+    synthetic_dev_utts: int | None = None
     # tone = one pure tone per phone (easy); formant = narrowband-noise
     # formants + speaker/channel variation (the hard stand-in corpus)
     synthetic_style: str = "tone"

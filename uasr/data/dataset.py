@@ -282,7 +282,10 @@ def synth_formant_audio(
     return audio, align
 
 
-def synthetic_phonotactics(num_phones: int, seed: int = 1234) -> np.ndarray:
+def synthetic_phonotactics(
+    num_phones: int, seed: int = 1234,
+    max_successors: int | None = None,
+) -> np.ndarray:
     """A fixed sparse Markov transition matrix over phones (zero
     diagonal), the synthetic language's 'phonotactics'.
 
@@ -291,10 +294,24 @@ def synthetic_phonotactics(num_phones: int, seed: int = 1234) -> np.ndarray:
     phone inventory matches the text distribution equally well and NO
     distribution-matching objective (EODM / GAN) can recover the true
     mapping. A Markov grammar with distinct successor distributions per
-    phone breaks that symmetry — like real phonotactics do."""
+    phone breaks that symmetry — like real phonotactics do.
+
+    max_successors: each phone keeps only its top-k successors (hard
+    zeros elsewhere — real phonotactics forbid most bigrams; TIMIT's
+    39-phone bigram table is mostly empty). Default None = automatic:
+    dense-Dirichlet below 20 phones (the historical small-V language,
+    unchanged) and max(8, P//3) successors at TIMIT-scale inventories
+    (round-4 VERDICT next #1: "sparse, realistic bigram structure")."""
     rng = np.random.RandomState(seed)  # fixed: the language, not the data
     trans = rng.dirichlet(0.3 * np.ones(num_phones), size=num_phones)
     np.fill_diagonal(trans, 0.0)
+    if max_successors is None and num_phones >= 20:
+        max_successors = max(8, num_phones // 3)
+    if max_successors is not None and max_successors < num_phones - 1:
+        k = int(max_successors)
+        # zero everything below each row's k-th largest successor
+        kth = np.sort(trans, axis=1)[:, -k][:, None]
+        trans = np.where(trans >= kth, trans, 0.0)
     return trans / trans.sum(axis=1, keepdims=True)
 
 

@@ -105,27 +105,23 @@ def run_inference(
                 f"[{V + 1}, {V + 1}, {V}] trigram table, got "
                 f"{table.shape}"
             )
-        sl, bp = cfg.ctc.viterbi_self_loop, cfg.ctc.viterbi_blank_prob
-        if cfg.ctc.viterbi_auto_rates:
-            # dwell calibration on the first batch's greedy path: the
-            # defaults assume frame-level logits; a segment/merged
-            # generator stream (dwell ~1 step/token) needs self_loop
-            # near 0 or the transition prior deletes tokens (see
-            # ops/viterbi.py::estimate_hmm_rates)
-            import itertools
+        # dwell calibration on a few probe batches' greedy paths: the
+        # defaults assume frame-level logits; a segment/merged
+        # generator stream (dwell ~1 step/token) needs self_loop
+        # near 0 or the transition prior deletes tokens (see
+        # ops/viterbi.py::estimate_hmm_rates). Explicit non-default
+        # rates are never replaced (resolve_viterbi_rates).
+        import itertools
 
-            from uasr.ops.viterbi import (
-                estimate_hmm_rates, greedy_path_stats,
-            )
+        from uasr.ops.viterbi import resolve_viterbi_rates
 
-            batches = iter(batches)
-            first = next(batches, None)
-            if first is not None:
-                batches = itertools.chain([first], batches)
-                fb = Batch(*map(jnp.asarray, first))
-                logits, out_len = jax.jit(_logits)(state.params, fb)
-                sl, bp = estimate_hmm_rates(*map(int, greedy_path_stats(
-                    logits, out_len, cfg.ctc.blank_id)))
+        batches = iter(batches)
+        probe = list(itertools.islice(batches, 4))
+        batches = itertools.chain(probe, batches)
+        probe_fn = jax.jit(_logits)
+        sl, bp, _how = resolve_viterbi_rates(
+            cfg.ctc, lambda fb: probe_fn(state.params, fb), probe
+        )
         viterbi_decode_fn = make_lm_decoder(
             table, cfg.ctc.blank_id, self_loop=sl, blank_prob=bp
         )

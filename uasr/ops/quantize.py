@@ -98,10 +98,28 @@ def dequantize_tree(qparams, dtype=None):
 
 def quantized_bytes(qparams) -> tuple[int, int]:
     """(bytes of the quantized tree, bytes of the equivalent f32 tree)
-    — the artifact-size accounting reported by uasr-export."""
+    — the artifact-size accounting reported by uasr-export. The qscale
+    leaves are quantization METADATA: they count toward the quantized
+    artifact but not toward the float equivalent (the f32 tree has no
+    scales — ADVICE round 4)."""
     qb = fb = 0
-    for leaf in jax.tree.leaves(qparams):
-        n = int(leaf.size)
-        qb += n * leaf.dtype.itemsize
-        fb += n * (4 if leaf.dtype == jnp.int8 else leaf.dtype.itemsize)
+
+    def rec(node):
+        nonlocal qb, fb
+        if _is_quantized_leaf(node):
+            q, s = node["qint8"], node["qscale"]
+            qb += int(q.size) * q.dtype.itemsize \
+                + int(s.size) * s.dtype.itemsize
+            fb += int(q.size) * 4
+            return
+        if isinstance(node, dict):
+            for v in node.values():
+                rec(v)
+            return
+        for leaf in jax.tree.leaves(node):
+            n = int(leaf.size) * leaf.dtype.itemsize
+            qb += n
+            fb += n
+
+    rec(qparams)
     return qb, fb

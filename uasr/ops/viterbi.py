@@ -221,6 +221,56 @@ def estimate_hmm_rates(
     return self_loop, blank_prob
 
 
+def resolve_viterbi_rates(
+    ctc_cfg, probe_logits, probe_batches, max_batches: int = 4
+) -> tuple[float, float, str]:
+    """Resolve the HMM dwell rates for a decode/labeling run.
+
+    Policy (ADVICE round 4): `ctc.viterbi_auto_rates` only calibrates
+    when the user LEFT `viterbi_self_loop`/`viterbi_blank_prob` at
+    their dataclass defaults — explicitly tuned rates are never
+    silently replaced. Calibration averages `greedy_path_stats` over up
+    to `max_batches` probe batches, so one atypical first batch cannot
+    skew the dwell estimate for the whole run.
+
+    probe_logits: Batch -> (logits, out_lengths) under the model being
+    decoded. probe_batches: iterable of raw batch tuples (only
+    `max_batches` are consumed). Returns (self_loop, blank_prob,
+    human-readable provenance string for the caller's log line)."""
+    import jax.numpy as _jnp
+
+    from uasr.config import CTCConfig
+    from uasr.data.dataset import Batch
+
+    sl, bp = ctc_cfg.viterbi_self_loop, ctc_cfg.viterbi_blank_prob
+    if not ctc_cfg.viterbi_auto_rates:
+        return sl, bp, "explicit (viterbi_auto_rates off)"
+    defaults = (CTCConfig.viterbi_self_loop, CTCConfig.viterbi_blank_prob)
+    if (sl, bp) != defaults:
+        return sl, bp, (
+            "explicit rates kept (viterbi_self_loop/viterbi_blank_prob "
+            "differ from defaults; auto-calibration skipped)"
+        )
+    totals = np.zeros(3, np.int64)
+    n = 0
+    for b in probe_batches:
+        if not isinstance(b, Batch):
+            b = Batch(*map(_jnp.asarray, b))
+        logits, out_len = probe_logits(b)
+        totals += np.array(
+            [int(x) for x in
+             greedy_path_stats(logits, out_len, ctc_cfg.blank_id)],
+            np.int64,
+        )
+        n += 1
+        if n >= max_batches:
+            break
+    if n == 0:
+        return sl, bp, "defaults (no probe batches available)"
+    sl, bp = estimate_hmm_rates(*totals)
+    return sl, bp, f"calibrated over {n} probe batch(es)"
+
+
 def viterbi_lm_decode(
     logits: jax.Array,
     lengths: jax.Array,

@@ -543,7 +543,12 @@ class StreamingRecognizer:
                 f"chunk must be exactly {S} samples, got "
                 f"{audio_chunks.shape[-1]}"
             )
-        if not hasattr(self, "_step_finish_fn"):
+        # cache keyed by slot count: the closed-over reset template is
+        # sized to B, so a later call with a different batch size must
+        # build (not retrace against) its own (ADVICE round 4)
+        if not hasattr(self, "_step_finish_fns"):
+            self._step_finish_fns = {}
+        if len(mask) not in self._step_finish_fns:
             import functools
 
             template = self.init(len(mask))
@@ -574,7 +579,7 @@ class StreamingRecognizer:
                 )
                 return kept, step_out, fin_out
 
-            self._step_finish_fn = jax.jit(
+            self._step_finish_fns[len(mask)] = jax.jit(
                 functools.partial(impl, self.params)
             )
         B = len(mask)
@@ -589,7 +594,7 @@ class StreamingRecognizer:
             [np.asarray(audio_chunks, np.float32), aux.view(np.float32)],
             axis=1,
         )
-        kept, sout, fout = self._step_finish_fn(
+        kept, sout, fout = self._step_finish_fns[B](
             state, packed_in, jnp.asarray(finish_mask, bool)
         )
         # DEVICE arrays returned (packed semantics): materializing here
@@ -606,10 +611,13 @@ class StreamingRecognizer:
         masked_step."""
         import numpy as np
 
-        if not hasattr(self, "_finish_reset_fn"):
+        if not hasattr(self, "_finish_reset_fns"):
+            self._finish_reset_fns = {}
+        B = len(state.prev_id)
+        if B not in self._finish_reset_fns:
             import functools
 
-            template = self.init(len(state.prev_id))
+            template = self.init(B)
 
             def impl(params, state, mask):
                 fin, ids, counts = self._finish_impl(params, state)
@@ -618,10 +626,12 @@ class StreamingRecognizer:
                     [ids, counts[:, None].astype(ids.dtype)], axis=1
                 )
 
-            self._finish_reset_fn = jax.jit(
+            self._finish_reset_fns[B] = jax.jit(
                 functools.partial(impl, self.params)
             )
-        kept, out = self._finish_reset_fn(state, jnp.asarray(mask, bool))
+        kept, out = self._finish_reset_fns[B](
+            state, jnp.asarray(mask, bool)
+        )
         if packed:
             return kept, out
         o = np.asarray(out)
@@ -630,14 +640,17 @@ class StreamingRecognizer:
     def reset_slots(self, state, mask):
         """Return `state` with the masked slots re-initialized (fresh
         open-ended streams), ready for the next client."""
-        if not hasattr(self, "_reset_fn"):
-            template = self.init(len(state.prev_id))
+        if not hasattr(self, "_reset_fns"):
+            self._reset_fns = {}
+        B = len(state.prev_id)
+        if B not in self._reset_fns:
+            template = self.init(B)
 
             def impl(state, mask):
                 return self._select_slots(mask, template, state)
 
-            self._reset_fn = jax.jit(impl)
-        return self._reset_fn(state, jnp.asarray(mask, bool))
+            self._reset_fns[B] = jax.jit(impl)
+        return self._reset_fns[B](state, jnp.asarray(mask, bool))
 
     def set_valid_samples(self, state, mask, samples):
         """Stamp the masked slots' utterance length (in samples) so the

@@ -428,7 +428,16 @@ def run_pipeline(args) -> dict:
         # teacher's dev PER (a strong teacher at small student scale —
         # the measured q9 regime), the pipeline's deliverable stays the
         # sweep winner and the report says so (VERDICT round-3 item 1)
-        if t is not None and s is not None and s > t:
+        if t is None or s is None:
+            # no dev split ⇒ no evidence the student is at least as
+            # good; the never-ship-worse guard keeps the sweep winner
+            # (ADVICE round 4)
+            _log(
+                "WARNING: self-training student not validated (no dev "
+                "PER available) — final_model stays the sweep winner; "
+                f"the student is kept under {st_rec['student_dir']}"
+            )
+        elif s > t:
             _log(
                 f"WARNING: self-training did not help (student dev PER "
                 f"{s:.4f} > teacher {t:.4f}) — final_model stays the "

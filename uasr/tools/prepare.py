@@ -354,6 +354,7 @@ def cmd_synth(args):
     examples, vocab = make_synthetic_dataset(
         num_utts=args.num_utts, num_phones=args.num_phones, seed=args.seed,
         with_alignments=args.align, syntax=args.syntax, style=args.style,
+        min_len=args.min_len, max_len=args.max_len,
     )
     os.makedirs(args.out_dir, exist_ok=True)
     wav_dir = os.path.join(args.out_dir, "wav")
@@ -503,6 +504,10 @@ def main(argv=None):
     s.add_argument("--style", choices=["tone", "formant"], default="tone",
                    help="formant = narrowband-noise formants + speaker/"
                         "channel variation (the hard stand-in corpus)")
+    s.add_argument("--min-len", type=int, default=3,
+                   help="min phones per utterance (TIMIT-scale: ~20)")
+    s.add_argument("--max-len", type=int, default=10,
+                   help="max phones per utterance (TIMIT-scale: ~45)")
     s.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)

@@ -23,29 +23,21 @@ import jax
 import uasr  # noqa: F401  (import applies uasr._maybe_force_cpu)
 
 
-def _build_hmm(cfg, probe_logits, first_batch):
+def _build_hmm(cfg, probe_logits, probe_batches):
     """CTC-topology LM-HMM for Viterbi pseudo-labeling, with its
-    dwell/blank rates calibrated from the TEACHER's greedy path on the
-    first batch (ctc.viterbi_auto_rates). The calibration is what makes
-    the HMM safe on segment-level (`gan.merge_repeats`) streams — see
-    `uasr.ops.viterbi.estimate_hmm_rates`."""
-    import jax.numpy as jnp
-
-    from uasr.data.dataset import Batch
+    dwell/blank rates calibrated from the TEACHER's greedy path over a
+    few probe batches (ctc.viterbi_auto_rates; explicit non-default
+    rates win — ops/viterbi.py::resolve_viterbi_rates). The calibration
+    is what makes the HMM safe on segment-level (`gan.merge_repeats`)
+    streams — see `uasr.ops.viterbi.estimate_hmm_rates`."""
     from uasr.ops.lm import load_lm
-    from uasr.ops.viterbi import (
-        estimate_hmm_rates, greedy_path_stats, make_lm_decoder,
-    )
+    from uasr.ops.viterbi import make_lm_decoder, resolve_viterbi_rates
 
-    sl, bp = cfg.ctc.viterbi_self_loop, cfg.ctc.viterbi_blank_prob
-    if cfg.ctc.viterbi_auto_rates:
-        fb = Batch(*map(jnp.asarray, first_batch))
-        logits, out_len = probe_logits(fb)
-        stats = greedy_path_stats(logits, out_len, cfg.ctc.blank_id)
-        sl, bp = estimate_hmm_rates(*map(int, stats))
-        print("selftrain: Viterbi rates calibrated from the teacher's "
-              f"greedy path: self_loop={sl:.3f} blank_prob={bp:.3f}",
-              file=sys.stderr)
+    sl, bp, how = resolve_viterbi_rates(
+        cfg.ctc, probe_logits, probe_batches
+    )
+    print(f"selftrain: Viterbi rates {how}: "
+          f"self_loop={sl:.3f} blank_prob={bp:.3f}", file=sys.stderr)
     dec = make_lm_decoder(
         load_lm(cfg.ctc.lm_path), cfg.ctc.blank_id,
         self_loop=sl, blank_prob=bp,
@@ -201,7 +193,12 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
     ckpt_dir = f"{teacher_dir}/best_ckpt" if restore_best \
         else f"{teacher_dir}/ckpt"
     mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
-    first = next(_batches(cfg, ("examples", examples), num_epochs=1))
+    import itertools
+
+    probe = list(itertools.islice(
+        _batches(cfg, ("examples", examples), num_epochs=1), 4
+    ))
+    first = probe[0]
     if teacher_mode in ("gan", "eodm"):
         # the teacher generator is a classifier regardless of the
         # student recipe's model.encoder — deep-replace so the student
@@ -261,7 +258,7 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
     mgr.close()
     print(f"teacher restored from {ckpt_dir} (step {step})",
           file=sys.stderr)
-    hmm = _build_hmm(cfg, probe_logits, first) \
+    hmm = _build_hmm(cfg, probe_logits, probe) \
         if cfg.ctc.use_viterbi else None
     label_fn = label_maker(hmm)
 
