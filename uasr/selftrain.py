@@ -26,7 +26,8 @@ from uasr.ops.decode import ctc_greedy_decode
 from uasr.train import CTCTrainer, TrainState, run_ctc_training
 
 
-def make_gan_label_fn(gan_trainer, g_params, hmm=None):
+def make_gan_label_fn(gan_trainer, g_params, hmm=None,
+                      align_frames=False):
     """(audio Batch) -> (hyps, hyp_lens, confidence) from a GAN/EODM
     generator: posteriors over segments -> greedy collapse; confidence =
     masked mean max-posterior.
@@ -35,34 +36,70 @@ def make_gan_label_fn(gan_trainer, g_params, hmm=None):
     lm_hmm`: pseudo-labels come from the LM-transition Viterbi path
     instead of greedy collapse — the GAN→HMM refinement step of the
     unsupervised lineage (the HMM repairs frames the raw generator gets
-    wrong, so the CTC student trains on cleaner targets)."""
+    wrong, so the CTC student trains on cleaner targets).
+
+    `align_frames=True` additionally forced-aligns each pseudo-label
+    transcript against the generator's RAW (pre-merge) frame posteriors
+    (`ops.viterbi.ctc_forced_align`), returning
+    (hyps, hyp_lens, conf, frame_ids [B, T_in], frame_lens) with the
+    alignment track at the model-input frame rate — per-frame targets
+    for a `train.mode: frame_ce` student of ANY architecture (round-5
+    VERDICT item 2: a frame-level CTC student decodes through repeat
+    collapse and inherits flicker noise a segment-merged teacher never
+    shows; dense frame targets carry the teacher's dwell structure)."""
 
     @jax.jit
     def fn(batch: Batch):
-        probs, out_len, logits = gan_trainer._gen_probs(g_params, batch)
-        hyps, hyp_len = _decode(
-            logits, out_len, gan_trainer.cfg.ctc.blank_id, hmm
+        raw_probs, raw_len, probs, out_len, logits = (
+            gan_trainer._gen_probs_full(g_params, batch)
         )
+        blank = gan_trainer.cfg.ctc.blank_id
+        hyps, hyp_len = _decode(logits, out_len, blank, hmm)
         conf = _mean_max(probs, out_len)
-        return hyps, hyp_len, conf
+        if not align_frames:
+            return hyps, hyp_len, conf
+        from uasr.ops.viterbi import ctc_forced_align
+
+        frame_ids, _ = ctc_forced_align(
+            jnp.log(raw_probs + 1e-8), raw_len, hyps, hyp_len, blank
+        )
+        return hyps, hyp_len, conf, frame_ids, raw_len
 
     return fn
 
 
-def make_ctc_label_fn(ctc_trainer: CTCTrainer, params, hmm=None):
+def make_ctc_label_fn(ctc_trainer: CTCTrainer, params, hmm=None,
+                      align_frames=False):
     """(audio Batch) -> (hyps, hyp_lens, confidence) from a CTC model.
     Precomputed-feature batches ([B, T, D]) bypass the frontend via the
-    trainer's `_feats` branch. `hmm`: see make_gan_label_fn."""
+    trainer's `_feats` branch. `hmm`: see make_gan_label_fn.
+
+    `align_frames=True`: see make_gan_label_fn — the alignment is
+    forced at the encoder's logits rate and repeated back up by the
+    encoder's total time stride so the track lands at the model-input
+    frame rate (what a student of any architecture consumes)."""
 
     @jax.jit
     def fn(batch: Batch):
         feats, flen = ctc_trainer._feats(batch.audio, batch.audio_lengths)
         logits, out_len = ctc_trainer.model.apply(params, feats, flen)
-        hyps, hyp_len = _decode(
-            logits, out_len, ctc_trainer.cfg.ctc.blank_id, hmm
-        )
+        blank = ctc_trainer.cfg.ctc.blank_id
+        hyps, hyp_len = _decode(logits, out_len, blank, hmm)
         conf = _mean_max(jax.nn.softmax(logits, -1), out_len)
-        return hyps, hyp_len, conf
+        if not align_frames:
+            return hyps, hyp_len, conf
+        from uasr.models.models import encoder_time_subsample
+        from uasr.ops.viterbi import ctc_forced_align
+
+        frame_ids, _ = ctc_forced_align(
+            logits, out_len, hyps, hyp_len, blank
+        )
+        stride = encoder_time_subsample(ctc_trainer.cfg.model)
+        if jnp.ndim(batch.audio) == 2:
+            stride *= ctc_trainer.cfg.frontend.downsample
+        if stride > 1:
+            frame_ids = jnp.repeat(frame_ids, stride, axis=1)
+        return hyps, hyp_len, conf, frame_ids, out_len * stride
 
     return fn
 
@@ -116,15 +153,25 @@ def pseudo_label(
     )
     idx = 0
     for batch in it:
-        hyps, hyp_len, conf = label_fn(Batch(*map(jnp.asarray, batch)))
-        hyps, hyp_len, conf = map(np.asarray, (hyps, hyp_len, conf))
+        res = label_fn(Batch(*map(jnp.asarray, batch)))
+        aligned = len(res) == 5
+        if aligned:
+            hyps, hyp_len, conf, frame_ids, frame_len = map(
+                np.asarray, res
+            )
+        else:
+            hyps, hyp_len, conf = map(np.asarray, res)
         B = len(hyp_len)
         for b in range(B):
             audio = batch.audio[b, : batch.audio_lengths[b]]
             ids = hyps[b, : hyp_len[b]].tolist()
             confs.append(float(conf[b]))
             if conf[b] >= conf_threshold and len(ids) >= min_labels:
-                out.append((audio, ids))
+                if aligned:
+                    al = frame_ids[b, : frame_len[b]].tolist()
+                    out.append((audio, ids, al))
+                else:
+                    out.append((audio, ids))
             idx += 1
     stats = {
         "labeled": len(out),
@@ -160,6 +207,16 @@ def self_train(
     already holds a checkpoint, that checkpoint is resumed and the
     teacher init is skipped. Returns the last student and per-round
     stats.
+
+    When `label_fn` was built with `align_frames=True`, the pseudo-
+    labeled examples are (audio, ids, frame_align) triples and every
+    student round trains with `train.mode: frame_ce` on the teacher's
+    forced-aligned per-frame targets instead of CTC on bare
+    transcripts — the round-5 fix for scratch/cross-architecture
+    students (VERDICT round-4 weak #1): dense targets carry the
+    teacher's segmentation, so the student no longer has to rediscover
+    alignment through the flicker-prone CTC pathway. Dev eval still
+    decodes and scores PER, so teacher/student numbers stay comparable.
     """
     # feature examples ([T, D]) are measured in frames, audio in samples
     max_samples = (
@@ -179,24 +236,48 @@ def self_train(
             raise ValueError(
                 "self-training kept 0 utterances; lower conf_threshold"
             )
+        aligned = len(labeled[0]) == 3
+        if aligned and gold:
+            raise ValueError(
+                "gold mix-in is not supported with frame-aligned "
+                "pseudo-labels (gold utterances carry no alignment "
+                "track); drop --gold-list or --align-pseudo-labels"
+            )
         labeled = list(gold) + labeled
+        import dataclasses
+
         round_cfg = cfg.replace(
             model_dir=f"{cfg.model_dir}/selftrain_r{r}"
         )
+        if aligned:
+            round_cfg = round_cfg.replace(
+                train=dataclasses.replace(round_cfg.train,
+                                          mode="frame_ce")
+            )
         if steps_per_round is not None:
-            import dataclasses
-
             round_cfg = round_cfg.replace(
                 train=dataclasses.replace(
                     round_cfg.train, total_steps=steps_per_round
                 )
             )
-        batches = prefetch(
-            batch_iterator(
-                labeled, cfg.data.batch_size, max_samples,
-                cfg.data.max_label_len, seed=cfg.train.seed + r,
+        if aligned:
+            from uasr.data.dataset import aligned_batch_iterator
+
+            max_track = max(len(al) for _a, _i, al in labeled)
+            batches = prefetch(
+                aligned_batch_iterator(
+                    labeled, cfg.data.batch_size, max_samples,
+                    cfg.data.max_label_len, max_track,
+                    seed=cfg.train.seed + r,
+                )
             )
-        )
+        else:
+            batches = prefetch(
+                batch_iterator(
+                    labeled, cfg.data.batch_size, max_samples,
+                    cfg.data.max_label_len, seed=cfg.train.seed + r,
+                )
+            )
         if r == 0 and init_params is not None and \
                 _existing_ckpt_step(f"{round_cfg.model_dir}/ckpt") is None:
             from uasr.parallel.mesh import replicated
@@ -233,6 +314,7 @@ def self_train(
             )
         stats["round"] = r
         history.append(stats)
-        # the student labels the next round
-        label_fn = make_ctc_label_fn(trainer, state.params)
+        # the student labels the next round (same labeling flavor)
+        label_fn = make_ctc_label_fn(trainer, state.params,
+                                     align_frames=aligned)
     return trainer, state, history

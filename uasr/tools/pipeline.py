@@ -132,6 +132,7 @@ def _stage_digests(args) -> dict:
             [unsup_in, args.selftrain_rounds, args.conf_threshold,
              args.student_steps, args.gold_list,
              args.init_student_from_teacher, args.no_full_length,
+             args.align_pseudo_labels, args.student_encoder,
              sorted(args.set_student)]),
     }
 
@@ -380,6 +381,13 @@ def run_pipeline(args) -> dict:
             # must not mutate the sweep recipe's shared sub-configs
             cfg_st = copy.deepcopy(cfg_unsup).replace(
                 model_dir=os.path.join(workdir, "student"))
+            if args.student_encoder:
+                # cross-architecture student (round 5): e.g. a
+                # conv_bigru student distilled from a classifier
+                # teacher — pair with --align-pseudo-labels so the
+                # student gets dense frame targets
+                object.__setattr__(cfg_st.model, "encoder",
+                                   args.student_encoder)
             apply_overrides(cfg_st, args.set_student)
             if (cfg_st.ctc.use_viterbi and cfg_st.ctc.lm_path is None
                     and cfg_st.gan.select_lm_path):
@@ -396,6 +404,7 @@ def run_pipeline(args) -> dict:
                 restore_best=select,
                 init_from_teacher=args.init_student_from_teacher,
                 full_length=not args.no_full_length,
+                align_pseudo_labels=args.align_pseudo_labels,
             )
             from uasr.config import save_config
 
@@ -477,6 +486,17 @@ def main(argv=None):
     p.add_argument("--gold-list", default=None,
                    help="labeled utterances mixed into every student "
                         "round (semi-supervised self-training)")
+    p.add_argument("--student-encoder", default=None,
+                   help="student model.encoder override (cross-"
+                        "architecture self-training, e.g. conv_bigru "
+                        "from a classifier teacher; usually paired "
+                        "with --align-pseudo-labels)")
+    p.add_argument("--align-pseudo-labels", action="store_true",
+                   help="train students with per-frame CE on forced-"
+                        "aligned pseudo-labels instead of CTC on bare "
+                        "transcripts (dense targets carry the "
+                        "teacher's segmentation — the round-5 fix for "
+                        "scratch/cross-architecture students)")
     p.add_argument("--init-student-from-teacher", action="store_true",
                    help="fine-tune the student from the sweep winner's "
                         "generator weights instead of from scratch "

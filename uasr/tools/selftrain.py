@@ -51,7 +51,8 @@ def _invalidate_stale_students(cfg, teacher_ckpt_dir: str,
                                teacher_step: int, teacher_mode: str,
                                conf_threshold: float,
                                init_from_teacher: bool,
-                               gold_list: str | None) -> None:
+                               gold_list: str | None,
+                               align_pseudo_labels: bool = False) -> None:
     """Wipe existing `selftrain_r*` student checkpoints when the
     labeling settings changed since they were trained.
 
@@ -76,6 +77,7 @@ def _invalidate_stale_students(cfg, teacher_ckpt_dir: str,
         "conf_threshold": conf_threshold,
         "init_from_teacher": bool(init_from_teacher),
         "gold_list": gold_list,
+        "align_pseudo_labels": bool(align_pseudo_labels),
         "config": dataclasses.asdict(cfg.replace(model_dir="")),
     }
     digest = hashlib.sha256(
@@ -109,7 +111,8 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
                   gold_list: str | None = None,
                   restore_best: bool = False,
                   init_from_teacher: bool = False,
-                  full_length: bool = True) -> dict:
+                  full_length: bool = True,
+                  align_pseudo_labels: bool = False) -> dict:
     """Pseudo-label cfg's train split with the teacher under
     ``teacher_dir`` and train a CTC student (the self-training /
     GAN→HMM refinement stage — SURVEY.md §3.2 lineage). Returns
@@ -238,7 +241,8 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
             _, out_len, logits = gen._gen_probs(g_params, b)
             return logits, out_len
 
-        label_maker = lambda hmm: make_gan_label_fn(gen, g_params, hmm=hmm)
+        label_maker = lambda hmm: make_gan_label_fn(
+            gen, g_params, hmm=hmm, align_frames=align_pseudo_labels)
         teacher_eval = lambda batches: gen.evaluate_per(g_params, batches)
     else:
         tr = CTCTrainer(cfg)
@@ -252,8 +256,8 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
             feats, flen = tr._feats(b.audio, b.audio_lengths)
             return tr.model.apply(state.params, feats, flen)
 
-        label_maker = lambda hmm: make_ctc_label_fn(tr, state.params,
-                                                    hmm=hmm)
+        label_maker = lambda hmm: make_ctc_label_fn(
+            tr, state.params, hmm=hmm, align_frames=align_pseudo_labels)
         teacher_eval = lambda batches: tr.evaluate(state.params, batches)
     mgr.close()
     print(f"teacher restored from {ckpt_dir} (step {step})",
@@ -264,7 +268,7 @@ def run_selftrain(cfg, teacher_dir: str, teacher_mode: str = "gan",
 
     _invalidate_stale_students(cfg, ckpt_dir, int(step), teacher_mode,
                                conf_threshold, init_from_teacher,
-                               gold_list)
+                               gold_list, align_pseudo_labels)
 
     def dev_batches_fn():
         dev_source, _ = _load_source(cfg, "dev")
@@ -335,6 +339,14 @@ def main(argv=None):
                    help="fine-tune the first student round from the "
                         "teacher's weights instead of from scratch "
                         "(student must keep the teacher's architecture)")
+    p.add_argument("--align-pseudo-labels", action="store_true",
+                   help="forced-align each pseudo-label transcript "
+                        "against the teacher's frame posteriors and "
+                        "train the student with per-frame CE "
+                        "(train.mode=frame_ce) instead of CTC — dense "
+                        "targets carry the teacher's segmentation, so "
+                        "scratch and cross-architecture students stop "
+                        "paying the CTC realignment tax (round 5)")
     p.add_argument("--no-full-length", action="store_true",
                    help="keep the recipe's data.max_frames/"
                         "max_audio_seconds caps instead of lifting "
@@ -357,6 +369,7 @@ def main(argv=None):
         restore_best=args.restore_best,
         init_from_teacher=args.init_from_teacher,
         full_length=not args.no_full_length,
+        align_pseudo_labels=args.align_pseudo_labels,
     )
     print(f"teacher PER={res['teacher_per']:.4f} "
           f"student PER={res['student_per']:.4f} ({args.rounds} rounds)")

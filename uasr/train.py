@@ -175,13 +175,14 @@ class CTCTrainer:
                     "train.mode=frame_ce needs AlignedBatch batches "
                     "(list files with an alignment column)"
                 )
-            # alignment labels arrive at the raw 10ms frontend frame
-            # rate; bring them to the logits rate (frontend downsample
-            # x encoder stride), then pad the track to T with -1
-            total = (
-                self.cfg.frontend.downsample
-                * encoder_time_subsample(self.cfg.model)
-            )
+            # alignment labels arrive at the model-INPUT frame rate;
+            # bring them to the logits rate. Raw audio passes through
+            # the frontend (x downsample); precomputed-feature batches
+            # ([B, T, D] — aligned pseudo-labels over an SSL cache,
+            # round 5) bypass it, so only the encoder stride applies.
+            total = encoder_time_subsample(self.cfg.model)
+            if jnp.ndim(batch.audio) == 2:
+                total *= self.cfg.frontend.downsample
             labels = batch.frame_labels[:, ::total]
             T = logits.shape[1]
             if labels.shape[1] < T:
