@@ -437,10 +437,11 @@ def run_stages(B=128, seconds=8.0, iters=20, encoder="conv_bigru"):
     return stages
 
 
-def _ssl_cfg(front="conv"):
+def _ssl_cfg(front="conv", fused=False):
     cfg = _bench_cfg()
     cfg.train.mode = "ssl"
     cfg.ssl.context_pallas = True
+    cfg.ssl.fused_loss = fused
     if front == "patch":
         # patch-rate stack with the same 160x total downsample and
         # comparable capacity: 20-sample GEMM embed -> k3 context conv
@@ -593,7 +594,7 @@ def run_ssl_stages(B=64, seconds=8.0, iters=30, front="conv"):
 
 
 def run_ssl(B=64, seconds=8.0, warmup=10, iters=40, front="conv",
-            remat=False):
+            remat=False, fused=False):
     """SSL pretraining throughput: the jitted contrastive step (conv
     encoder + Pallas causal GRU context + InfoNCE over 100 sampled
     negatives) at production shapes."""
@@ -605,7 +606,7 @@ def run_ssl(B=64, seconds=8.0, warmup=10, iters=40, front="conv",
     from uasr.data.dataset import Batch
     from uasr.pretrain import SSLTrainer
 
-    cfg = _ssl_cfg(front)
+    cfg = _ssl_cfg(front, fused=fused)
     cfg.ssl.remat_encoder = remat
     batch = _make_batch(B, seconds)
     trainer = SSLTrainer(cfg)
@@ -757,11 +758,15 @@ def run_streaming(B=8, chunk_frames=64, n_chunks=60, warmup=10,
                                 precision="high"),
         # cnn = the AISHELL streaming recipe's encoder shape (finite
         # RF, window replay); uni_gru = the causal recurrent class
-        # (carried conv tail + GRU state, zero-latency emission)
+        # (carried conv tail + GRU state, zero-latency emission);
+        # lc_bigru = the latency-controlled BiGRU (round 5 — exact
+        # bidirectional streaming, num_gru_layers-chunk emission lag)
         model=ModelConfig(encoder=encoder, hidden_size=384,
                           num_conv_layers=2, conv_time_stride=2,
                           conv_kernel=5, num_gru_layers=2,
-                          dtype="bfloat16"),
+                          dtype="bfloat16",
+                          lc_chunk=max(chunk_frames // 4, 1),
+                          lc_lookahead=max(chunk_frames // 8, 1)),
         ctc=CTCConfig(use_beam=beam, beam_width=beam_width),
         train=TrainConfig(),
         vocab_size=64,
@@ -914,10 +919,10 @@ def main():
                         "modes, 64 for --ssl, 8 for --streaming/--serve)")
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--encoder", default="conv_bigru",
-                   choices=["conv_bigru", "cnn", "transformer", "conformer",
-                            "uni_gru"],
+                   choices=["conv_bigru", "lc_bigru", "cnn",
+                            "transformer", "conformer", "uni_gru"],
                    help="encoder family for the train-throughput line "
-                        "(with --streaming: cnn | uni_gru)")
+                        "(with --streaming: cnn | uni_gru | lc_bigru)")
     p.add_argument("--chained", action="store_true",
                    help="all bench iters inside one jitted scan launch")
     p.add_argument("--mfu", action="store_true",
@@ -926,6 +931,10 @@ def main():
     p.add_argument("--ssl", action="store_true",
                    help="SSL contrastive-pretraining throughput "
                         "(add --stages for the stage attribution)")
+    p.add_argument("--ssl-fused", action="store_true",
+                   help="heads-folded time-chunked InfoNCE "
+                        "(ssl.fused_loss — the [B,T,K,C] prediction "
+                        "tensor never hits HBM)")
     p.add_argument("--ssl-front", choices=["conv", "patch"],
                    default="patch",
                    help="SSL waveform front (patch = the round-4 "
@@ -962,7 +971,9 @@ def main():
             B=args.batch or 8,
             chunk_frames=args.chunk_frames,
             beam=args.decode == "beam", beam_width=args.beam_width,
-            encoder="uni_gru" if args.encoder == "uni_gru" else "cnn",
+            encoder=(args.encoder
+                     if args.encoder in ("uni_gru", "lc_bigru")
+                     else "cnn"),
         )))
         return
 
@@ -991,6 +1002,7 @@ def main():
             B=min(args.batch or 64, 64), seconds=args.seconds,
             front=args.ssl_front,
             remat=bool(os.environ.get("UASR_SSL_REMAT")),
+            fused=args.ssl_fused,
         )))
         return
 

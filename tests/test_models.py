@@ -22,8 +22,8 @@ V = 12
 
 @pytest.mark.parametrize(
     "name",
-    ["conv_bigru", "cnn", "classifier", "transformer", "conformer",
-     "uni_gru"],
+    ["conv_bigru", "lc_bigru", "cnn", "classifier", "transformer",
+     "conformer", "uni_gru"],
 )
 def test_encoder_shapes_and_lengths(name):
     model = build_model(ModelConfig(**{**CFG.__dict__, "encoder": name}), V)
@@ -294,3 +294,52 @@ def test_uni_gru_chunked_step_matches_offline_call():
             got[b, :n], np.asarray(off[b, :n]), atol=1e-5,
             err_msg=f"stream {b}",
         )
+
+
+def test_lc_bigru_padding_invariance_and_bounded_context():
+    """lc_bigru (round 5): padding-invariant like the BiGRU, and its
+    RIGHT context is truly bounded — perturbing the input beyond
+    lc_chunk + lc_lookahead logits frames ahead must not change a
+    position's output (the property that makes streaming exact)."""
+    cfg = ModelConfig(**{**CFG.__dict__, "encoder": "lc_bigru",
+                         "num_gru_layers": 2, "lc_chunk": 4,
+                         "lc_lookahead": 2})
+    model = build_model(cfg, V)
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(1, 96, 40), jnp.float32)
+    lengths = jnp.array([96])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths)
+    logits_a, len_a = model.apply(params, feats, lengths)
+    padded = jnp.pad(feats, ((0, 0), (0, 32), (0, 0)))
+    logits_b, len_b = model.apply(params, padded, lengths)
+    assert int(len_a[0]) == int(len_b[0])
+    np.testing.assert_allclose(
+        np.asarray(logits_a[0, : int(len_a[0])]),
+        np.asarray(logits_b[0, : int(len_a[0])]),
+        atol=2e-5,
+    )
+    # bounded lookahead: each layer's backward window reaches one
+    # chunk + lookahead ahead at its own input, so with L layers the
+    # total right context is L*Nc + Nr patches. Perturb the LAST
+    # patch; chunks whose compounded window cannot reach it are
+    # bit-unchanged.
+    stride = cfg.conv_time_stride ** cfg.num_conv_layers  # 4 frames/patch
+    pert = np.asarray(feats).copy()
+    pert[:, -stride:] += 10.0  # last patch
+    logits_c, _ = model.apply(params, jnp.asarray(pert), lengths)
+    n_patches = 96 // stride  # 24
+    L_layers = cfg.num_gru_layers
+    # chunk c safe iff (c + L)*Nc + Nr - 1 < n_patches - 1
+    last_safe_chunk = (n_patches - 1 - cfg.lc_lookahead) \
+        // cfg.lc_chunk - L_layers
+    safe_upto = (last_safe_chunk + 1) * cfg.lc_chunk
+    assert safe_upto >= 8
+    np.testing.assert_allclose(
+        np.asarray(logits_a[0, :safe_upto]),
+        np.asarray(logits_c[0, :safe_upto]),
+        atol=2e-5,
+    )
+    # and the perturbation DOES reach the final region (sanity)
+    assert np.abs(
+        np.asarray(logits_a[0, -1]) - np.asarray(logits_c[0, -1])
+    ).max() > 1e-3

@@ -306,3 +306,77 @@ def test_ssl_fbank_input_type(tmp_path):
     assert c.shape[-1] == cfg.ssl.context_hidden
     # frame rate matches the frontend (10 ms hop), not the waveform path
     assert int(flen[0]) <= first.audio.shape[1] // 160 + 1
+
+
+def test_fused_infonce_matches_unfused():
+    """ssl.fused_loss (round 5): the heads-folded, time-chunked loss
+    must reproduce info_nce_loss(preds=heads(c), ...) — values AND
+    gradients w.r.t. c, heads kernel/bias, and z — including a T that
+    is not a multiple of the chunk."""
+    from uasr.ops.infonce import info_nce_loss_fused
+
+    rng = np.random.RandomState(0)
+    B, T, Ch, K, C, N = 3, 50, 16, 4, 12, 9
+    c = jnp.asarray(rng.randn(B, T, Ch), jnp.float32)
+    w = jnp.asarray(0.3 * rng.randn(Ch, K * C), jnp.float32)
+    b = jnp.asarray(0.1 * rng.randn(K * C), jnp.float32)
+    z = jnp.asarray(rng.randn(B, T, C), jnp.float32)
+    lengths = jnp.asarray([50, 37, 12], jnp.int32)
+    neg = jnp.asarray(rng.randint(0, 12, size=(B, N)), jnp.int32)
+
+    def unfused(c, w, b, z):
+        preds = (c @ w + b).reshape(B, T, K, C)
+        return info_nce_loss(preds, z, lengths, temperature=0.1,
+                             neg_indices=neg)
+
+    def fused(c, w, b, z):
+        return info_nce_loss_fused(c, w, b, z, lengths, num_steps=K,
+                                   temperature=0.1, neg_indices=neg,
+                                   chunk=16)  # 50 = 3*16 + 2 (ragged)
+
+    (l0, a0) = jax.jit(unfused)(c, w, b, z)
+    (l1, a1) = jax.jit(fused)(c, w, b, z)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(a0), float(a1), rtol=1e-6)
+
+    g0 = jax.jit(jax.grad(lambda *a: unfused(*a)[0],
+                          argnums=(0, 1, 2, 3)))(c, w, b, z)
+    g1 = jax.jit(jax.grad(lambda *a: fused(*a)[0],
+                          argnums=(0, 1, 2, 3)))(c, w, b, z)
+    for x0, x1 in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_fused_loss_trainer_parity(tmp_path):
+    """SSLTrainer with ssl.fused_loss=True computes the same loss/acc
+    (and interchangeable params) as the unfused trainer."""
+    from uasr.data.dataset import Batch, batch_iterator, make_synthetic_dataset
+    from uasr.pretrain import SSLTrainer
+
+    examples, _ = make_synthetic_dataset(num_utts=8, num_phones=6, seed=0)
+    cfg = Config(
+        name="fused_ssl", model_dir=str(tmp_path),
+        model=ModelConfig(dtype="float32"),
+        ssl=SSLConfig(conv_channels=(32, 32), conv_kernels=(10, 8),
+                      conv_strides=(80, 2), context_hidden=32,
+                      predict_steps=3, num_negatives=8,
+                      loss_chunk=16),
+        data=DataConfig(batch_size=8, max_audio_seconds=1.6,
+                        max_label_len=12),
+        train=TrainConfig(mode="ssl", total_steps=1),
+        vocab_size=8,
+    )
+    import dataclasses
+
+    batch = Batch(*next(batch_iterator(examples, 8, 25600, 12,
+                                       num_epochs=1)))
+    t0 = SSLTrainer(cfg)
+    s0 = t0.init_state(jax.random.PRNGKey(0), batch)
+    cfg_f = cfg.replace(ssl=dataclasses.replace(cfg.ssl, fused_loss=True))
+    t1 = SSLTrainer(cfg_f)
+    # params are interchangeable between fused/unfused models
+    rng = jax.random.PRNGKey(7)
+    l0, _ = t0._loss(s0.params, batch, rng)
+    l1, _ = t1._loss(s0.params, batch, rng)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)

@@ -123,12 +123,24 @@ class ModelConfig:
     generator, and a conv PhoneDiscriminator critic.
     """
 
-    # conv_bigru | uni_gru | cnn | classifier | transformer | conformer
+    # conv_bigru | lc_bigru | uni_gru | cnn | classifier | transformer
+    # | conformer
     # (uni_gru = causal patch embed + context conv + unidirectional GRU
     # stack: the online-streamable sibling of conv_bigru — serving
     # carries its recurrent state across chunks with zero right-context
-    # latency, uasr/serve.py)
+    # latency, uasr/serve.py. lc_bigru = latency-controlled BiGRU:
+    # forward GRU carried exactly, backward GRU restricted to
+    # chunk+lookahead windows AT TRAINING TIME, so offline and
+    # streaming decodes coincide by construction — the round-5 exactly-
+    # streamable flagship-class encoder.)
     encoder: str = "conv_bigru"
+    # lc_bigru window geometry, in LOGITS frames (post conv stride):
+    # chunk size and right-context lookahead per backward window.
+    # Streaming latency = num_gru_layers chunks; exact-parity serving
+    # requires chunk_frames == lc_chunk * stride and
+    # lc_lookahead <= lc_chunk.
+    lc_chunk: int = 16
+    lc_lookahead: int = 8
     hidden_size: int = 256
     num_gru_layers: int = 2
     gru_unroll: int = 4  # lax.scan unroll of the recurrent body
@@ -335,6 +347,14 @@ class SSLConfig:
     # what uasr.tools.featurize dumps: the causal context vectors or the
     # raw conv latents (wav2vec-U used intermediate representations)
     feature_layer: str = "context"  # context | latents
+    # fold the K prediction heads INTO a time-chunked InfoNCE loss
+    # (ops/infonce.py::info_nce_loss_fused): the [B, T, K, C]
+    # prediction tensor — 420 MB bf16 at bench shapes, the round-4
+    # bandwidth bottleneck — never exists in HBM; each lax.scan chunk
+    # computes its preds from c in VMEM-resident GEMMs and is
+    # rematerialized in the backward. Sampled negatives only.
+    fused_loss: bool = False
+    loss_chunk: int = 128  # time frames per fused-loss chunk
 
 
 @dataclass

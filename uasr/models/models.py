@@ -433,6 +433,190 @@ class UniGRUEncoder(nn.Module):
         return logits, new_carry
 
 
+class LCBiGRUEncoder(nn.Module):
+    """Latency-controlled BiGRU (``model.encoder: lc_bigru``): the
+    exactly-streamable flagship-class encoder (round 5, VERDICT round-4
+    missing #3 / next #6).
+
+    Architecture: causal patch front (non-overlapping patch embed +
+    carried-tail VALID context conv, as UniGRUEncoder) -> N layers of
+    [forward GRU ‖ window-bounded backward GRU] -> dense logits. The
+    forward direction scans the whole utterance (streaming carries its
+    hidden state, like uni_gru). The backward direction is restricted
+    AT TRAINING TIME to fixed windows: for the chunk starting at patch
+    c*Nc, the backward GRU runs right-to-left over
+    [c*Nc, c*Nc + Nc + Nr) from a zero state (LC-BLSTM; Nc =
+    ``lc_chunk``, Nr = ``lc_lookahead`` in logits frames). Offline and
+    streaming therefore compute the SAME function — no approximation,
+    unlike the window-replay path the unbounded BiGRU needs.
+
+    TPU-first bonus: the backward windows fold into the batch axis
+    ([B*n_chunks, Nc+Nr] sequences), so the backward recurrence's
+    sequential chain is Nc+Nr steps instead of T — shorter critical
+    path than the full BiGRU's backward scan, with n_chunks x more MXU
+    parallelism per step.
+
+    Streaming (`step`): layer l emits chunk k-1-l when chunk k arrives
+    (its lookahead needs the next chunk at its own rate), so the
+    emitted logits lag input by num_gru_layers chunks; `finish` flushes
+    the tail. Total algorithmic latency = num_gru_layers * lc_chunk
+    logits frames.
+    """
+
+    cfg: ModelConfig
+    vocab_size: int
+
+    def setup(self):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        if cfg.lc_lookahead > cfg.lc_chunk:
+            raise ValueError(
+                "lc_lookahead must be <= lc_chunk (each backward "
+                "window's lookahead comes from the single next chunk): "
+                f"got {cfg.lc_lookahead} > {cfg.lc_chunk}"
+            )
+        self.patch = cfg.conv_time_stride ** cfg.num_conv_layers
+        self.kernel = cfg.conv_kernel
+        self.embed = nn.Dense(cfg.hidden_size, dtype=dt, name="embed")
+        self.embed_ln = nn.LayerNorm(dtype=dt, name="embed_ln")
+        self.ctx = nn.Conv(cfg.hidden_size, (self.kernel,),
+                           padding="VALID", dtype=dt, name="context")
+        self.ctx_ln = nn.LayerNorm(dtype=dt, name="context_ln")
+        self.fwd_grus = [
+            GRULayer(cfg.hidden_size, dtype=dt, unroll=cfg.gru_unroll,
+                     use_pallas=cfg.gru_pallas, name=f"fwd{i}")
+            for i in range(cfg.num_gru_layers)
+        ]
+        self.bwd_grus = [
+            GRULayer(cfg.hidden_size, reverse=True, dtype=dt,
+                     unroll=cfg.gru_unroll, use_pallas=cfg.gru_pallas,
+                     name=f"bwd{i}")
+            for i in range(cfg.num_gru_layers)
+        ]
+        self.out = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                            name="logits")
+
+    def _front(self, feats, frame_valid, tail):
+        """Causal patch front shared by offline and streaming: patch
+        embed + carried-tail VALID context conv. Returns
+        (e [B, Tp, H], pvalid, new_tail)."""
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        B, C, D = feats.shape
+        P = self.patch
+        x = feats.astype(dt)
+        x = x * _length_mask(x, frame_valid)
+        if C % P:
+            x = jnp.pad(x, ((0, 0), (0, P - C % P), (0, 0)))
+        x = x.reshape(B, x.shape[1] // P, P * D)
+        pvalid = (frame_valid + P - 1) // P
+        e = nn.relu(self.embed_ln(self.embed(x)))
+        cat = jnp.concatenate([tail.astype(dt), e], axis=1)
+        y = nn.relu(self.ctx_ln(self.ctx(cat)))
+        e = e + y  # residual causal context block
+        new_tail = cat[:, cat.shape[1] - (self.kernel - 1):]
+        return e, pvalid, new_tail
+
+    def _lc_backward(self, gru, x, pvalid):
+        """Window-bounded backward GRU: chunk windows [c*Nc, c*Nc+Nc+Nr)
+        folded into the batch axis, zero initial state per window."""
+        cfg = self.cfg
+        B, T, D = x.shape
+        Nc, Nr = cfg.lc_chunk, cfg.lc_lookahead
+        n = -(-T // Nc)
+        Tp = n * Nc
+        W = Nc + Nr
+        xp = jnp.pad(x, ((0, 0), (0, Tp + Nr - T), (0, 0)))
+        idx = (jnp.arange(n) * Nc)[:, None] + jnp.arange(W)[None, :]
+        xw = xp[:, idx]  # [B, n, W, D]
+        xw = xw.reshape(B * n, W, D)
+        lw = jnp.clip(
+            pvalid[:, None] - (jnp.arange(n) * Nc)[None, :], 0, W
+        ).reshape(B * n)
+        yw = gru(xw, lw)  # [B*n, W, H]
+        H = yw.shape[-1]
+        y = yw[:, :Nc].reshape(B, Tp, H)[:, :T]
+        return y
+
+    def __call__(self, feats: jax.Array, lengths: jax.Array):
+        cfg = self.cfg
+        B = feats.shape[0]
+        tail = jnp.zeros(
+            (B, self.kernel - 1, cfg.hidden_size), _dtype(cfg)
+        )
+        x, pvalid, _ = self._front(feats, lengths, tail)
+        for i in range(cfg.num_gru_layers):
+            f = self.fwd_grus[i](x, pvalid)
+            b = self._lc_backward(self.bwd_grus[i], x, pvalid)
+            x = jnp.concatenate([f, b], axis=-1)
+        logits = self.out(x)
+        logits = logits * _length_mask(logits, pvalid)
+        return logits, pvalid
+
+    def step(self, feats: jax.Array, abs_start: jax.Array,
+             valid_frames: jax.Array, carry):
+        """One streaming chunk of C = lc_chunk * patch feature frames.
+
+        feats [B, C, D]; abs_start [B] absolute feature-frame index of
+        this chunk's first frame (multiples of C per slot); valid_frames
+        [B] the stream's total valid feature frames (huge = open-ended —
+        re-read every step so late length stamps apply retroactively);
+        carry from `lc_initial_carry`. Returns (logits [B, Nc, V] for
+        the chunk num_gru_layers chunks BACK — all-masked until the
+        pipeline fills — and the new carry)."""
+        cfg = self.cfg
+        Nc, Nr = cfg.lc_chunk, cfg.lc_lookahead
+        P = self.patch
+        C = Nc * P
+        tail, bufs, hfs = carry
+        k = abs_start // C  # [B] arriving chunk index per slot
+        fv = jnp.clip(valid_frames - abs_start, 0, C)
+        x_new, _, new_tail = self._front(feats, fv, tail)
+        tvp = jnp.minimum(
+            (valid_frames + P - 1) // P, jnp.int32(1 << 30)
+        )  # total valid patches (cap keeps int32 arithmetic safe)
+        new_bufs, new_hfs = [], []
+        for i in range(cfg.num_gru_layers):
+            kb = k - 1 - i  # buffered chunk index at this layer
+            buf = bufs[i]
+            win = jnp.concatenate([buf, x_new[:, :Nr]], axis=1)
+            base = jnp.where(kb >= 0, kb * Nc, jnp.int32(1 << 30))
+            lw = jnp.clip(tvp - base, 0, Nc + Nr)
+            bwd = self.bwd_grus[i](win, lw)[:, :Nc]
+            lf = jnp.clip(tvp - base, 0, Nc)
+            fwd, h_end = self.fwd_grus[i](
+                buf, lf, h0=hfs[i], return_final=True
+            )
+            new_bufs.append(x_new.astype(jnp.float32))
+            new_hfs.append(h_end)
+            x_new = jnp.concatenate([fwd, bwd], axis=-1)
+        logits = self.out(x_new)
+        ke = k - cfg.num_gru_layers  # emitted chunk index
+        base_e = jnp.where(ke >= 0, ke * Nc, jnp.int32(1 << 30))
+        ve = jnp.clip(tvp - base_e, 0, Nc)
+        logits = logits * _length_mask(logits, ve)
+        return logits, (new_tail, tuple(new_bufs), tuple(new_hfs))
+
+
+def lc_initial_carry(cfg: ModelConfig, batch: int):
+    """Zero streaming state for LCBiGRUEncoder.step: (ctx_tail
+    [B, kernel-1, H], per-layer input-chunk buffers, per-layer forward
+    hidden states). Layer 0's buffer holds front activations [B, Nc, H];
+    layers >= 1 hold the previous layer's [B, Nc, 2H] outputs."""
+    dt = _dtype(cfg)
+    H, Nc, L = cfg.hidden_size, cfg.lc_chunk, cfg.num_gru_layers
+    bufs = tuple(
+        jnp.zeros((batch, Nc, H if i == 0 else 2 * H), jnp.float32)
+        for i in range(L)
+    )
+    hfs = tuple(jnp.zeros((batch, H), dt) for _ in range(L))
+    return (
+        jnp.zeros((batch, cfg.conv_kernel - 1, H), dt),
+        bufs,
+        hfs,
+    )
+
+
 def uni_gru_initial_carry(cfg: ModelConfig, batch: int):
     """Zero streaming state for UniGRUEncoder.step:
     (ctx_tail [B, kernel-1, H], h [num_gru_layers, B, H]). The zero
@@ -586,7 +770,8 @@ def encoder_time_subsample(cfg: ModelConfig) -> int:
         return 1
     if cfg.encoder == "cnn":
         return cfg.conv_time_stride  # single strided layer
-    if cfg.encoder in ("conv_bigru", "transformer", "conformer", "uni_gru"):
+    if cfg.encoder in ("conv_bigru", "lc_bigru", "transformer",
+                       "conformer", "uni_gru"):
         return cfg.conv_time_stride ** cfg.num_conv_layers
     raise ValueError(f"unknown encoder {cfg.encoder!r}")
 
@@ -599,6 +784,8 @@ def build_model(cfg: ModelConfig, vocab_size: int, mesh=None) -> nn.Module:
         )
     if cfg.encoder == "conv_bigru":
         return ConvBiGRUEncoder(cfg, vocab_size)
+    if cfg.encoder == "lc_bigru":
+        return LCBiGRUEncoder(cfg, vocab_size)
     if cfg.encoder == "uni_gru":
         return UniGRUEncoder(cfg, vocab_size)
     if cfg.encoder == "cnn":

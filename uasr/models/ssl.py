@@ -110,9 +110,17 @@ class CPCModel(nn.Module):
                      use_pallas=self.cfg.context_pallas,
                      name="context")(z, flen)  # causal: left-to-right scan
         K, Cz = self.cfg.predict_steps, z.shape[-1]
-        preds = nn.Dense(K * Cz, dtype=self.dtype, name="heads")(
-            c.astype(self.dtype)
-        )
+        heads = nn.Dense(K * Cz, dtype=self.dtype, name="heads")
+        if self.cfg.fused_loss:
+            # the fused loss (ops/infonce.py::info_nce_loss_fused)
+            # applies the heads kernel chunk-by-chunk itself, straight
+            # from params — the [B, T, K, C] prediction tensor never
+            # exists in HBM. A one-frame call still CREATES the heads
+            # params, so fused/unfused checkpoints stay interchangeable.
+            preds = heads(c[:, :1].astype(self.dtype))
+            B = preds.shape[0]
+            return z, c, preds.reshape(B, 1, K, Cz), flen
+        preds = heads(c.astype(self.dtype))
         B, T = preds.shape[:2]
         preds = preds.reshape(B, T, K, Cz)
         return z, c, preds, flen

@@ -87,7 +87,7 @@ class SSLTrainer:
         )
 
     def _loss(self, params, batch: Batch, rng):
-        z, _c, preds, flen = self.encode(
+        z, c, preds, flen = self.encode(
             params, batch.audio, batch.audio_lengths
         )
         n_neg = self.cfg.ssl.num_negatives
@@ -95,11 +95,23 @@ class SSLTrainer:
             sample_negatives(rng, flen, n_neg, z.shape[1])
             if n_neg > 0 else None
         )
-        loss, acc = info_nce_loss(
-            preds, z, flen,
-            temperature=self.cfg.ssl.temperature,
-            neg_indices=neg,
-        )
+        if self.cfg.ssl.fused_loss:
+            from uasr.ops.infonce import info_nce_loss_fused
+
+            hp = params["params"]["heads"]
+            loss, acc = info_nce_loss_fused(
+                c, hp["kernel"], hp["bias"], z, flen,
+                num_steps=self.cfg.ssl.predict_steps,
+                temperature=self.cfg.ssl.temperature,
+                neg_indices=neg,
+                chunk=self.cfg.ssl.loss_chunk,
+            )
+        else:
+            loss, acc = info_nce_loss(
+                preds, z, flen,
+                temperature=self.cfg.ssl.temperature,
+                neg_indices=neg,
+            )
         return loss, {"nce_loss": loss, "nce_acc": acc}
 
     def train_step(self, state: TrainState, batch: Batch, rng) -> tuple:

@@ -227,8 +227,14 @@ class StreamingRecognizer:
         self.model = build_model(cfg.model, cfg.dim_output)
         self.fe = frontend_state_from_config(cfg.frontend)
         # causal-recurrent encoders carry their own state — no window,
-        # no receptive-field constraints, zero right-context latency
-        self.recurrent = cfg.model.encoder == "uni_gru"
+        # no receptive-field constraints, zero right-context latency.
+        # lc_bigru (round 5) rides the same carried-state path but its
+        # emissions lag num_gru_layers chunks (each layer's backward
+        # window needs the next chunk at its own rate) — EXACT parity
+        # with the offline decode by construction.
+        self.recurrent = cfg.model.encoder in ("uni_gru", "lc_bigru")
+        self.delay = (cfg.model.num_gru_layers
+                      if cfg.model.encoder == "lc_bigru" else 0)
         self.approx = False
         if self.recurrent:
             half = 0
@@ -253,6 +259,17 @@ class StreamingRecognizer:
                 self.approx = True
         self.subsample = sub
         C = chunk_frames or cfg.frontend.streaming_chunk_frames or 64
+        if cfg.model.encoder == "lc_bigru":
+            # the chunk grid must be the TRAINING window grid or the
+            # backward windows would differ from the offline compute
+            want = cfg.model.lc_chunk * sub
+            if C != want:
+                raise ValueError(
+                    f"lc_bigru streams exactly only on its training "
+                    f"chunk grid: chunk_frames must be lc_chunk * "
+                    f"stride = {cfg.model.lc_chunk} * {sub} = {want}, "
+                    f"got {C}"
+                )
         if C % sub:
             raise ValueError(
                 f"chunk ({C}) must be a multiple of the encoder "
@@ -367,11 +384,18 @@ class StreamingRecognizer:
             fs = self.cfg.frontend.frame_shift
             valid = (jnp.asarray(audio_lengths, jnp.int32) + fs - 1) // fs
         if self.recurrent:
-            from uasr.models.models import uni_gru_initial_carry
+            from uasr.models.models import (
+                lc_initial_carry, uni_gru_initial_carry,
+            )
 
+            carry0 = (
+                lc_initial_carry(self.cfg.model, batch)
+                if self.delay
+                else uni_gru_initial_carry(self.cfg.model, batch)
+            )
             rbase = RecurrentState(
                 frontend=init_stream_state(batch, self.cfg.frontend),
-                carry=uni_gru_initial_carry(self.cfg.model, batch),
+                carry=carry0,
                 n_frames=jnp.zeros((batch,), jnp.int32),
                 prev_id=jnp.full((batch,), self.blank, jnp.int32),
                 valid_frames=valid,
@@ -795,28 +819,43 @@ class StreamingRecognizer:
 
     def _step_recurrent(self, params, state: RecurrentState, audio_chunk):
         """Causal path: frontend chunk -> encoder.step with the carried
-        recurrent state -> the CURRENT chunk's tokens, immediately."""
+        recurrent state -> tokens. uni_gru emits the CURRENT chunk
+        immediately; lc_bigru emits the chunk `delay` chunks back (its
+        layers' backward windows each need the next chunk at their own
+        rate), empty until the layer pipeline fills."""
         C, s = self.chunk, self.subsample
         fstate, feats = stream_chunk(
             state.frontend, audio_chunk, self.fe, self.cfg.frontend
         )
         a = state.n_frames  # [B] absolute frame index of this chunk's start
-        fv = jnp.clip(state.valid_frames - a, 0, C)  # valid frames here
-        logits, new_carry = self.model.apply(
-            params, feats, fv, state.carry, method="step"
-        )
+        if self.delay:
+            logits, new_carry = self.model.apply(
+                params, feats, a, state.valid_frames, state.carry,
+                method="step",
+            )
+            estart = a - self.delay * C  # emitted region's first frame
+        else:
+            fv = jnp.clip(state.valid_frames - a, 0, C)  # valid frames
+            logits, new_carry = self.model.apply(
+                params, feats, fv, state.carry, method="step"
+            )
+            estart = a
         n = a + C
         ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         B, K = ids.shape
-        pos = (a // s)[:, None] + jnp.arange(K)[None, :]
+        can = estart >= 0
+        pos = (jnp.maximum(estart, 0) // s)[:, None] \
+            + jnp.arange(K)[None, :]
         vlog = (state.valid_frames + s - 1) // s
-        active = pos < vlog[:, None]
+        active = can[:, None] & (pos < vlog[:, None])
         out, counts, prev = self._emit(ids, state.prev_id, active)
         if not self.use_beam:
             return RecurrentState(
                 fstate, new_carry, n, prev, state.valid_frames
             ), out, counts
-        beam, prefix, plen = self._advance_beam(state, logits, True, a // s)
+        beam, prefix, plen = self._advance_beam(
+            state, logits, can, jnp.maximum(estart, 0) // s
+        )
         new = BeamRecurrentState(
             fstate, new_carry, n, prev, state.valid_frames,
             beam, prefix, plen,
@@ -824,10 +863,68 @@ class StreamingRecognizer:
         return new, out, counts
 
     def _finish_recurrent(self, params, state: RecurrentState):
-        """Causal path: every chunk was decoded on arrival, so greedy
-        has nothing to flush; beam mode reads out the best transcript."""
+        """Causal path: uni_gru decoded every chunk on arrival, so
+        greedy has nothing to flush (beam mode reads out the best
+        transcript). lc_bigru flushes its `delay`-chunk emission lag
+        with zero-input steps — the flushed windows clamp at each
+        stream's valid length exactly as the offline windows do."""
         B = state.prev_id.shape[0]
         K = self.chunk // self.subsample
+        s = self.subsample
+        if self.delay:
+            C = self.chunk
+            zeros = jnp.zeros(
+                (B, C, self.cfg.frontend.num_mel_bins), jnp.float32
+            )
+            carry, nf, prev = state.carry, state.n_frames, state.prev_id
+            vlog = (state.valid_frames + s - 1) // s
+            if self.use_beam:
+                beam, prefix, plen = state.beam, state.prefix, \
+                    state.prefix_len
+            outs = []
+            for _ in range(self.delay):
+                logits, carry = self.model.apply(
+                    params, zeros, nf, state.valid_frames, carry,
+                    method="step",
+                )
+                estart = nf - self.delay * C
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                can = estart >= 0
+                pos = (jnp.maximum(estart, 0) // s)[:, None] \
+                    + jnp.arange(K)[None, :]
+                active = can[:, None] & (pos < vlog[:, None])
+                out, _c, prev = self._emit(ids, prev, active)
+                outs.append(out)
+                if self.use_beam:
+                    tmp = state._replace(beam=beam, prefix=prefix,
+                                         prefix_len=plen)
+                    beam, prefix, plen = self._advance_beam(
+                        tmp, logits, can, jnp.maximum(estart, 0) // s
+                    )
+                nf = nf + C
+            if self.use_beam:
+                from uasr.ops.decode import _logaddexp
+
+                best = jnp.argmax(_logaddexp(beam.p_b, beam.p_nb), 1)
+                final = jnp.take_along_axis(
+                    prefix, best[:, None, None], 1
+                )[:, 0]
+                final_len = jnp.take_along_axis(
+                    plen, best[:, None], 1
+                )[:, 0]
+                return state, final, final_len
+            # compact the per-flush left-aligned outputs into one row
+            allv = jnp.concatenate(outs, axis=1)
+            keep = allv >= 0
+            W = allv.shape[1]
+            pos2 = jnp.cumsum(keep, axis=1) - 1
+            rows = jnp.arange(B)[:, None]
+            res = jnp.full((B, W + 1), -1, jnp.int32)
+            res = res.at[rows, jnp.where(keep, pos2, W)].set(
+                jnp.where(keep, allv, -1)
+            )
+            return state._replace(prev_id=prev), res[:, :W], \
+                keep.sum(axis=1).astype(jnp.int32)
         if not self.use_beam:
             return state, jnp.full((B, K), -1, jnp.int32), \
                 jnp.zeros((B,), jnp.int32)
