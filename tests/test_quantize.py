@@ -214,3 +214,70 @@ def test_export_streaming_quantized_artifact(tmp_path):
     assert "check ok" in r.stderr
     meta = json.load(open(os.path.join(out, "meta.json")))
     assert meta["quantization"]["quantized_kernels"] >= 2
+
+
+def test_int8_compute_transcripts_and_dot_parity():
+    """int8-compute (round 5, VERDICT round-4 next #5): the
+    int8-MXU Dense/Conv path — dynamic per-token activations x
+    per-channel weights, int32 accumulation — preserves a trained
+    model's greedy transcripts, and re-quantizing a dequantized kernel
+    round-trips losslessly (artifact weights == compute weights)."""
+    import dataclasses
+
+    from test_serve import _cfg, _train_briefly
+    from uasr.frontend.features import compute_features
+    from uasr.models import build_model
+    from uasr.ops.decode import ctc_greedy_decode
+    from uasr.ops.quantize import int8_dot_general, quantize_leaf
+
+    # lossless re-quantization round trip
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 48) * np.exp(rng.randn(48)), jnp.float32)
+    q = quantize_leaf(w)
+    deq = np.asarray(q["qint8"], np.float32) * np.asarray(q["qscale"])
+    sw = np.maximum(np.abs(deq).max(0), 1e-12) / 127.0
+    requant = np.clip(np.round(deq / sw), -127, 127).astype(np.int8)
+    np.testing.assert_array_equal(requant, np.asarray(q["qint8"]))
+
+    # int8_dot_general vs fp reference on well-scaled data
+    x = jnp.asarray(rng.randn(5, 64), jnp.float32)
+    y8 = int8_dot_general(x, w, (((1,), (0,)), ((), ())))
+    yf = x @ w
+    rel = np.abs(np.asarray(y8) - np.asarray(yf)).max() / np.abs(
+        np.asarray(yf)).max()
+    assert rel < 0.02, rel
+
+    # trained-model transcript preservation (cnn family)
+    cfg, trainer, params, examples = _train_briefly(_cfg("cnn", 32),
+                                                    steps=60)
+    m8 = build_model(
+        dataclasses.replace(cfg.model, int8_compute=True), cfg.dim_output
+    )
+    B = 8
+    L = max(len(a) for a, _ in examples[:B])
+    audio = np.zeros((B, L), np.float32)
+    lens = np.zeros((B,), np.int64)
+    for b, (a, _) in enumerate(examples[:B]):
+        audio[b, : len(a)] = a
+        lens[b] = len(a)
+
+    @jax.jit
+    def decode(model_apply, p, audio, lengths):
+        feats, flen = compute_features(
+            audio, lengths, trainer.frontend_state, trainer.cfg.frontend
+        )
+        logits, out_len = model_apply(p, feats, flen)
+        return ctc_greedy_decode(logits, out_len, cfg.ctc.blank_id)
+
+    import functools
+
+    ids_fp, n_fp = jax.jit(functools.partial(
+        decode.__wrapped__, trainer.model.apply))(params, audio, lens)
+    ids_8, n_8 = jax.jit(functools.partial(
+        decode.__wrapped__, m8.apply))(params, audio, lens)
+    agree = 0
+    for b in range(B):
+        a = list(np.asarray(ids_fp[b, : int(n_fp[b])]))
+        q = list(np.asarray(ids_8[b, : int(n_8[b])]))
+        agree += a == q
+    assert agree >= B - 1, (agree, B)

@@ -191,6 +191,12 @@ class ModelConfig:
     disc_layers: int = 3
     disc_kernel: int = 5
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    # serving: run Dense/Conv GEMMs on the int8 MXU (394 TF/s on v5e,
+    # 2x bf16) — dynamic per-token activation quantization + symmetric
+    # per-channel weights, int32 accumulation, f32 rescale epilogue
+    # (ops/quantize.py::int8_dot_general). cnn / classifier families;
+    # exported via `uasr-export --quantize int8-compute`.
+    int8_compute: bool = False
 
 
 @dataclass

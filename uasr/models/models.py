@@ -31,6 +31,19 @@ def _dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _int8_kwargs(cfg: ModelConfig):
+    """(dense_kwargs, conv_kwargs) injecting the int8-MXU GEMM path
+    into flax layers when model.int8_compute is set (serving)."""
+    if not cfg.int8_compute:
+        return {}, {}
+    from uasr.ops.quantize import (
+        int8_conv_general_dilated, int8_dot_general,
+    )
+
+    return ({"dot_general": int8_dot_general},
+            {"conv_general_dilated": int8_conv_general_dilated})
+
+
 def _length_mask(x: jax.Array, lengths: jax.Array) -> jax.Array:
     T = x.shape[1]
     return (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
@@ -640,6 +653,7 @@ class CNNEncoder(nn.Module):
     def __call__(self, feats: jax.Array, lengths: jax.Array):
         cfg = self.cfg
         dt = _dtype(cfg)
+        dkw, ckw = _int8_kwargs(cfg)
         x = feats.astype(dt)
         x = x * _length_mask(x, lengths)
         stride_done = False
@@ -653,6 +667,7 @@ class CNNEncoder(nn.Module):
                 padding="SAME",
                 dtype=dt,
                 name=f"conv{i}",
+                **ckw,
             )(x)
             x = nn.LayerNorm(dtype=dt)(x)
             x = nn.relu(x)
@@ -669,11 +684,13 @@ class CNNEncoder(nn.Module):
                 padding="SAME",
                 dtype=dt,
                 name=f"dil{i}",
+                **ckw,
             )(x)
             y = nn.LayerNorm(dtype=dt)(y)
             x = x + nn.relu(y)  # residual dilated stack
             x = x * _length_mask(x, lengths)
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                          name="logits", **dkw)(x)
         logits = logits * _length_mask(logits, lengths)
         return logits, lengths
 
@@ -693,6 +710,7 @@ class PhoneClassifier(nn.Module):
     def __call__(self, feats: jax.Array, lengths: jax.Array):
         cfg = self.cfg
         dt = _dtype(cfg)
+        dkw, ckw = _int8_kwargs(cfg)
         x = feats.astype(dt)
         x = x * _length_mask(x, lengths)
         x = nn.Conv(
@@ -701,14 +719,17 @@ class PhoneClassifier(nn.Module):
             padding="SAME",
             dtype=dt,
             name="context_conv",
+            **ckw,
         )(x)
         x = nn.LayerNorm(dtype=dt)(x)
         x = nn.relu(x)
         for i in range(cfg.classifier_layers - 1):
-            x = nn.Dense(cfg.classifier_hidden, dtype=dt, name=f"fc{i}")(x)
+            x = nn.Dense(cfg.classifier_hidden, dtype=dt,
+                         name=f"fc{i}", **dkw)(x)
             x = nn.LayerNorm(dtype=dt)(x)
             x = nn.relu(x)
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="logits")(x)
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                          name="logits", **dkw)(x)
         logits = logits * _length_mask(logits, lengths)
         return logits, lengths
 

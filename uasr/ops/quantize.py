@@ -96,6 +96,76 @@ def dequantize_tree(qparams, dtype=None):
     return rec(qparams)
 
 
+def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+    """Drop-in `dot_general` for flax.linen.Dense that runs the GEMM on
+    the int8 MXU (v5e: 394 TF/s peak, 2x bf16 — round-5 VERDICT item 5).
+
+    Weights: symmetric per-output-channel int8 (re-quantizing a
+    `quantize_leaf`-dequantized kernel is a lossless round trip — the
+    stored int8 values are recovered exactly, so artifact weights and
+    compute weights agree bit-for-bit). Activations: symmetric per-row
+    (per-token) dynamic int8. Accumulation in int32; the two scales are
+    applied in the f32 epilogue, which XLA fuses into the following
+    bias add."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    if lb or rb or list(rc) != [0] or list(lc) != [lhs.ndim - 1]:
+        # only the Dense calling convention is supported
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers, precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+    xf = lhs.astype(jnp.float32)
+    wf = rhs.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0  # [O]
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12
+    ) / 127.0  # [..., 1]
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, dimension_numbers,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * sx * sw
+
+
+def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
+                              lhs_dilation=None, rhs_dilation=None,
+                              dimension_numbers=None,
+                              feature_group_count=1, precision=None,
+                              preferred_element_type=None, **kw):
+    """Drop-in `conv_general_dilated` for flax.linen.Conv on the int8
+    MXU. Weights: per-output-channel int8 over (spatial, in) dims;
+    activations: per-tensor dynamic int8 (a per-position scale would
+    break the convolution's weight sharing across taps)."""
+    if feature_group_count != 1:
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding,
+            lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count,
+            precision=precision,
+            preferred_element_type=preferred_element_type, **kw)
+    xf = lhs.astype(jnp.float32)
+    wf = rhs.astype(jnp.float32)
+    # flax conv kernels are [spatial..., I, O]
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=tuple(range(wf.ndim - 1))), 1e-12
+    ) / 127.0  # [O]
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0  # scalar
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32, **kw)
+    # y layout is [B, spatial..., O] under flax's dimension numbers
+    return y.astype(jnp.float32) * sx * sw
+
+
 def quantized_bytes(qparams) -> tuple[int, int]:
     """(bytes of the quantized tree, bytes of the equivalent f32 tree)
     — the artifact-size accounting reported by uasr-export. The qscale

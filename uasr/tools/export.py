@@ -308,12 +308,16 @@ def main(argv=None):
                    metavar="WORKDIR",
                    help="derive all --compose-*/--feat-* settings from "
                         "a uasr-pipeline workdir's manifest")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="weight-only per-channel int8 PTQ: kernels "
+    p.add_argument("--quantize", choices=["int8", "int8-compute"],
+                   default=None,
+                   help="int8: weight-only per-channel PTQ — kernels "
                         "stored int8 + f32 scales, dequantized inside "
                         "the artifact (ops/quantize.py); ~4x smaller "
                         "params, greedy transcripts essentially "
-                        "unchanged")
+                        "unchanged. int8-compute: additionally run the "
+                        "Dense/Conv GEMMs on the int8 MXU (dynamic "
+                        "per-token activation quantization, int32 "
+                        "accumulation — cnn/classifier families)")
     p.add_argument("--set", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -338,6 +342,17 @@ def main(argv=None):
             )
     if cfg.train.mode in ("gan", "eodm", "gan+eodm"):
         cfg.model.encoder = "classifier"  # serve the generator
+    if args.quantize == "int8-compute":
+        if cfg.model.encoder not in ("cnn", "classifier"):
+            raise SystemExit(
+                "--quantize int8-compute supports the cnn/classifier "
+                f"serving families, got {cfg.model.encoder!r} (use "
+                "--quantize int8 for weight-only PTQ)"
+            )
+        # the exported graph itself runs int8 GEMMs; the stored int8
+        # weights round-trip losslessly through the in-graph
+        # re-quantization (ops/quantize.py::int8_dot_general)
+        cfg.model.int8_compute = True
 
     comp = _composed_parts(args)
     if comp is not None and args.streaming:
@@ -419,7 +434,7 @@ def main(argv=None):
                            "model": restored_params}
 
     quant_meta = None
-    if args.quantize == "int8":
+    if args.quantize in ("int8", "int8-compute"):
         from uasr.ops.quantize import (
             dequantize_tree, quantize_tree, quantized_bytes,
         )
@@ -439,7 +454,11 @@ def main(argv=None):
             return fp_fn(dequantize_tree(qparams), audio, lengths)
 
         quant_meta = {
-            "scheme": "int8_weight_per_channel_symmetric",
+            "scheme": (
+                "int8_weight_per_channel_symmetric+int8_mxu_compute"
+                if args.quantize == "int8-compute"
+                else "int8_weight_per_channel_symmetric"
+            ),
             "quantized_kernels": int(n_q),
             "params_bytes": int(qb),
             "float_equivalent_bytes": int(fb),
@@ -538,7 +557,7 @@ def _export_streaming(cfg, args, restored_params, step):
     quant_meta = None
     deq = lambda p: p  # noqa: E731
     live_params = restored_params
-    if getattr(args, "quantize", None) == "int8":
+    if getattr(args, "quantize", None) in ("int8", "int8-compute"):
         from uasr.ops.quantize import (
             dequantize_tree, quantize_tree, quantized_bytes,
         )
