@@ -151,3 +151,57 @@ print("CLEAN_EXIT")
     assert "CLEAN_EXIT" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
     ckpt_dir = str(tmp_path / "exp" / "ckpt")
     assert os.path.isdir(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0
+
+
+def test_device_feature_batches_matches_host_iterator(tmp_path):
+    """Round 5: the device-resident corpus gather must yield the SAME
+    batch content as the host feature_batch_iterator (same seed/order;
+    feats padded to the corpus max instead of the cap), including the
+    zero-masked final partial batch."""
+    from uasr.data.cache import (
+        FeatureCache, device_feature_batches, feature_batch_iterator,
+        write_cache,
+    )
+
+    rng = np.random.RandomState(0)
+    examples = [
+        (f"u{i}", rng.randn(8 + 3 * i, 6).astype(np.float32),
+         [1 + i % 3, 2])
+        for i in range(11)
+    ]
+    write_cache(str(tmp_path), iter(examples), shard_size=4)
+    cache = FeatureCache(str(tmp_path))
+
+    host = list(feature_batch_iterator(
+        cache, batch_size=4, max_frames=64, max_label_len=5, seed=3,
+        num_epochs=1, drop_remainder=False,
+    ))
+    dev = list(device_feature_batches(
+        cache, batch_size=4, max_frames=64, max_label_len=5, seed=3,
+        num_epochs=1, drop_remainder=False,
+    ))
+    assert len(dev) == len(host)
+    for hb, db in zip(host, dev):
+        B = int(np.sum(np.asarray(hb.audio_lengths) > 0))
+        for b in range(len(hb.audio_lengths)):
+            if b < B or b < len(hb.audio_lengths):
+                pass
+        # valid rows match exactly (device batches pad rows to
+        # batch_size with zero lengths at the tail)
+        nh = len(hb.audio_lengths)
+        np.testing.assert_array_equal(
+            np.asarray(db.audio_lengths)[:nh], hb.audio_lengths
+        )
+        np.testing.assert_array_equal(
+            np.asarray(db.labels)[:nh], hb.labels
+        )
+        np.testing.assert_array_equal(
+            np.asarray(db.label_lengths)[:nh], hb.label_lengths
+        )
+        T = min(hb.audio.shape[1], np.asarray(db.audio).shape[1])
+        np.testing.assert_allclose(
+            np.asarray(db.audio)[:nh, :T], hb.audio[:, :T]
+        )
+        # padded tail rows are zero-length (never scored/trained)
+        assert (np.asarray(db.audio_lengths)[nh:] == 0).all()
+        assert (np.asarray(db.label_lengths)[nh:] == 0).all()

@@ -116,17 +116,38 @@ def _batches(cfg, source, num_epochs="cfg", seed=0, drop_remainder=True,
     ]
     kind, payload = source
     if kind == "features":
-        from uasr.data.cache import feature_batch_iterator
+        import jax
 
-        it = feature_batch_iterator(
-            payload,
-            batch_size=cfg.data.batch_size,
-            max_frames=cfg.data.max_frames,
-            max_label_len=cfg.data.max_label_len,
-            seed=seed,
-            num_epochs=num_epochs,
-            drop_remainder=drop_remainder,
+        from uasr.data.cache import (
+            device_feature_batches, feature_batch_iterator,
         )
+
+        # device-resident corpus: one upload, per-step on-device
+        # gathers (round 5 — the per-step feature upload through the
+        # tunnel dominated the V=39 GAN stage). Single-accelerator
+        # runs only: on a dp>1 mesh the gathered batch would still
+        # need resharding, and on CPU there is nothing to upload.
+        if (cfg.data.device_cache and jax.device_count() == 1
+                and jax.default_backend() != "cpu"):
+            it = device_feature_batches(
+                payload,
+                batch_size=cfg.data.batch_size,
+                max_frames=cfg.data.max_frames,
+                max_label_len=cfg.data.max_label_len,
+                seed=seed,
+                num_epochs=num_epochs,
+                drop_remainder=drop_remainder,
+            )
+        else:
+            it = feature_batch_iterator(
+                payload,
+                batch_size=cfg.data.batch_size,
+                max_frames=cfg.data.max_frames,
+                max_label_len=cfg.data.max_label_len,
+                seed=seed,
+                num_epochs=num_epochs,
+                drop_remainder=drop_remainder,
+            )
     elif kind == "stream":
         it = payload.batches(
             batch_size=cfg.data.batch_size,

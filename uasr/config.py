@@ -394,6 +394,13 @@ class DataConfig:
     streaming: bool = True  # stream + decode wavs per batch (flat RSS);
     # False materializes the decoded corpus in RAM (small sets only)
     loader_threads: int = 0  # native decoder threads; 0 = hardware default
+    # feature-cache training: keep the whole padded corpus resident on
+    # the accelerator and gather batches on device (one upload total,
+    # ~128 B of indices per step) instead of shipping each padded batch
+    # through the host->device link (~32 MB/s through the axon tunnel =
+    # ~2 s/step at V=39 shapes — BASELINE.md round 5). Auto-disabled on
+    # CPU/multi-device runtimes.
+    device_cache: bool = True
     synthetic: bool = False  # generate synthetic data (tests / benches)
     synthetic_num_utts: int = 128
     # dev/test split size; None = synthetic_num_utts (TIMIT-scale runs

@@ -144,3 +144,79 @@ def feature_batch_iterator(
         for s in range(0, max(stop, 0), batch_size):
             yield _make(order[s : s + batch_size])
         epoch += 1
+
+
+def device_feature_batches(
+    cache: "FeatureCache",
+    batch_size: int,
+    max_frames: int,
+    max_label_len: int,
+    seed: int = 0,
+    num_epochs: int | None = None,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+):
+    """`feature_batch_iterator` with the corpus RESIDENT ON DEVICE
+    (round 5): the padded [N, T, D] feature corpus is uploaded once and
+    every batch is one jitted on-device row gather — per step the host
+    ships only the [B] index vector.
+
+    Motivation (measured, BASELINE.md round 5): through the
+    remote-tunneled v5e the host->device path moves ~32 MB/s, so the
+    V=39 pipeline's 67 MB feature batches cost ~2.1 s of upload PER
+    STEP — 20x the GAN step's compute. The one-time corpus upload
+    (~2.4 GB at V=39 scale) costs ~75 s and amortizes over every epoch.
+    The pad target is the CORPUS max (clamped to `max_frames`), so the
+    batches are a single static shape — one compile, no bucket retraces.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from uasr.data.dataset import Batch
+
+    N = len(cache)
+    D = cache.example(0)[1].shape[1]
+    tmax = 1
+    for i in range(N):
+        tmax = max(tmax, len(cache.example(i)[1]))
+    tmax = min(tmax, max_frames)
+    feats = np.zeros((N, tmax, D), np.float32)
+    flen = np.zeros((N,), np.int32)
+    labels = np.zeros((N, max_label_len), np.int32)
+    llen = np.zeros((N,), np.int32)
+    for i in range(N):
+        _, f, ids = cache.example(i)
+        n = min(len(f), tmax)
+        feats[i, :n] = f[:n]
+        flen[i] = n
+        u = min(len(ids), max_label_len)
+        labels[i, :u] = ids[:u]
+        llen[i] = u
+    corpus = tuple(jax.device_put(x) for x in (feats, flen, labels, llen))
+    del feats, labels
+
+    @jax.jit
+    def gather(corpus, idx):
+        return tuple(jnp.take(x, idx, axis=0) for x in corpus)
+
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = np.arange(N)
+        if shuffle:
+            rng.shuffle(order)
+        stop = N if not drop_remainder else N - batch_size + 1
+        for s in range(0, max(stop, 0), batch_size):
+            idx = order[s : s + batch_size]
+            if len(idx) < batch_size and not drop_remainder:
+                # static shapes: pad the final partial batch by
+                # repeating row 0 with zero valid lengths
+                pad = np.zeros(batch_size - len(idx), np.int64)
+                full = np.concatenate([idx, pad])
+                f, fl, la, ll = gather(corpus, jnp.asarray(full))
+                mask = (jnp.arange(batch_size) < len(idx))
+                yield Batch(f, jnp.where(mask, fl, 0), la,
+                            jnp.where(mask, ll, 0))
+            else:
+                yield Batch(*gather(corpus, jnp.asarray(idx)))
+        epoch += 1
