@@ -147,7 +147,7 @@ def feature_batch_iterator(
 
 
 def device_feature_batches(
-    cache: "FeatureCache",
+    cache,
     batch_size: int,
     max_frames: int,
     max_label_len: int,
@@ -174,18 +174,24 @@ def device_feature_batches(
 
     from uasr.data.dataset import Batch
 
+    # `cache` is a FeatureCache OR a materialized list of
+    # (feat [T, D], ids) pairs (the selftrain student corpus)
+    if isinstance(cache, (list, tuple)):
+        get = lambda i: cache[i]  # noqa: E731
+    else:
+        get = lambda i: cache.example(i)[1:]  # noqa: E731
     N = len(cache)
-    D = cache.example(0)[1].shape[1]
+    D = get(0)[0].shape[1]
     tmax = 1
     for i in range(N):
-        tmax = max(tmax, len(cache.example(i)[1]))
+        tmax = max(tmax, len(get(i)[0]))
     tmax = min(tmax, max_frames)
     feats = np.zeros((N, tmax, D), np.float32)
     flen = np.zeros((N,), np.int32)
     labels = np.zeros((N, max_label_len), np.int32)
     llen = np.zeros((N,), np.int32)
     for i in range(N):
-        _, f, ids = cache.example(i)
+        f, ids = get(i)
         n = min(len(f), tmax)
         feats[i, :n] = f[:n]
         flen[i] = n

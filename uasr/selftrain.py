@@ -272,12 +272,30 @@ def self_train(
                 )
             )
         else:
-            batches = prefetch(
-                batch_iterator(
-                    labeled, cfg.data.batch_size, max_samples,
-                    cfg.data.max_label_len, seed=cfg.train.seed + r,
+            feats_corpus = np.ndim(labeled[0][0]) == 2
+            if (feats_corpus and cfg.data.device_cache
+                    and jax.device_count() == 1
+                    and jax.default_backend() != "cpu"):
+                # device-resident student corpus (round 5): same fix as
+                # the GAN stage — one upload, per-step on-device
+                # gathers instead of ~2 s/step of tunnel traffic at
+                # V=39 shapes
+                from uasr.data.cache import device_feature_batches
+
+                batches = prefetch(
+                    device_feature_batches(
+                        labeled, cfg.data.batch_size, max_samples,
+                        cfg.data.max_label_len,
+                        seed=cfg.train.seed + r,
+                    )
                 )
-            )
+            else:
+                batches = prefetch(
+                    batch_iterator(
+                        labeled, cfg.data.batch_size, max_samples,
+                        cfg.data.max_label_len, seed=cfg.train.seed + r,
+                    )
+                )
         if r == 0 and init_params is not None and \
                 _existing_ckpt_step(f"{round_cfg.model_dir}/ckpt") is None:
             from uasr.parallel.mesh import replicated
